@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{AnalyticsQueries => A, PipelineQueries => P, Oracles}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the full parse→normalize→order→route-count pipeline over
+    * sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    P.routeCounts(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_transcripts" -> (P.transcripts(_, _)),
+    "q02_route_counts" -> (P.routeCounts(_, _)),
+    "q03_thread_stats" -> (P.threadStats(_, _)),
+    "q04_enrich_tool_category" -> (P.enrichToolCategory(_, _)),
+    "q05_event_windows" -> (P.eventWindows(_, _)),
+    "q06_text_checksum" -> (P.textChecksum(_, _)),
+    "q10_tpch_q1" -> (A.tpchQ1(_, _)),
+    "q11_orders_by_segment" -> (A.ordersBySegment(_, _)),
+    "q12_top_brands" -> (A.topBrands(_, _)))
+
+  /** DuckDB-runnable oracle SQL per query key (same column names/order
+    * as the Spark results — the driver sorts columns by name and hashes
+    * values). */
+  def oracleSql: Map[String, String] = Oracles.all
 }

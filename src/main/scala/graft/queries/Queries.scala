@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.agg.Aggregates
+import graft.enrich.Enrich
+import graft.gen.TranscriptGen
+
+/** Driver-verifiable queries (each paired with a DuckDB oracle in
+  * [[Oracles]]). Every query reads only the driver-provided parquet
+  * tables under `sfDir` and is deterministic: exact-typed aggregates
+  * (decimal-cast sums → double), explicit ORDER BY, no wall clock.
+  *
+  * Cross-engine parity rules used throughout:
+  *  - epoch millis (unix_millis / epoch_ms) instead of raw timestamps
+  *  - SUM over DECIMAL(18,2) casts → exact, then cast to double
+  *  - md5 for text checksums (identical bytes on both engines)
+  *  - count(*) → long on both
+  */
+object PipelineQueries {
+
+  /** Derived transcript table with stable turn ordering — the north-rule
+    * parse→normalize slice over the events table. */
+  def transcripts(s: SparkSession, dir: String): DataFrame = {
+    val t = TranscriptGen.fromEvents(s, dir)
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t.withColumn("turn_idx", row_number().over(w) - 1)
+      .select(
+        col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("tool"), unix_millis(col("ts")).as("ts_ms"))
+      .orderBy(col("conv_id"), col("turn_idx"))
+  }
+
+  /** Router parity: per-(role, tool) routed-row counts. */
+  def routeCounts(s: SparkSession, dir: String): DataFrame =
+    Aggregates.routedCounts(TranscriptGen.fromEvents(s, dir))
+      .orderBy(col("role"), col("tool"))
+
+  /** Manifest aggregate: per-conversation count + ts range. */
+  def threadStats(s: SparkSession, dir: String): DataFrame =
+    TranscriptGen.fromEvents(s, dir)
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        unix_millis(min(col("ts"))).as("ts_min"),
+        unix_millis(max(col("ts"))).as("ts_max"))
+      .orderBy(col("conv_id"))
+
+  /** Broadcast-hash-join enrich stage + aggregate by tool category. */
+  def enrichToolCategory(s: SparkSession, dir: String): DataFrame =
+    Enrich.attachToolMeta(TranscriptGen.fromEvents(s, dir))
+      .groupBy(coalesce(col("category"), lit("n/a")).as("category"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("conv_id")).as("n_convs"))
+      .orderBy(col("category"))
+
+  /** Tumbling 1-hour window aggregation over the raw event stream
+    * (batch form of the streaming query). */
+  def eventWindows(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(
+        unix_millis(date_trunc("hour", col("ts"))).as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Per-role text checksum — the per-turn byte-equality invariant in
+    * aggregate form (md5 over identical UTF-8 bytes on both engines). */
+  def textChecksum(s: SparkSession, dir: String): DataFrame =
+    TranscriptGen.fromEvents(s, dir)
+      .groupBy(col("role"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(md5(col("text").cast("binary"))).as("md5_min"),
+        max(md5(col("text").cast("binary"))).as("md5_max"))
+      .orderBy(col("role"))
+}
+
+/** Classic scan/agg/join/top-k queries over the TPC-H-ish tables —
+  * exercise pushdown, partial aggregation, broadcast joins, LIMIT. */
+object AnalyticsQueries {
+
+  def tpchQ1(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_base_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  def ordersBySegment(s: SparkSession, dir: String): DataFrame = {
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+    val customer = s.read.parquet(s"$dir/customer.parquet")
+    orders.join(broadcast(customer),
+        orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  def topBrands(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val part = s.read.parquet(s"$dir/part.parquet")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"))
+      .orderBy(col("n_items").desc, col("p_brand").asc)
+      .limit(10)
+  }
+}
+
+/** DuckDB-dialect oracles, one per query key. */
+object Oracles {
+
+  private val T = TranscriptGen.fromEventsOracleSql
+
+  val all: Map[String, String] = Map(
+    "q01_transcripts" ->
+      s"""WITH t AS ($T)
+         |SELECT conv_id,
+         |  CAST(row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         |  role, text, tool, epoch_ms(ts) AS ts_ms
+         |FROM t ORDER BY conv_id, turn_idx""".stripMargin,
+    "q02_route_counts" ->
+      s"""WITH t AS ($T)
+         |SELECT role, coalesce(tool, 'none') AS tool, count(*) AS n_rows
+         |FROM t GROUP BY 1, 2 ORDER BY role, tool""".stripMargin,
+    "q03_thread_stats" ->
+      s"""WITH t AS ($T)
+         |SELECT conv_id, count(*) AS n_turns,
+         |  epoch_ms(min(ts)) AS ts_min, epoch_ms(max(ts)) AS ts_max
+         |FROM t GROUP BY 1 ORDER BY conv_id""".stripMargin,
+    "q04_enrich_tool_category" ->
+      s"""WITH t AS ($T)
+         |SELECT coalesce(d.category, 'n/a') AS category,
+         |  count(*) AS n_rows, count(DISTINCT t.conv_id) AS n_convs
+         |FROM t LEFT JOIN (VALUES
+         |  ('file_search','retrieval'), ('browser','web'),
+         |  ('python','code'), ('dalle','image'), ('zapier','plugin'))
+         |  AS d(tool, category) ON t.tool = d.tool
+         |GROUP BY 1 ORDER BY category""".stripMargin,
+    "q05_event_windows" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q06_text_checksum" ->
+      s"""WITH t AS ($T)
+         |SELECT role, count(*) AS n_rows,
+         |  min(md5(text)) AS md5_min, max(md5(text)) AS md5_max
+         |FROM t GROUP BY 1 ORDER BY role""".stripMargin,
+    "q10_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q11_orders_by_segment" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "q12_top_brands" ->
+      """SELECT p_brand, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY n_items DESC, p_brand ASC LIMIT 10""".stripMargin)
+}

