@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries => A, PipelineQueries => P, Oracles}
+import graft.queries.{AnalyticsQueries => A, PipelineQueries => P,
+  TrainingDataQueries => T, Oracles}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -22,10 +23,24 @@ object SparkEntry {
     "q06_text_checksum" -> (P.textChecksum(_, _)),
     "q10_tpch_q1" -> (A.tpchQ1(_, _)),
     "q11_orders_by_segment" -> (A.ordersBySegment(_, _)),
-    "q12_top_brands" -> (A.topBrands(_, _)))
+    "q12_top_brands" -> (A.topBrands(_, _)),
+    "q20_token_count" -> (T.tokenCount(_, _)),
+    "q21_lang_id" -> (T.langId(_, _)),
+    "q22_quality" -> (T.quality(_, _)),
+    "q23_fingerprint" -> (T.fingerprint(_, _)),
+    "q30_dedup_exact" -> (T.dedupExact(_, _)),
+    "q31_ngram_jaccard" -> (T.ngramJaccard(_, _)),
+    "q32_minhash_lsh" -> (T.minhashLsh(_, _)),
+    "q33_simhash_pairs" -> (T.simhashPairs(_, _)),
+    "q34_embedding_neardup" -> (T.embeddingNearDup(_, _)),
+    "q40_ann_brute" -> (T.annBruteForce(_, _)),
+    "q41_ann_ivf" -> (T.annIvf(_, _)),
+    "q42_ann_lsh" -> (T.annLsh(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes
-    * values). */
-  def oracleSql: Map[String, String] = Oracles.all
+    * values). q33 (simhash) and q42 (hyperplane LSH) have no oracle:
+    * their bit-level hashing is engine-specific → rows-only check. */
+  def oracleSql: Map[String, String] =
+    Oracles.all ++ graft.queries.TrainingDataQueries.oracles
 }

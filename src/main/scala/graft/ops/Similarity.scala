@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness
+  *    baseline. Query side is broadcast (queries ≪ corpus), so the
+  *    corpus streams through one codegen'd stage; cost O(|Q|·N·d).
+  *  - [[ivfTopK]]: IVF-style scale path — the corpus is partitioned by
+  *    a coarse quantizer cell (here the `label` column; in production
+  *    a k-means assignment), and each query probes only its cell(s):
+  *    cost drops by the cell fan-out; the cell column doubles as the
+  *    partition key so a real deployment prunes parquet partitions.
+  *  - [[lshTopK]]: random-hyperplane LSH — signatures from sign(v·h_i)
+  *    with deterministic hyperplanes derived from FNV hashes; bucket
+  *    join then exact re-rank inside buckets.
+  *
+  * Ranks are computed on round(cos, 6) with id tie-break so ordering
+  * is reproducible across engines (bit-identical doubles + stable
+  * ties).
+  */
+object Similarity {
+
+  private def ranked(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cos_sim"))
+  }
+
+  /** Exact top-k neighbors for each query vector (default: queries are
+    * the vectors with vec_id < nQueries). */
+  def bruteForceTopK(
+      embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = embeddings.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"))
+    val pairs = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Dedup.cosine(col("qe"), col("ce")), 6).as("cos_sim"))
+    ranked(pairs, k).orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-style: probe only the query's own coarse cell. */
+  def ivfTopK(
+      embeddings: DataFrame, cellCol: String = "label", k: Int = 5,
+      nQueries: Int = 10): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col(cellCol).as("cell"))
+    val c = embeddings.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col(cellCol).as("cell"))
+    val pairs = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Dedup.cosine(col("qe"), col("ce")), 6).as("cos_sim"))
+    ranked(pairs, k).orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component h[p][d]:
+    * a sign in {-1, +1} derived from an integer hash of (p, d) —
+    * effectively random-hyperplane LSH with ±1 hyperplanes, fully
+    * reproducible and expression-only. */
+  private def hyperplaneSign(p: Int, d: org.apache.spark.sql.Column) = {
+    // xxhash64 is deterministic across runs/engines (Spark impl);
+    // only used Spark-side (LSH has no DuckDB oracle).
+    when(pmod(xxhash64(lit(p), d), lit(2)) === 0, 1d).otherwise(-1d)
+  }
+
+  /** Random-hyperplane LSH: nPlanes sign bits → bucket; candidates
+    * share a bucket; exact cosine re-rank within buckets. May return
+    * fewer than k neighbors for sparse buckets (standard ANN recall
+    * trade-off). */
+  def lshTopK(
+      embeddings: DataFrame, nPlanes: Int = 8, k: Int = 5,
+      nQueries: Int = 10): DataFrame = {
+    val sigBits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(col("embedding"),
+          transform(sequence(lit(0), size(col("embedding")) - 1),
+            d => hyperplaneSign(p, d)),
+          (x, s) => x.cast("double") * s),
+        lit(0d), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val withSig = embeddings.withColumn("bucket", sigBits)
+    val q = withSig.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("bucket"))
+    val c = withSig.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("bucket"))
+    val pairs = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Dedup.cosine(col("qe"), col("ce")), 6).as("cos_sim"))
+    ranked(pairs, k).orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline queries over documents/embeddings, each with
+  * a DuckDB oracle where the operator is SQL-expressible (exceptions:
+  * simhash and hyperplane-LSH use engine-specific hashing → rows-only
+  * checks).
+  */
+object TrainingDataQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(docs(s, dir)).orderBy("doc_id")
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")
+
+  def quality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")
+
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(docs(s, dir)).orderBy("doc_id")
+
+  /** Exact dedup demo over a corpus with a synthetic duplicate stripe
+    * (every 10th doc duplicated under doc_id+100000). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val corpus = d.unionByName(
+      d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+    Dedup.exactClusters(corpus)
+      .filter(col("n_docs") > 1)
+      .orderBy("text_hash")
+  }
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), k = 3, minJaccard = 0.1)
+      .orderBy("doc_a", "doc_b")
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshCandidates(docs(s, dir), numHashes = 8,
+      minEstSim = 0.25).orderBy("doc_a", "doc_b")
+
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), maxHamming = 16)
+      .orderBy("doc_a", "doc_b")
+
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(embs(s, dir), minCosine = 0.4)
+      .orderBy("vec_a", "vec_b")
+
+  def annBruteForce(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(embs(s, dir), k = 5, nQueries = 10)
+
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(embs(s, dir), cellCol = "label", k = 5,
+      nQueries = 10)
+
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(embs(s, dir), nPlanes = 8, k = 5, nQueries = 10)
+
+  // -----------------------------------------------------------------
+  // DuckDB oracles
+  // -----------------------------------------------------------------
+
+  /** Shared CTE fragments. */
+  private val SH =
+    """w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |      FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0)))
+      |         AS t(i))""".stripMargin
+
+  private val STOPS =
+    Seq(" the ", " a ", " and ", " of ", " to ", " is ")
+
+  private def stopHitsSql(padded: String): String =
+    STOPS.map(w =>
+      s"(length($padded) - length(replace($padded, '$w', ''))) / ${w.length}")
+      .mkString(" + ")
+
+  private val COS =
+    """round(
+      |  list_sum(list_transform(list_zip(q.qe, c.embedding),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+      |  (sqrt(list_sum(list_transform(q.qe,
+      |     v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+      |   sqrt(list_sum(list_transform(c.embedding,
+      |     v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q20_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_meas,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q21_lang_id" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |  ' ' || lower(text) || ' ' AS p,
+         |  greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS nt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE
+         |    WHEN regexp_matches(text, '[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]') THEN 'cjk'
+         |    WHEN (${stopHitsSql("p")}) / nt >= 0.03 THEN 'en'
+         |    WHEN length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) /
+         |         CAST(greatest(length(text), 1) AS DOUBLE) >= 0.9 THEN 'latin_other'
+         |    ELSE 'other' END AS lang_guess
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q22_quality" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |  ' ' || lower(text) || ' ' AS p,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt,
+         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS np
+         |  FROM documents)
+         |SELECT doc_id, nt AS n_tokens, np AS n_punct,
+         |  CAST(${stopHitsSql("p")} AS BIGINT) AS n_stopwords,
+         |  round(CAST(length(text) AS DOUBLE) / greatest(nt, 1), 4)
+         |    AS mean_token_len,
+         |  round(CAST(CAST(${stopHitsSql("p")} AS BIGINT) AS DOUBLE) /
+         |    greatest(nt, 1), 4) AS stopword_ratio,
+         |  (nt BETWEEN 10 AND 2000 AND
+         |   CAST(np AS DOUBLE) / greatest(nt, 1) < 0.5) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q23_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q30_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT md5(text) AS text_hash, count(*) AS n_docs,
+        |  min(doc_id) AS canonical
+        |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash""".stripMargin,
+    "q31_ngram_jaccard" ->
+      s"""WITH $SH,
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS i
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON sa.doc_id = doc_a
+         |JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q32_minhash_lsh" ->
+      s"""WITH $SH,
+         |sig AS (SELECT doc_id, seed,
+         |    min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+         |  FROM sh, UNNEST(generate_series(0, 7)) AS q(seed)
+         |  GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+         |    max(CASE WHEN seed % 2 = 0 THEN minhash END) AS mh0,
+         |    max(CASE WHEN seed % 2 = 1 THEN minhash END) AS mh1
+         |  FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.mh0 = b.mh0 AND a.mh1 = b.mh1
+         |    AND a.doc_id < b.doc_id),
+         |est AS (SELECT c.doc_a, c.doc_b,
+         |    round(avg(CASE WHEN sa.minhash = sb.minhash
+         |      THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6)
+         |      AS est_sim
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, est_sim FROM est
+         |WHERE est_sim >= 0.25 ORDER BY doc_a, doc_b""".stripMargin,
+    "q34_embedding_neardup" ->
+      s"""SELECT q.query_id AS vec_a, c.vec_id AS vec_b, $COS AS cos_sim
+         |FROM (SELECT vec_id AS query_id, embedding AS qe
+         |      FROM embeddings) q
+         |JOIN embeddings c ON q.query_id < c.vec_id
+         |WHERE $COS >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q40_ann_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |  FROM embeddings WHERE vec_id < 10),
+         |p AS (SELECT q.query_id, c.vec_id AS neighbor_id, $COS AS cos_sim
+         |  FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM p)
+         |SELECT query_id, neighbor_id, rank, cos_sim FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q41_ann_ivf" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label
+         |  FROM embeddings WHERE vec_id < 10),
+         |p AS (SELECT q.query_id, c.vec_id AS neighbor_id, $COS AS cos_sim
+         |  FROM embeddings c JOIN q ON c.label = q.label
+         |  WHERE c.vec_id <> q.query_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM p)
+         |SELECT query_id, neighbor_id, rank, cos_sim FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+}

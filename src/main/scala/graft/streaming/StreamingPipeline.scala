@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming form of the pipeline (the reference is
+  * batch-only — docs/requirements.md:196-203 scopes streaming out; the
+  * north rule's telemetry framing makes it a natural extension).
+  *
+  * Same transformations as the batch path: the transcript/event stream
+  * is read incrementally, watermarked on event time, aggregated in
+  * tumbling windows, and per-conversation session state is tracked
+  * with mapGroupsWithState. File-source streaming reads mean the SAME
+  * code runs over a directory that keeps receiving parquet drops —
+  * the local stand-in for a Kafka/queue source at scale.
+  */
+object StreamingPipeline {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Incremental file-source read of an events directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(dir)
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark — the
+    * streaming twin of PipelineQueries.eventWindows. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+
+  final case class SessionUpdate(
+      user_id: Long,
+      n_events: Long,
+      first_ts_ms: Long,
+      last_ts_ms: Long,
+      closed: Boolean)
+
+  private final case class SessionState(
+      n: Long, firstMs: Long, lastMs: Long)
+
+  /** Per-user session tracking with explicit state:
+    * mapGroupsWithState with processing-time timeout — emits a running
+    * session summary per trigger, closing idle sessions. */
+  def sessionize(
+      events: Dataset[(Long, Long)] /* (user_id, ts_ms) */,
+      idleTimeoutMs: Long = 30 * 60 * 1000L): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout)(
+        (userId: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(userId, s.n, s.firstMs, s.lastMs, closed = true)
+          } else {
+            val ts = rows.map(_._2).toVector
+            val prev = state.getOption.getOrElse(
+              SessionState(0L, Long.MaxValue, Long.MinValue))
+            val next = SessionState(
+              prev.n + ts.size,
+              math.min(prev.firstMs, if (ts.isEmpty) prev.firstMs else ts.min),
+              math.max(prev.lastMs, if (ts.isEmpty) prev.lastMs else ts.max))
+            state.update(next)
+            state.setTimeoutDuration(idleTimeoutMs)
+            SessionUpdate(userId, next.n, next.firstMs, next.lastMs,
+              closed = false)
+          }
+        })
+  }
+
+  /** Run a streaming query to completion over the (static) input dir
+    * using the memory sink — local smoke harness for the streaming
+    * plan; on a cluster the sink would be the routed Iceberg tables. */
+  def runWindowedCountsOnce(
+      spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q = windowedCounts(readEvents(spark, dir))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

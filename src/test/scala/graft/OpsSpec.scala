@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.StreamingPipeline
+
+/** Semantics tests for the training-data operators (cross-engine
+  * value parity is covered by the driver's DuckDB oracle; these pin
+  * the operator-level invariants). */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup: identical texts cluster, distinct texts don't") {
+    import spark.implicits._
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val clusters = Dedup.exactClusters(d).collect()
+    assert(clusters.length === 2)
+    val dup = clusters.find(_.getLong(1) == 2L).get
+    assert(dup.getLong(2) === 1L) // canonical = min doc_id
+  }
+
+  test("ngram jaccard: identical docs → 1.0, disjoint docs absent") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "q w e r t y u")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, minJaccard = 0.1).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getLong(0) === 1L && pairs.head.getLong(1) === 2L)
+    assert(pairs.head.getDouble(2) === 1.0)
+  }
+
+  test("minhash LSH: identical docs are candidates with est_sim 1.0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val cand = Dedup.minhashLshCandidates(d).collect()
+    assert(cand.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(cand.head.getDouble(2) === 1.0)
+  }
+
+  test("simhash: identical docs at hamming 0; candidates found on corpus") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely unrelated words nothing shared here at all folks"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(d, maxHamming = 0).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L)))
+    // near-identical text → small hamming distance
+    val near = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappX " * 5))
+      .toDF("doc_id", "text")
+    val nearPairs = Dedup.simhashPairs(near, maxHamming = 16).collect()
+    assert(nearPairs.length === 1 && nearPairs.head.getInt(2) <= 16)
+  }
+
+  test("ANN brute force: rank 1..5 per query, self excluded, descending sim") {
+    val res = Similarity.bruteForceTopK(embs, k = 5, nQueries = 3).collect()
+    assert(res.length === 15)
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq === (1 to 5))
+      assert(sorted.forall(r => r.getLong(1) != r.getLong(0)))
+      val sims = sorted.map(_.getDouble(3)).toSeq
+      assert(sims === sims.sorted.reverse)
+    }
+  }
+
+  test("ANN IVF recall vs brute force within same cell") {
+    val brute = Similarity.bruteForceTopK(embs, k = 1, nQueries = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(embs, k = 1, nQueries = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // IVF probes one cell: its hit is the brute-force hit whenever the
+    // true NN shares the query's cell; both must return 5 queries
+    assert(ivf.keySet === brute.keySet)
+  }
+
+  test("ANN LSH returns ranked candidates from shared buckets") {
+    val res = Similarity.lshTopK(embs, nPlanes = 4, k = 5, nQueries = 3)
+      .collect()
+    assert(res.nonEmpty)
+    assert(res.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 5))
+  }
+
+  test("multimodal: batched decode + features + frame sampling") {
+    val media = Multimodal.syntheticMedia(docs)
+    val meta = Multimodal.decodeMeta(media, batchSize = 64)
+    assert(meta.count() === docs.count())
+    val m = meta.filter(col("kind") === "image").head()
+    assert(m.duration_ms === 0L) // images have no duration
+    // determinism
+    val f1 = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(r => r.media_id -> r.feature.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(r => r.media_id -> r.feature.toSeq).toMap
+    assert(f1 === f2)
+    assert(f1.values.forall(_.size == 8))
+    val frames = Multimodal.frameSamplePlan(meta, everyMs = 1000, maxFrames = 4)
+    assert(frames.groupBy("media_id").count().agg(max("count")).head()
+      .getLong(0) <= 4)
+  }
+
+  test("streaming: windowed counts equal the batch aggregation") {
+    // file streaming source needs a directory: stage the events file
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val streamed = StreamingPipeline.runWindowedCountsOnce(
+      spark, dir.toString, "stream_smoke")
+      .select(unix_millis(col("window.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+    val batch = graft.queries.PipelineQueries.eventWindows(spark, sf)
+    val s2 = streamed.orderBy("window_start", "event_type")
+    assert(batch.exceptAll(s2).count() === 0L)
+    assert(s2.exceptAll(batch).count() === 0L)
+  }
+
+  test("streaming: mapGroupsWithState sessionization") {
+    import spark.implicits._
+    val updates = StreamingPipeline.sessionize(
+      Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDS())
+    // batch Dataset drive of the stateful function (mapGroupsWithState
+    // on a static Dataset runs the same state logic once per group)
+    val got = updates.collect().map(u => u.user_id -> u).toMap
+    assert(got(1L).n_events === 2 && got(1L).first_ts_ms === 100L &&
+      got(1L).last_ts_ms === 200L)
+    assert(got(2L).n_events === 1)
+  }
+}
