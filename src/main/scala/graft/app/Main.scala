@@ -1,0 +1,181 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.agg.Aggregates
+import graft.export.Exporter
+import graft.lineage.Lineage
+import graft.model.Schemas
+import graft.parse.ChatGptParser
+import graft.pipeline.TurnOrdering
+import graft.route.Router
+
+/** spark-submit entry point: `parse | export | chain` job modes
+  * (reference CLI: cli.py:87-190; exit-code contract cli.py:431-439 —
+  * 2 = input path, 4 = parsed-root missing, 99 = unexpected).
+  *
+  * Usage:
+  *   graft.app.Main parse  --input FILE --outdir DIR [--provider P]
+  *                         [--resume]
+  *   graft.app.Main export --parsed-root DIR --outdir DIR [--tz TZ]
+  *                         [--formatting light|none] [--split SPEC]
+  *   graft.app.Main chain  --input FILE --outdir DIR [export opts]
+  */
+object Main {
+
+  private final class UsageError(msg: String) extends RuntimeException(msg)
+
+  def main(args: Array[String]): Unit = {
+    val code =
+      try run(args)
+      catch {
+        case e: UsageError =>
+          System.err.println(e.getMessage)
+          2
+        case e: java.nio.file.NoSuchFileException =>
+          System.err.println(s"[LP-IO-404] path not found: ${e.getMessage}")
+          2
+        case e: SecurityException =>
+          System.err.println(s"[LP-IO-403] permission: ${e.getMessage}")
+          3
+        case e: Throwable =>
+          System.err.println(s"[LP-UNEXPECTED] ${e.getClass.getName}: " +
+            s"${e.getMessage}")
+          99
+      }
+    if (code != 0) sys.exit(code)
+  }
+
+  private def opt(args: Array[String], name: String): Option[String] =
+    args.sliding(2).collectFirst {
+      case Array(k, v) if k == s"--$name" => v
+    }
+
+  private def req(args: Array[String], name: String): String =
+    opt(args, name).getOrElse(throw new UsageError(s"--$name required"))
+
+  private def flag(args: Array[String], name: String): Boolean =
+    args.contains(s"--$name")
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val b = SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    // under spark-submit the master comes from the launcher; standalone
+    // (sbt runMain / tests) falls back to local
+    val withMaster =
+      if (sys.props.contains("spark.master")) b else b.master(s"local[$cpus]")
+    withMaster.getOrCreate()
+  }
+
+  def run(args: Array[String]): Int = {
+    if (args.isEmpty) {
+      System.err.println("usage: graft.app.Main parse|export|chain ...")
+      return 2
+    }
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+    args.head match {
+      case "parse" => parseMode(spark, args)
+      case "export" => exportMode(spark, args)
+      case "chain" =>
+        val rc = parseMode(spark, args)
+        if (rc != 0) rc
+        else exportMode(spark,
+          args ++ Array("--parsed-root", opt(args, "outdir").get))
+      case other =>
+        System.err.println(s"unknown mode: $other")
+        2
+    }
+  }
+
+  /** parse: raw export JSON → normalized messages → per-thread JSONL +
+    * routed (role, tool) sinks + manifest with per-partition lineage.
+    */
+  def parseMode(spark: SparkSession, args: Array[String]): Int = {
+    import spark.implicits._
+    val input = req(args, "input")
+    val outdir = req(args, "outdir")
+    val provider = opt(args, "provider").getOrElse("openai")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(input))) {
+      System.err.println(s"[LP-IO-404] input not found: $input")
+      return 2
+    }
+
+    val raw = ChatGptParser.readRawAuto(spark, input)
+    val msgs = ChatGptParser.normalize(raw, provider).cache()
+
+    // resume: drop conversations unchanged vs the previous manifest
+    val manifestPath = s"$outdir/$provider/manifest.json"
+    val stats = Aggregates.threadStats(msgs)
+    val (toProcess, skipped) =
+      if (flag(args, "resume") &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(manifestPath))) {
+        val prev = Lineage.readManifestThreads(spark, manifestPath)
+        val changed = Lineage.changedThreads(stats, prev)
+          .select("conversation_id")
+        val n = stats.count() - changed.count()
+        (msgs.join(broadcast(changed), Seq("conversation_id")), n)
+      } else (msgs, 0L)
+
+    val typed = toProcess
+      .select(Schemas.messageColumns.map(col): _*)
+      .as[Schemas.Message]
+    Router.writeThreadJsonl(typed, outdir, provider)
+    Router.writeRoutedSinks(toProcess, s"$outdir/$provider")
+
+    // manifest: ALL threads (fixes the reference bug of not re-indexing
+    // skipped ones, parser.py:271-274) + per-partition lineage
+    val entries = Lineage.threadEntries(stats).collect().toSeq
+    val partitions = Lineage.capturePartitions(msgs).collect().toSeq
+    Lineage.writeManifest(manifestPath, provider, entries, partitions)
+
+    val summary = Aggregates.runSummary(msgs).head()
+    println(s"""{"mode":"parse","threads":${summary.getLong(0)},""" +
+      s""""messages":${summary.getLong(1)},"skipped_threads":$skipped}""")
+    0
+  }
+
+  /** export: parsed JSONL tree → Markdown files (split-aware). */
+  def exportMode(spark: SparkSession, args: Array[String]): Int = {
+    val root = req(args, "parsed-root")
+    val outdir = opt(args, "export-outdir")
+      .getOrElse(req(args, "outdir"))
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root))) {
+      System.err.println(s"[LP-IO-404] parsed root missing: $root")
+      return 4
+    }
+    val tz = opt(args, "tz").getOrElse("UTC")
+    val formatting = opt(args, "formatting").getOrElse("light")
+    val split = opt(args, "split").map(Exporter.SplitConf.parse)
+      .getOrElse(Exporter.SplitConf.none)
+
+    val schema = StructType(Seq(
+      StructField("record_type", StringType),
+      StructField("provider_id", StringType),
+      StructField("conversation_id", StringType),
+      StructField("message_id", StringType),
+      StructField("parent_id", StringType),
+      StructField("role", StringType),
+      StructField("ts", LongType),
+      StructField("text", StringType),
+      StructField("meta", StructType(Seq(StructField("model", StringType))))))
+    val rows = spark.read.schema(schema)
+      .option("encoding", "UTF-8")
+      .json(s"$root/*/thread-*/parsed.jsonl")
+      .filter(col("record_type") === "message")
+      .withColumn("model", col("meta.model"))
+      .drop("meta", "record_type")
+
+    val parts = Exporter.exportThreads(rows, tz, formatting, split)
+    Exporter.writeParts(parts, s"$outdir/md")
+    println(s"""{"mode":"export","parts":${parts.count()}}""")
+    0
+  }
+}
