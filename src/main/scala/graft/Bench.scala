@@ -1,24 +1,117 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.agg.Aggregates
+import graft.gen.TranscriptGen
+import graft.parse.ChatGptParser
+import graft.pipeline.TurnOrdering
+import graft.route.Router
+
+/** Benchmark main. Prints ONE JSON line:
+  * {"metric":"total","value":SEC,"unit":"sec","queries":{...},
+  *  "pipeline":{...},"sf":...}
+  *
+  *  - queries: per-query wall seconds for every SparkEntry query over
+  *    SPARK_GRAFT_SF_DIR (forced with .count()).
+  *  - pipeline: the north-rule end-to-end parse→route→aggregate job
+  *    over a synthesized raw-transcript JSONL corpus (generation is
+  *    untimed): JSON scan + normalize (grok-parse) → turn-order window
+  *    → routed (role, tool) counts + thread stats + text checksum.
+  *    Reports turns/sec. Corpus size via SPARK_GRAFT_CONVS
+  *    (default 60k convs ≈ 0.7M turns).
+  *
+  * Scaling-efficiency evidence (north rule: ≥0.8 from N to 4N): run
+  * this main twice with SPARK_GRAFT_CPUS=8 and =32 on the same input —
+  * see BASELINE.md "Measured" section.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_CONVS", "60000").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory",
+        sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val skipQueries = sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")
+    val results =
+      if (skipQueries) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1).map {
+        case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - t0) / 1e9
+      }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+
+    // ---- end-to-end pipeline throughput (untimed corpus generation) --
+    // tmpfs when available: the sandbox disk tops out at ~380 MB/s,
+    // which would measure the disk, not the engine
+    val workBase = if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get("/dev/shm"))) "/dev/shm" else
+      System.getProperty("java.io.tmpdir")
+    val work = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(workBase), "graft-bench")
+    val rawPath = s"$work/raw"
+    TranscriptGen.renderRawJsonl(TranscriptGen.synthesize(spark, nConvs))
+      .write.mode("overwrite").text(rawPath)
+
+    // Repeat-and-take-min: the sandbox VM's co-tenant noise swings
+    // single-shot wall times ~2×; min over repeats is the standard
+    // noise-robust estimator. SPARK_GRAFT_REPEAT defaults to 1 for the
+    // driver's per-round run; scaling studies use 3.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    var turns = 0L
+    var nThreads = 0L
+    var bestElapsed = Double.MaxValue
+    var bestWrite = Double.MaxValue
+    for (_ <- 1 to repeats) {
+      val t0 = System.nanoTime()
+      // ONE pass over the raw input: parse → window → routed write
+      // (caching the parse costs more than it saves — measured 44 s to
+      // materialize vs 15 s to recompute — so aggregates read the
+      // routed parquet back instead, which is how the aggregate stage
+      // would run against the sink tables in production anyway)
+      val msgs = ChatGptParser.normalize(
+        ChatGptParser.readRawJsonl(spark, rawPath))
+      val sinkRoot = Router.writeRoutedSinks(
+        TurnOrdering.withTurnIdx(msgs), work.toString)
+      val tWrite = (System.nanoTime() - t0) / 1e9
+      val routedTable = spark.read.parquet(sinkRoot)
+      val routed = routedTable
+        .groupBy(col("role"), col("tool_sink")).count().collect()
+      nThreads = Aggregates.threadStats(routedTable).count()
+      routedTable.agg(
+        count(lit(1)), min(md5(col("text").cast("binary")))).collect()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      turns = routed.map(_.getLong(2)).sum
+      if (elapsed < bestElapsed) { bestElapsed = elapsed; bestWrite = tWrite }
+    }
+    val pipeline =
+      f"""{"turns":$turns,"threads":$nThreads,"sec":$bestElapsed%.3f,""" +
+        f""""parse_route_sec":$bestWrite%.3f,""" +
+        f""""agg_sec":${bestElapsed - bestWrite}%.3f,""" +
+        f""""turns_per_sec":${turns / bestElapsed}%.1f,""" +
+        f""""repeats":$repeats,"cpus":$cpus}"""
+
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pipeline":$pipeline,"sf":"$sfDir"}""")
+    // clean the (possibly tmpfs) working set
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(work).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
     spark.stop()
   }
 }

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+
+/** Column-level entry points for the custom Catalyst expressions —
+  * usable directly in DataFrame code (no registry indirection); the
+  * per-expression `register` methods additionally expose them to SQL.
+  */
+package object functions {
+
+  private def e(c: Column): Expression = ExpressionUtils.expression(c)
+  private def c(x: Expression): Column = ExpressionUtils.column(x)
+
+  /** Distinct word k-shingles (codegen'd). */
+  def word_shingles(col: Column, k: Int = 3): Column =
+    c(WordShingles(e(col), k))
+
+  /** 64-bit SimHash over a token array (codegen'd). */
+  def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+
+  /** Double dot product of two array<float> columns (codegen'd). */
+  def vec_dot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
+
+  /** Σ x² of an array<float> column (codegen'd). */
+  def vec_norm2(a: Column): Column = c(VecNorm2(e(a)))
+
+  /** Reference "light" Markdown formatting (codegen'd). */
+  def render_light_md(text: Column): Column =
+    c(RenderLightMarkdown(e(text)))
+}

@@ -105,7 +105,9 @@ object TranscriptGen {
     val baseTs = 1700000000000L // fixed epoch-ms origin, no wall clock
     val convs = spark.range(nConvs.toLong).select(
       col("id").as("conv_n"),
-      concat(lit("conv-"), lpad(col("id").cast(StringType), 5, "0"))
+      // lpad TRUNCATES beyond the pad width — width 9 keeps ids unique
+      // up to 10^9 conversations
+      concat(lit("conv-"), lpad(col("id").cast(StringType), 9, "0"))
         .as("conv_id"),
       when(col("id") === 0, lit(baseTurns * megaFactor))
         .otherwise(lit(baseTurns) +

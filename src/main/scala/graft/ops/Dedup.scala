@@ -22,18 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word k-shingles per doc (k=3). */
-  def shingles(docs: DataFrame, k: Int = 3): DataFrame = {
-    val w = split(trim(col("text")), "\\s+")
+  /** Distinct word k-shingles per doc (k=3). Codegen'd expression
+    * (graft.functions.WordShingles) — the HOF equivalent measured ~8 s
+    * per evaluation over 5000 docs, and join plans evaluate this on
+    * several branches. */
+  def shingles(docs: DataFrame, k: Int = 3): DataFrame =
     docs.select(
       col("doc_id"),
-      explode(when(size(w) >= k,
-        array_distinct(transform(
-          sequence(lit(0), size(w) - k),
-          i => concat_ws(" ",
-            (0 until k).map(j => element_at(w, i + j + 1)): _*))))
-        .otherwise(array())).as("shingle"))
-  }
+      explode(graft.functions.word_shingles(col("text"), k)).as("shingle"))
 
   /** Exact duplicate clusters over a hash of raw text. */
   def exactClusters(docs: DataFrame): DataFrame =
@@ -41,10 +37,23 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical"))
 
   /** All-pairs word-shingle Jaccard ≥ minJaccard. Exact (no sketch):
-    * inverted-index self-join on shingle. */
+    * inverted-index self-join on shingle.
+    *
+    * maxDocFreq drops stop-shingles (present in > maxDocFreq docs)
+    * BEFORE the join — standard df-filtering in dedup pipelines; a
+    * shingle shared by d docs contributes d² join rows, so the filter
+    * bounds the self-join fanout at maxDocFreq² per shingle (the
+    * difference between quadratic blowup and linear scan at corpus
+    * scale). Jaccard is over the FILTERED shingle sets. */
   def ngramJaccardPairs(
-      docs: DataFrame, k: Int = 3, minJaccard: Double = 0.1): DataFrame = {
-    val sh = shingles(docs, k).cache()
+      docs: DataFrame, k: Int = 3, minJaccard: Double = 0.1,
+      maxDocFreq: Int = 100): DataFrame = {
+    val all = shingles(docs, k)
+    val rare = all.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("shingle")
+    val sh = all.join(rare, Seq("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.withColumnRenamed("doc_id", "doc_a")
     val b = sh.withColumnRenamed("doc_id", "doc_b")
@@ -64,50 +73,52 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** MinHash signatures: k independent min-hashes per doc, hash_i =
-    * md5(i ':' shingle) (engine-portable). Output long format
-    * (doc_id, seed, minhash). */
-  def minhashSignatures(docs: DataFrame, numHashes: Int = 8): DataFrame = {
+  /** Wide MinHash signatures: one row per doc with numHashes minhash
+    * columns mh0..mhN-1, hash_i = md5(i ':' shingle) (engine-portable).
+    * ONE aggregation = ONE shuffle; the long-format
+    * (doc_id, seed, minhash) variant shuffled numHashes× the rows and
+    * forced three recomputations of the shingle explode downstream.
+    */
+  def minhashSignaturesWide(
+      docs: DataFrame, numHashes: Int = 8): DataFrame = {
     val sh = shingles(docs)
-    sh.crossJoin(
-        spark_seeds(sh, numHashes))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"),
-        col("shingle")).cast("binary"))).as("minhash"))
+    sh.groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0:"), col("shingle")).cast("binary")))
+          .as("mh0"),
+        (1 until numHashes).map(i =>
+          min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary")))
+            .as(s"mh$i")): _*)
   }
 
-  private def spark_seeds(df: DataFrame, n: Int): DataFrame =
-    df.sparkSession.range(n.toLong).select(col("id").cast("int").as("seed"))
-
-  /** LSH banding with r=2 rows/band: docs sharing one full band
-    * signature become candidate pairs; candidates are then verified by
-    * the estimated similarity = fraction of equal minhashes. */
+  /** LSH banding with r=2 rows/band over the wide signatures: docs
+    * sharing one full band signature become candidate pairs, verified
+    * by estimated similarity = fraction of equal minhashes. Per-band
+    * self-joins run on the tiny one-row-per-doc signature table. */
   def minhashLshCandidates(
       docs: DataFrame, numHashes: Int = 8,
       minEstSim: Double = 0.25): DataFrame = {
-    val sig = minhashSignatures(docs, numHashes).cache()
-    val bands = sig
-      .groupBy(col("doc_id"), (col("seed") / 2).cast("int").as("band"))
-      .agg(
-        max(when(pmod(col("seed"), lit(2)) === 0, col("minhash")))
-          .as("mh0"),
-        max(when(pmod(col("seed"), lit(2)) === 1, col("minhash")))
-          .as("mh1"))
-    val ba = bands.select(col("doc_id").as("doc_a"), col("band"),
-      col("mh0"), col("mh1"))
-    val bb = bands.select(col("doc_id").as("doc_b"), col("band"),
-      col("mh0"), col("mh1"))
-    val cand = ba.join(bb, Seq("band", "mh0", "mh1"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val sa = sig.select(col("doc_id").as("doc_a"), col("seed"),
-      col("minhash").as("ha"))
-    val sb = sig.select(col("doc_id").as("doc_b"), col("seed"),
-      col("minhash").as("hb"))
-    cand.join(sa, "doc_a").join(sb, Seq("doc_b", "seed"))
-      .groupBy("doc_a", "doc_b")
-      .agg(round(avg(when(col("ha") === col("hb"), 1d).otherwise(0d)), 6)
-        .as("est_sim"))
+    require(numHashes % 2 == 0, "r=2 banding needs even numHashes")
+    val sig = minhashSignaturesWide(docs, numHashes)
+    val nBands = numHashes / 2
+    val cand = (0 until nBands).map { b =>
+      val l = sig.select(col("doc_id").as("doc_a"),
+        col(s"mh${2 * b}").as("b0"), col(s"mh${2 * b + 1}").as("b1"))
+      val r = sig.select(col("doc_id").as("doc_b"),
+        col(s"mh${2 * b}").as("b0"), col(s"mh${2 * b + 1}").as("b1"))
+      l.join(r, Seq("b0", "b1")).filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+    }.reduce(_ unionByName _).distinct()
+    val sa = sig.toDF(sig.columns.map(c =>
+      if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.map(c =>
+      if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    val matches = (0 until numHashes).map(i =>
+      when(col(s"a_mh$i") === col(s"b_mh$i"), 1d).otherwise(0d))
+      .reduce(_ + _)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(matches / numHashes, 6).as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
   }
 
@@ -118,9 +129,8 @@ object Dedup {
     * bit-level hashing is not portably expressible in DuckDB).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
-    graft.functions.SimHash64.register(docs.sparkSession)
     val withSig = docs.select(col("doc_id"),
-      call_function("simhash64", split(trim(col("text")), "\\s+"))
+      graft.functions.simhash64(split(trim(col("text")), "\\s+"))
         .as("sig"))
     val chunks = withSig.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(i =>
@@ -141,30 +151,27 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicates: exact double-precision cosine
-    * with a deterministic op order (fold left over zipped arrays) so
-    * the DuckDB oracle produces bit-identical doubles. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b,
-        (x, y) => x.cast("double") * y.cast("double")),
-      lit(0d), (acc, v) => acc + v)
-    val na = aggregate(transform(a,
-        x => x.cast("double") * x.cast("double")),
-      lit(0d), (acc, v) => acc + v)
-    val nb = aggregate(transform(b,
-        x => x.cast("double") * x.cast("double")),
-      lit(0d), (acc, v) => acc + v)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+    * with a deterministic op order (sequential widening fold — see
+    * graft.functions.VectorKernels) so the DuckDB oracle produces
+    * bit-identical doubles. Codegen'd kernel, not a HOF fold (~6×). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.vec_dot(a, b) /
+      (sqrt(graft.functions.vec_norm2(a)) *
+        sqrt(graft.functions.vec_norm2(b)))
 
   def embeddingNearDups(
       embeddings: DataFrame, minCosine: Double = 0.4): DataFrame = {
+    // norms are per-VECTOR: compute them once per side, not per pair
     val a = embeddings.select(col("vec_id").as("vec_a"),
-      col("embedding").as("ea"))
+      col("embedding").as("ea"),
+      sqrt(graft.functions.vec_norm2(col("embedding"))).as("na"))
     val b = embeddings.select(col("vec_id").as("vec_b"),
-      col("embedding").as("eb"))
+      col("embedding").as("eb"),
+      sqrt(graft.functions.vec_norm2(col("embedding"))).as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+        round(graft.functions.vec_dot(col("ea"), col("eb")) /
+          (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCosine)
   }
 }

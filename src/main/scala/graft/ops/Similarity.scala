@@ -33,17 +33,29 @@ object Similarity {
         col("cos_sim"))
   }
 
+  private def withNorm(df: DataFrame, vecCol: String, out: String) =
+    df.withColumn(out, sqrt(graft.functions.vec_norm2(col(vecCol))))
+
+  private def cosPrecomputed(qe: String, ce: String, na: String,
+      nb: String) =
+    round(graft.functions.vec_dot(col(qe), col(ce)) /
+      (col(na) * col(nb)), 6).as("cos_sim")
+
   /** Exact top-k neighbors for each query vector (default: queries are
-    * the vectors with vec_id < nQueries). */
+    * the vectors with vec_id < nQueries). Norms precomputed per side;
+    * per-pair work is one codegen'd dot product. */
   def bruteForceTopK(
       embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
-    val q = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val c = embeddings.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("ce"))
+    val q = withNorm(embeddings.filter(col("vec_id") < nQueries),
+      "embedding", "nq")
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nq"))
+    val c = withNorm(embeddings, "embedding", "nc")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("nc"))
     val pairs = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(Dedup.cosine(col("qe"), col("ce")), 6).as("cos_sim"))
+        cosPrecomputed("qe", "ce", "nq", "nc"))
     ranked(pairs, k).orderBy(col("query_id"), col("rank"))
   }
 
@@ -51,15 +63,17 @@ object Similarity {
   def ivfTopK(
       embeddings: DataFrame, cellCol: String = "label", k: Int = 5,
       nQueries: Int = 10): DataFrame = {
-    val q = embeddings.filter(col("vec_id") < nQueries)
+    val q = withNorm(embeddings.filter(col("vec_id") < nQueries),
+      "embedding", "nq")
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col(cellCol).as("cell"))
-    val c = embeddings.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("ce"), col(cellCol).as("cell"))
+        col("nq"), col(cellCol).as("cell"))
+    val c = withNorm(embeddings, "embedding", "nc")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("nc"), col(cellCol).as("cell"))
     val pairs = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(Dedup.cosine(col("qe"), col("ce")), 6).as("cos_sim"))
+        cosPrecomputed("qe", "ce", "nq", "nc"))
     ranked(pairs, k).orderBy(col("query_id"), col("rank"))
   }
 
@@ -89,16 +103,17 @@ object Similarity {
         lit(0d), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    val withSig = embeddings.withColumn("bucket", sigBits)
+    val withSig = withNorm(embeddings.withColumn("bucket", sigBits),
+      "embedding", "nrm")
     val q = withSig.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("bucket"))
+        col("nrm").as("nq"), col("bucket"))
     val c = withSig.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("ce"), col("bucket"))
+      col("embedding").as("ce"), col("nrm").as("nc"), col("bucket"))
     val pairs = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(Dedup.cosine(col("qe"), col("ce")), 6).as("cos_sim"))
+        cosPrecomputed("qe", "ce", "nq", "nc"))
     ranked(pairs, k).orderBy(col("query_id"), col("rank"))
   }
 }

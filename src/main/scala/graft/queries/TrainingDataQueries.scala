@@ -147,10 +147,15 @@ object TrainingDataQueries {
         |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash""".stripMargin,
     "q31_ngram_jaccard" ->
       s"""WITH $SH,
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |rare AS (SELECT shingle FROM
+         |  (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+         |  WHERE df <= 100),
+         |shf AS (SELECT sh.doc_id, sh.shingle
+         |  FROM sh JOIN rare USING (shingle)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    count(*) AS i
-         |  FROM sh a JOIN sh b
+         |  FROM shf a JOIN shf b
          |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,

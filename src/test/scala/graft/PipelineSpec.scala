@@ -148,9 +148,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(Lineage.changedThreads(stats, prev).count() === 0L)
     // one conversation grows by a turn → exactly that one is re-processed
     val grown = stats.withColumn("count",
-      when(col("conversation_id") === "conv-00003", col("count") + 1)
+      when(col("conversation_id") === "conv-000000003", col("count") + 1)
         .otherwise(col("count")))
     val changed = Lineage.changedThreads(grown, prev).collect()
-    assert(changed.map(_.getString(0)).toSeq === Seq("conv-00003"))
+    assert(changed.map(_.getString(0)).toSeq === Seq("conv-000000003"))
   }
 }

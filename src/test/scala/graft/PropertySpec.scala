@@ -1,0 +1,76 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.export.{Exporter, LightFormatter, SizeExpr}
+import graft.util.PyJson
+
+/** ScalaCheck properties (SURVEY.md §5 plan: ordering stability is in
+  * PipelineSpec on Spark; these cover the pure kernels). */
+object PropertySpec extends Properties("graft") {
+
+  private val anyText: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar, Gen.oneOf(' ', '\n', '\t', '"', '\\', '`'),
+    Gen.oneOf('あ', '本', '→', '', '')))
+    .map(_.mkString)
+
+  property("pyjson ascii-only with quote framing") = forAll(anyText) { s =>
+    val out = PyJson.str(s)
+    out.forall(c => c >= 0x20 && c <= 0x7e) &&
+      out.head == '"' && out.last == '"'
+  }
+
+  property("pyjson exact escape lengths") = forAll(anyText) { s =>
+    val expected = 2 + s.map {
+      case c if c == '"' || c == '\\' || c == '\b' || c == '\t' ||
+        c == '\n' || c == '\f' || c == '\r' => 2
+      case c if c < 0x20 || c > 0x7e => 6
+      case _ => 1
+    }.sum
+    PyJson.str(s).length == expected
+  }
+
+  property("formatter strips trailing blanks") = forAll(anyText) { s =>
+    val r = LightFormatter.render(s)
+    r.isEmpty || r.split("\n", -1).last.trim.nonEmpty ||
+      // inside an auto-closed fence the last line is ```
+      r.endsWith("```")
+  }
+
+  property("formatter collapses blank runs outside code") =
+    forAll(anyText.map(_.replace("`", ""))) { s =>
+      val lines = LightFormatter.render(s).split("\n", -1)
+      !lines.toSeq.sliding(2).exists {
+        case Seq(a, b) => a.trim.isEmpty && b.trim.isEmpty
+        case _ => false
+      }
+    }
+
+  property("formatter is identity on fence-free single-spaced text") =
+    forAll(Gen.listOf(Gen.identifier).map(_.mkString(" "))) { s =>
+      LightFormatter.render(s) == s
+    }
+
+  property("size expr IEC multiples") =
+    forAll(Gen.choose(1, 99999), Gen.oneOf("", "K", "M", "G")) { (n, u) =>
+      val mult = Map("" -> 1L, "K" -> 1024L, "M" -> 1024L * 1024,
+        "G" -> 1024L * 1024 * 1024)(u)
+      SizeExpr.parse(s"$n$u") == n * mult
+    }
+
+  property("sanitizeFilename bounded and windows-safe") =
+    forAll(anyText) { s =>
+      val out = Exporter.sanitizeFilename(s)
+      out.length <= 120 &&
+        !out.exists(c => "<>:\"/\\|?*".contains(c) || c < 0x20)
+    }
+
+  property("ts heuristic split at 1e11") = Prop.all(
+    forAll(Gen.choose(0L, 99999999999L)) { v =>
+      Exporter.tsToSeconds(v.toDouble) == v.toDouble
+    },
+    forAll(Gen.choose(100000000000L, 4102444800000L)) { v =>
+      Exporter.tsToSeconds(v.toDouble) == v.toDouble / 1000.0
+    })
+}
