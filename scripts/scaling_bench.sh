@@ -16,10 +16,10 @@ for r in $(seq 1 "$ROUNDS"); do
       SPARK_GRAFT_CPUS=$c SPARK_GRAFT_CONVS=$CONVS \
       SPARK_GRAFT_SKIP_QUERIES=1 SPARK_GRAFT_REPEAT=2 \
       /opt/spark/bin/spark-submit --master "local[$c]" \
-        --driver-memory 60g \
+        --driver-memory 48g \
         --conf spark.ui.enabled=false \
         --conf spark.sql.shuffle.partitions=$c \
-        --conf "spark.driver.extraJavaOptions=-XX:+UseParallelGC -Dspark.sql.session.timeZone=UTC" \
+        --conf "spark.driver.extraJavaOptions=-XX:+UseParallelGC -Xms48g -Dspark.sql.session.timeZone=UTC" \
         --class graft.Bench "$JAR" 2>/dev/null | grep -o '"pipeline":{[^}]*}')
     echo "{\"round\":$r,$(echo "$line" | sed 's/^"pipeline"://; s/^{//')" >> "$OUT"
     echo "round=$r cpus=$c -> $line"
