@@ -29,4 +29,9 @@ package object functions {
   /** Reference "light" Markdown formatting (codegen'd). */
   def render_light_md(text: Column): Column =
     c(RenderLightMarkdown(e(text)))
+
+  /** Whole-conversation extraction from one raw export JSON line
+    * (codegen'd single-pass scanner; null for corrupt lines). */
+  def extract_conversation(line: Column): Column =
+    c(ExtractConversation(e(line)))
 }

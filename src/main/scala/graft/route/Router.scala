@@ -25,16 +25,26 @@ object Router {
 
   /** Single partitioned parquet write fanning out all (role, tool)
     * sinks. Returns the sink root. */
+  /** saltBuckets > 0: pre-shuffle on (role, tool, salt) so each sink's
+    * files come from a bounded task set (file-count control on a 1000-
+    * executor cluster: tasks × sinks files otherwise). saltBuckets = 0:
+    * no exchange — every scan task writes its slice of each sink
+    * directly (dynamic partition insert sorts within task); right when
+    * upstream parallelism is already the write parallelism you want.
+    */
   def writeRoutedSinks(
       msgs: DataFrame,
       outDir: String,
       saltBuckets: Int = 8): String = {
     val sinkRoot = s"$outDir/routed"
-    msgs
-      .withColumn("tool_sink", coalesce(col("tool"), lit("none")))
-      .repartition(
+    val withSink =
+      msgs.withColumn("tool_sink", coalesce(col("tool"), lit("none")))
+    val distributed =
+      if (saltBuckets <= 0) withSink
+      else withSink.repartition(
         col("role"), col("tool_sink"),
         pmod(xxhash64(col("message_id")), lit(saltBuckets)))
+    distributed
       .write
       .mode(SaveMode.Overwrite)
       .partitionBy("role", "tool_sink")
