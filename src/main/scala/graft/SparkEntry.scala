@@ -8,10 +8,19 @@ import graft.queries.{AnalyticsQueries => A, PipelineQueries => P,
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship: the full parse→normalize→order→route-count pipeline over
-    * sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    P.routeCounts(spark, "/root/testdata/sf0.001")
+  /** Flagship: the full parse→normalize→order→route→aggregate pipeline —
+    * synthesize a small raw-export corpus, parse it with the fast-path
+    * codegen scanner (zero-shuffle parse+order), aggregate per-sink
+    * routed counts. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val raw = graft.gen.TranscriptGen
+      .renderRawJsonl(graft.gen.TranscriptGen.synthesize(spark, 200))
+      .toDF("line")
+    val turns = graft.parse.FastTranscriptParser.parseLines(raw)
+    graft.agg.Aggregates.routedCounts(turns)
+      .orderBy(org.apache.spark.sql.functions.col("role"),
+        org.apache.spark.sql.functions.col("tool"))
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -21,10 +21,20 @@ object FastTranscriptParser {
   def parse(
       spark: SparkSession,
       path: String,
-      provider: String = "openai"): DataFrame = {
-    val conv = spark.read.textFile(path).toDF("line")
-      .select(
-        input_file_name().as("_file"),
+      provider: String = "openai"): DataFrame =
+    parseLines(
+      spark.read.textFile(path).toDF("line")
+        .withColumn("_file", input_file_name()),
+      provider)
+
+  /** Same over an in-memory line column (no file source); `_file` is
+    * optional (conversation-id filename-stem fallback). */
+  def parseLines(lines: DataFrame, provider: String = "openai"): DataFrame = {
+    val withFile =
+      if (lines.columns.contains("_file")) lines
+      else lines.withColumn("_file", lit(null).cast("string"))
+    val conv = withFile
+      .select(col("_file"),
         graft.functions.extract_conversation(col("line")).as("c"))
       .filter(col("c").isNotNull)
     val stem = {

@@ -120,12 +120,14 @@ class PipelineSpec extends AnyFunSuite {
     val gotCounts = back.groupBy("role").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(gotCounts === wantCounts)
-    // partition pruning: a (role, tool) predicate must not scan everything
+    // partition pruning: a (role, tool) predicate must reach the scan
+    // as PartitionFilters, not a post-scan Filter
     val pruned = back.filter(col("role") === "tool" && col("tool_sink") === "python")
     val scan = pruned.queryExecution.executedPlan.toString
     assert(back.filter(col("role") === "tool").count() ===
       msgs.filter(col("role") === "tool").count())
-    assert(scan.contains("PartitionFilters") || pruned.count() >= 0)
+    assert(scan.contains("PartitionFilters: [isnotnull(role"),
+      s"expected partition filters in scan:\n$scan")
   }
 
   test("lineage manifest: write, read back, resume anti-join") {
