@@ -30,7 +30,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_CONVS", "60000").toInt
+    // ~5.5M turns: large enough that fixed job overhead (<6 s) is noise
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_CONVS", "480000").toInt
     val shm = java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get("/dev/shm"))
     val b = SparkSession.builder()
@@ -81,7 +82,7 @@ object Bench {
     // single-shot wall times ~2×; min over repeats is the standard
     // noise-robust estimator. SPARK_GRAFT_REPEAT defaults to 1 for the
     // driver's per-round run; scaling studies use 3.
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
     var turns = 0L
     var nThreads = 0L
     var bestElapsed = Double.MaxValue
