@@ -42,14 +42,17 @@ object SparkEntry {
     "q32_minhash_lsh" -> (T.minhashLsh(_, _)),
     "q33_simhash_pairs" -> (T.simhashPairs(_, _)),
     "q34_embedding_neardup" -> (T.embeddingNearDup(_, _)),
+    "q35_embedding_neardup_lsh" -> (T.embeddingNearDupLsh(_, _)),
     "q40_ann_brute" -> (T.annBruteForce(_, _)),
     "q41_ann_ivf" -> (T.annIvf(_, _)),
     "q42_ann_lsh" -> (T.annLsh(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes
-    * values). q33 (simhash) and q42 (hyperplane LSH) have no oracle:
-    * their bit-level hashing is engine-specific → rows-only check. */
+    * values). Every query is oracle-checked: the simhash token hash is
+    * md5-derived and the LSH hyperplanes are driver-inlined literal
+    * matrices, so q33/q35/q42's bit-level machinery is reproduced
+    * bit-for-bit in DuckDB SQL. */
   def oracleSql: Map[String, String] =
     Oracles.all ++ graft.queries.TrainingDataQueries.oracles
 }

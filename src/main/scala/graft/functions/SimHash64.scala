@@ -8,10 +8,16 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit SimHash over an array of string tokens, as a codegen'd
   * Catalyst expression. Classic Charikar construction: each token is
-  * hashed to 64 bits (FNV-1a over UTF-8 bytes — deterministic,
-  * dependency-free); per bit position, +1 if set else -1; the sign of
+  * hashed to 64 bits; per bit position, +1 if set else -1; the sign of
   * each accumulated counter yields the signature bit. Near-duplicate
   * texts differ in few bits (small hamming distance).
+  *
+  * The token hash is the FIRST 8 BYTES OF md5(token), big-endian —
+  * i.e. the first 16 hex chars as an unsigned 64-bit value. md5 (not
+  * FNV/xxhash) is deliberate: DuckDB evaluates the identical value as
+  * `CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT)`, which is what
+  * makes the q33 cross-engine oracle possible (FNV would need a
+  * per-byte SQL loop; Spark's xxhash64 seed/variant is engine-local).
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -33,14 +39,20 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
 
-  /** FNV-1a 64-bit over UTF-8 bytes. */
-  def fnv1a(s: UTF8String): Long = {
-    val bytes = s.getBytes
-    var h = 0xcbf29ce484222325L
+  private val md5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 8 bytes of md5(token), big-endian (== first 16 hex chars as
+    * an unsigned 64-bit integer — the DuckDB-portable form). */
+  def hash64(s: UTF8String): Long = {
+    val md = md5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
     var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
+    while (i < 8) {
+      h = (h << 8) | (d(i) & 0xffL)
       i += 1
     }
     h
@@ -53,7 +65,7 @@ object SimHash64 {
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = fnv1a(tokens.getUTF8String(i))
+        val h = hash64(tokens.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

@@ -52,9 +52,17 @@ object WordShingles {
     s.substring(a, b)
   }
 
-  /** Java-callable entry for generated code. */
+  /** Java-callable entry for generated code.
+    *
+    * split limit is -1: trailing empty tokens are KEPT, matching both
+    * Spark's built-in split() and DuckDB's string_split_regex (the
+    * oracle). Pattern.split's default limit 0 silently drops them, so
+    * any doc ending in non-space whitespace (trimSpaces only strips
+    * spaces) would otherwise produce a different shingle set here than
+    * in the oracle.
+    */
   def compute(text: UTF8String, k: Int): ArrayData = {
-    val words = ws.split(trimSpaces(text.toString))
+    val words = ws.split(trimSpaces(text.toString), -1)
     if (words.length < k) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](words.length * 2)
     var i = 0

@@ -93,22 +93,38 @@ object Dedup {
 
   /** LSH banding with r=2 rows/band over the wide signatures: docs
     * sharing one full band signature become candidate pairs, verified
-    * by estimated similarity = fraction of equal minhashes. Per-band
-    * self-joins run on the tiny one-row-per-doc signature table. */
+    * by estimated similarity = fraction of equal minhashes.
+    *
+    * Single-pass banding: the signature table (one ~300 B row per doc —
+    * a 100–1000× reduction over the text) is PERSISTED, so the shingle
+    * explode + 8-way min aggregation runs exactly once; band buckets
+    * come from ONE explode of band structs and ONE self-join on
+    * (band, b0, b1) instead of a per-band join union. The round-1 shape
+    * re-ran the signature aggregation ~6× (4 band branches + 2 verify
+    * sides). Persist is deliberate and caller-visible: the cached table
+    * is bounded by numHashes × 32 B per doc and spills to disk.
+    */
   def minhashLshCandidates(
       docs: DataFrame, numHashes: Int = 8,
       minEstSim: Double = 0.25): DataFrame = {
     require(numHashes % 2 == 0, "r=2 banding needs even numHashes")
     val sig = minhashSignaturesWide(docs, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBands = numHashes / 2
-    val cand = (0 until nBands).map { b =>
-      val l = sig.select(col("doc_id").as("doc_a"),
+    val bandStructs = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
         col(s"mh${2 * b}").as("b0"), col(s"mh${2 * b + 1}").as("b1"))
-      val r = sig.select(col("doc_id").as("doc_b"),
-        col(s"mh${2 * b}").as("b0"), col(s"mh${2 * b + 1}").as("b1"))
-      l.join(r, Seq("b0", "b1")).filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-    }.reduce(_ unionByName _).distinct()
+    }: _*)
+    val bands = sig
+      .select(col("doc_id"), explode(bandStructs).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"),
+        col("bd.b0").as("b0"), col("bd.b1").as("b1"))
+    val cand = bands.select(col("doc_id").as("doc_a"),
+        col("band"), col("b0"), col("b1"))
+      .join(bands.select(col("doc_id").as("doc_b"),
+        col("band"), col("b0"), col("b1")), Seq("band", "b0", "b1"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
     val sa = sig.toDF(sig.columns.map(c =>
       if (c == "doc_id") "doc_a" else s"a_$c"): _*)
     val sb = sig.toDF(sig.columns.map(c =>
@@ -123,19 +139,27 @@ object Dedup {
   }
 
   /** SimHash-based near-dup candidates: 64-bit simhash over word
-    * tokens (graft.functions.SimHash64, codegen'd), banded into 4×16
-    * bit chunks — docs equal on any chunk are candidates, verified by
-    * hamming distance ≤ maxHamming. Spark-side only (no SQL oracle:
-    * bit-level hashing is not portably expressible in DuckDB).
+    * tokens (graft.functions.SimHash64, codegen'd; md5-derived token
+    * hash → DuckDB-portable, see q33's oracle), banded into nChunks
+    * equal-width bit chunks — docs equal on any chunk are candidates,
+    * verified by hamming distance ≤ maxHamming. Pigeonhole guarantee:
+    * any pair at hamming ≤ nChunks-1 shares at least one chunk; beyond
+    * that recall is probabilistic. More chunks ⇒ better recall but
+    * narrower chunks ⇒ bigger buckets ⇒ more candidate fanout — the
+    * standard banding trade; 8×8-bit is the default.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 12,
+      nChunks: Int = 8): DataFrame = {
+    require(64 % nChunks == 0, "chunk width must divide 64")
+    val width = 64 / nChunks
+    val mask = (1L << width) - 1
     val withSig = docs.select(col("doc_id"),
       graft.functions.simhash64(split(trim(col("text")), "\\s+"))
         .as("sig"))
     val chunks = withSig.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(i =>
+      explode(array((0 until nChunks).map(i =>
         struct(lit(i).as("chunk"),
-          shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL))
+          shiftright(col("sig"), i * width).bitwiseAND(lit(mask))
             .as("bits"))): _*)).as("c"))
       .select(col("doc_id"), col("sig"), col("c.chunk"), col("c.bits"))
     val l = chunks.select(col("doc_id").as("doc_a"),
@@ -159,19 +183,97 @@ object Dedup {
       (sqrt(graft.functions.vec_norm2(a)) *
         sqrt(graft.functions.vec_norm2(b)))
 
+  /** EXACT all-pairs cosine ≥ minCosine, structured as a blocked
+    * equi-join (the distributed block-matrix pattern).
+    *
+    * Exact threshold joins at a LOW threshold over unstructured
+    * embeddings are intrinsically Ω(N²·d) — no candidate scheme can
+    * skip pairs without losing recall (at θ=0.4 the qualifying pairs
+    * are the smooth tail of the cosine distribution, sitting exactly at
+    * the threshold; LSH/IVF pruning there is probabilistic by nature —
+    * see [[embeddingNearDupsLsh]] for that trade). What CAN and MUST be
+    * fixed for scale is the JOIN SHAPE: a `vec_a < vec_b` theta join
+    * executes as BroadcastNestedLoopJoin — one broadcast of the whole
+    * table and no task-level parallelism control. Here instead each
+    * vector is hashed into one of nBlocks blocks and the
+    * nBlocks·(nBlocks+1)/2 block PAIRS drive two broadcast-hash joins +
+    * one shuffled equi-join on (ba, bb): every task owns one block-pair
+    * tile of the N×N triangle, AQE can split skewed tiles, and nothing
+    * is nested-loop joined. nBlocks trades replication (each row is
+    * shuffled ~nBlocks/2 times) against tile granularity; tiles should
+    * be sized so one tile's pair count fits a task comfortably.
+    */
   def embeddingNearDups(
-      embeddings: DataFrame, minCosine: Double = 0.4): DataFrame = {
+      embeddings: DataFrame, minCosine: Double = 0.4,
+      nBlocks: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     // norms are per-VECTOR: compute them once per side, not per pair
-    val a = embeddings.select(col("vec_id").as("vec_a"),
-      col("embedding").as("ea"),
-      sqrt(graft.functions.vec_norm2(col("embedding"))).as("na"))
-    val b = embeddings.select(col("vec_id").as("vec_b"),
-      col("embedding").as("eb"),
-      sqrt(graft.functions.vec_norm2(col("embedding"))).as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    val withBlock = embeddings.select(
+      col("vec_id"), col("embedding"),
+      sqrt(graft.functions.vec_norm2(col("embedding"))).as("nrm"),
+      pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int").as("blk"))
+    val blockPairs = (0 until nBlocks)
+      .flatMap(i => (i until nBlocks).map(j => (i, j)))
+      .toDF("ba", "bb")
+    val left = withBlock
+      .select(col("vec_id").as("vec_l"), col("embedding").as("el"),
+        col("nrm").as("nl"), col("blk").as("ba"))
+      .join(broadcast(blockPairs), Seq("ba"))
+    val right = withBlock
+      .select(col("vec_id").as("vec_r"), col("embedding").as("er"),
+        col("nrm").as("nr"), col("blk").as("bb"))
+      .join(broadcast(blockPairs), Seq("bb"))
+    left.join(right, Seq("ba", "bb"))
+      // diagonal tiles see both orders + self: keep the canonical one;
+      // off-diagonal tiles see each unordered pair exactly once
+      .filter(col("ba") =!= col("bb") || col("vec_l") < col("vec_r"))
+      .select(
+        least(col("vec_l"), col("vec_r")).as("vec_a"),
+        greatest(col("vec_l"), col("vec_r")).as("vec_b"),
+        round(graft.functions.vec_dot(col("el"), col("er")) /
+          (col("nl") * col("nr")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+  }
+
+  /** APPROXIMATE near-dup pairs via sign-LSH banding + exact cosine
+    * verify — the 100-TB path for true near-duplicate detection (high
+    * thresholds, where LSH recall is near 1): candidates are only
+    * bucket-mates (equi-join on (band, bits)), then the exact cosine
+    * runs on candidates alone. Recall for a pair at cosine c is
+    * 1-(1-p^r)^b with p = 1-acos(c)/π — e.g. r=6, b=12 gives ≥0.98 at
+    * c=0.85 but only ~0.3 at c=0.4: this operator is NOT a substitute
+    * for [[embeddingNearDups]] at low thresholds (measured recall is
+    * asserted in OpsSpec against the exact operator).
+    */
+  def embeddingNearDupsLsh(
+      embeddings: DataFrame, minCosine: Double = 0.85,
+      rowsPerBand: Int = 6, nBands: Int = 12, dim: Int = 64): DataFrame = {
+    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(graft.functions.vec_norm2(col("embedding"))).as("nrm"))
+    val bandStructs = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        Hyperplanes.bucket(col("embedding"), rowsPerBand, dim,
+          firstPlane = b * rowsPerBand).as("bits"))
+    }: _*)
+    val buckets = withNorm
+      .select(col("vec_id"), explode(bandStructs).as("bd"))
+      .select(col("vec_id"), col("bd.band").as("band"),
+        col("bd.bits").as("bits"))
+    val cand = buckets.select(col("vec_id").as("vec_a"),
+        col("band"), col("bits"))
+      .join(buckets.select(col("vec_id").as("vec_b"),
+        col("band"), col("bits")), Seq("band", "bits"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val ea = withNorm.select(col("vec_id").as("vec_a"),
+      col("embedding").as("el"), col("nrm").as("nl"))
+    val eb = withNorm.select(col("vec_id").as("vec_b"),
+      col("embedding").as("er"), col("nrm").as("nr"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        round(graft.functions.vec_dot(col("ea"), col("eb")) /
-          (col("na") * col("nb")), 6).as("cos_sim"))
+        round(graft.functions.vec_dot(col("el"), col("er")) /
+          (col("nl") * col("nr")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCosine)
   }
 }

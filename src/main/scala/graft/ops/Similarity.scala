@@ -77,32 +77,17 @@ object Similarity {
     ranked(pairs, k).orderBy(col("query_id"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component h[p][d]:
-    * a sign in {-1, +1} derived from an integer hash of (p, d) —
-    * effectively random-hyperplane LSH with ±1 hyperplanes, fully
-    * reproducible and expression-only. */
-  private def hyperplaneSign(p: Int, d: org.apache.spark.sql.Column) = {
-    // xxhash64 is deterministic across runs/engines (Spark impl);
-    // only used Spark-side (LSH has no DuckDB oracle).
-    when(pmod(xxhash64(lit(p), d), lit(2)) === 0, 1d).otherwise(-1d)
-  }
-
   /** Random-hyperplane LSH: nPlanes sign bits → bucket; candidates
     * share a bucket; exact cosine re-rank within buckets. May return
     * fewer than k neighbors for sparse buckets (standard ANN recall
-    * trade-off). */
+    * trade-off). Hyperplanes are the driver-inlined ±1 literal matrix
+    * of [[Hyperplanes]] (md5-derived), so the DuckDB oracle reproduces
+    * the buckets bit-for-bit — and the per-row cost is one codegen'd
+    * dot product per plane instead of the interpreted HOF chain. */
   def lshTopK(
       embeddings: DataFrame, nPlanes: Int = 8, k: Int = 5,
-      nQueries: Int = 10): DataFrame = {
-    val sigBits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(col("embedding"),
-          transform(sequence(lit(0), size(col("embedding")) - 1),
-            d => hyperplaneSign(p, d)),
-          (x, s) => x.cast("double") * s),
-        lit(0d), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+      nQueries: Int = 10, dim: Int = 64): DataFrame = {
+    val sigBits = Hyperplanes.bucket(col("embedding"), nPlanes, dim)
     val withSig = withNorm(embeddings.withColumn("bucket", sigBits),
       "embedding", "nrm")
     val q = withSig.filter(col("vec_id") < nQueries)

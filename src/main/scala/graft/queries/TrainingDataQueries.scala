@@ -50,13 +50,25 @@ object TrainingDataQueries {
     Dedup.minhashLshCandidates(docs(s, dir), numHashes = 8,
       minEstSim = 0.25).orderBy("doc_a", "doc_b")
 
+  /** maxHamming = nChunks-1 = 7: the banding's pigeonhole guarantee
+    * makes the result EXACT (every hamming ≤ 7 pair shares a chunk) —
+    * not a recall-probabilistic candidate set. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docs(s, dir), maxHamming = 16)
+    Dedup.simhashPairs(docs(s, dir), maxHamming = 7)
       .orderBy("doc_a", "doc_b")
 
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(embs(s, dir), minCosine = 0.4)
       .orderBy("vec_a", "vec_b")
+
+  /** Sign-LSH banded near-dup (the approximate 100-TB path). The
+    * oracle mirrors the LSH algorithm itself — deterministic literal
+    * hyperplanes make the buckets engine-portable — so this checks the
+    * banding + verify pipeline, while OpsSpec asserts measured recall
+    * against the exact operator. */
+  def embeddingNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupsLsh(embs(s, dir), minCosine = 0.45,
+      rowsPerBand = 4, nBands = 8).orderBy("vec_a", "vec_b")
 
   def annBruteForce(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(embs(s, dir), k = 5, nQueries = 10)
@@ -97,6 +109,84 @@ object TrainingDataQueries {
       |     v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
       |   sqrt(list_sum(list_transform(c.embedding,
       |     v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6)""".stripMargin
+
+  /** Cosine between two aliased embedding columns. */
+  private def cosSql(a: String, b: String): String =
+    s"""round(
+       |  list_sum(list_transform(list_zip($a, $b),
+       |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+       |  (sqrt(list_sum(list_transform($a,
+       |     v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+       |   sqrt(list_sum(list_transform($b,
+       |     v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6)""".stripMargin
+
+  /** q33: the md5-derived 64-bit token hash (SimHash64.hash64) is
+    * expressed as CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT);
+    * signature bits, 4×16-bit banding and hamming verify mirror
+    * Dedup.simhashPairs exactly. */
+  private val simhashOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, CAST('0x' || substr(md5(t.tok), 1, 16) AS UBIGINT) AS h
+      |  FROM documents, UNNEST(string_split_regex(trim(text), '\s+')) AS t(tok)),
+      |bits AS (
+      |  SELECT doc_id, b.b AS b,
+      |    CASE WHEN sum(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+      |      THEN (CAST(1 AS UBIGINT) << b.b) ELSE CAST(0 AS UBIGINT) END AS bit
+      |  FROM tok, UNNEST(generate_series(0, 63)) AS b(b)
+      |  GROUP BY doc_id, b.b),
+      |sig AS (SELECT doc_id, bit_or(bit) AS sig FROM bits GROUP BY 1),
+      |chunks AS (
+      |  SELECT doc_id, sig, c.c AS chunk, (sig >> (c.c * 8)) & 255 AS cb
+      |  FROM sig, UNNEST(generate_series(0, 7)) AS c(c)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+      |  FROM chunks a JOIN chunks b
+      |    ON a.chunk = b.chunk AND a.cb = b.cb AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 7
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q42: deterministic literal-hyperplane buckets (see
+    * graft.ops.Hyperplanes float-parity note) + in-bucket exact
+    * cosine re-rank — mirrors Similarity.lshTopK. */
+  private def annLshOracle(nPlanes: Int, k: Int, nQueries: Int,
+      dim: Int): String = {
+    val bucket = graft.ops.Hyperplanes.bucketSql("embedding", nPlanes, dim)
+    s"""WITH s AS (SELECT vec_id, embedding, $bucket AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket
+       |  FROM s WHERE vec_id < $nQueries),
+       |p AS (SELECT q.query_id, c.vec_id AS neighbor_id, $COS AS cos_sim
+       |  FROM s c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM p)
+       |SELECT query_id, neighbor_id, rank, cos_sim FROM r
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q35: banded sign-LSH candidates + exact cosine verify — mirrors
+    * Dedup.embeddingNearDupsLsh (band b uses planes b·r … b·r+r-1). */
+  private def nearDupLshOracle(minCos: Double, rowsPerBand: Int,
+      nBands: Int, dim: Int): String = {
+    val bandSelects = (0 until nBands).map { b =>
+      val bits = graft.ops.Hyperplanes.bucketSql("embedding", rowsPerBand,
+        dim, firstPlane = b * rowsPerBand)
+      s"SELECT vec_id, $b AS band, $bits AS bits FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    val cos = cosSql("ea.embedding", "eb.embedding")
+    s"""WITH bkt AS (
+       |$bandSelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bkt a JOIN bkt b
+       |    ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id)
+       |SELECT c.vec_a, c.vec_b, $cos AS cos_sim
+       |FROM cand c
+       |JOIN embeddings ea ON ea.vec_id = c.vec_a
+       |JOIN embeddings eb ON eb.vec_id = c.vec_b
+       |WHERE $cos >= $minCos
+       |ORDER BY c.vec_a, c.vec_b""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q20_token_count" ->
@@ -189,6 +279,11 @@ object TrainingDataQueries {
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, est_sim FROM est
          |WHERE est_sim >= 0.25 ORDER BY doc_a, doc_b""".stripMargin,
+    "q33_simhash_pairs" -> simhashOracle,
+    "q35_embedding_neardup_lsh" ->
+      nearDupLshOracle(minCos = 0.45, rowsPerBand = 4, nBands = 8, dim = 64),
+    "q42_ann_lsh" ->
+      annLshOracle(nPlanes = 8, k = 5, nQueries = 10, dim = 64),
     "q34_embedding_neardup" ->
       s"""SELECT q.query_id AS vec_a, c.vec_id AS vec_b, $COS AS cos_sim
          |FROM (SELECT vec_id AS query_id, embedding AS qe
