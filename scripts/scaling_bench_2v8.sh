@@ -8,7 +8,7 @@ for r in 1 2 3 4; do
     set -- $lvl
     line=$(LANG=C.UTF-8 LC_ALL=C.UTF-8 \
       SPARK_GRAFT_CPUS=$1 SPARK_GRAFT_CONVS=1000000 \
-      SPARK_GRAFT_SKIP_QUERIES=1 SPARK_GRAFT_REPEAT=2 SPARK_GRAFT_SALT=0 \
+      SPARK_GRAFT_SKIP_QUERIES=1 SPARK_GRAFT_SKIP_GENERIC=1 SPARK_GRAFT_REPEAT=2 SPARK_GRAFT_SALT=0 \
       /opt/spark/bin/spark-submit --master "local[$1]" \
         --driver-memory "$2" \
         --conf spark.ui.enabled=false \

@@ -11,20 +11,27 @@ import graft.route.Router
 
 /** Benchmark main. Prints ONE JSON line:
   * {"metric":"total","value":SEC,"unit":"sec","queries":{...},
-  *  "pipeline":{...},"sf":...}
+  *  "pipeline":{...},"pipeline_generic":{...},"sf":...}
   *
   *  - queries: per-query wall seconds for every SparkEntry query over
   *    SPARK_GRAFT_SF_DIR (forced with .count()).
   *  - pipeline: the north-rule end-to-end parse→route→aggregate job
   *    over a synthesized raw-transcript JSONL corpus (generation is
-  *    untimed): JSON scan + normalize (grok-parse) → turn-order window
-  *    → routed (role, tool) counts + thread stats + text checksum.
-  *    Reports turns/sec. Corpus size via SPARK_GRAFT_CONVS
-  *    (default 60k convs ≈ 0.7M turns).
+  *    untimed): fast-path single-pass parse (zero-shuffle parse+order)
+  *    → routed (role, tool) snapshot write → routed counts + thread
+  *    stats + text checksum. Reports turns/sec.
+  *  - pipeline_generic: same job through the generic Catalyst JSON
+  *    parse + turn-order window (one repeat — it exists so a
+  *    regression in EITHER parse path is visible round-over-round).
+  *
+  * Corpus size via SPARK_GRAFT_CONVS (default 480k convs ≈ 5.5M
+  * turns — large enough that fixed job overhead is noise).
+  * SPARK_GRAFT_REPEAT (default 2) runs the timed job N times and
+  * reports the minimum (shared-VM noise swings single shots ~2×).
   *
   * Scaling-efficiency evidence (north rule: ≥0.8 from N to 4N): run
   * this main twice with SPARK_GRAFT_CPUS=8 and =32 on the same input —
-  * see BASELINE.md "Measured" section.
+  * see BASELINE.md "Measured" section and scripts/scaling_bench.sh.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -80,51 +87,56 @@ object Bench {
 
     // Repeat-and-take-min: the sandbox VM's co-tenant noise swings
     // single-shot wall times ~2×; min over repeats is the standard
-    // noise-robust estimator. SPARK_GRAFT_REPEAT defaults to 1 for the
-    // driver's per-round run; scaling studies use 3.
+    // noise-robust estimator.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
-    var turns = 0L
-    var nThreads = 0L
-    var bestElapsed = Double.MaxValue
-    var bestWrite = Double.MaxValue
-    for (_ <- 1 to repeats) {
-      val t0 = System.nanoTime()
-      // ONE pass over the raw input: parse (+ in-expression turn
-      // ordering) → routed write. Default is the fast-path scanner
-      // (zero-shuffle parse+order); SPARK_GRAFT_GENERIC=1 exercises the
-      // generic Catalyst JSON parse + window path instead.
-      // Aggregates read the routed parquet back (caching the parse
-      // costs more than it saves — measured 44 s materialize vs 15 s
-      // recompute — and production aggregates run on sink tables).
-      val ordered =
-        if (sys.env.contains("SPARK_GRAFT_GENERIC"))
-          TurnOrdering.withTurnIdx(ChatGptParser.normalize(
-            ChatGptParser.readRawJsonl(spark, rawPath)))
-        else
-          graft.parse.FastTranscriptParser.parse(spark, rawPath)
-      val sinkRoot = Router.writeRoutedSinks(ordered, work.toString,
-        saltBuckets =
-          sys.env.getOrElse("SPARK_GRAFT_SALT", "8").toInt)
-      val tWrite = (System.nanoTime() - t0) / 1e9
-      val routedTable = spark.read.parquet(sinkRoot)
-      val routed = routedTable
-        .groupBy(col("role"), col("tool_sink")).count().collect()
-      nThreads = Aggregates.threadStats(routedTable).count()
-      routedTable.agg(
-        count(lit(1)), min(md5(col("text").cast("binary")))).collect()
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      turns = routed.map(_.getLong(2)).sum
-      if (elapsed < bestElapsed) { bestElapsed = elapsed; bestWrite = tWrite }
-    }
-    val pipeline =
+    val saltBuckets = sys.env.getOrElse("SPARK_GRAFT_SALT", "8").toInt
+
+    // ONE pass over the raw input: parse (+ turn ordering) → routed
+    // write; aggregates read the routed parquet back (caching the parse
+    // costs more than it saves — measured 44 s materialize vs 15 s
+    // recompute — and production aggregates run on sink tables).
+    def runPipeline(generic: Boolean, nRepeats: Int): String = {
+      var turns = 0L
+      var nThreads = 0L
+      var bestElapsed = Double.MaxValue
+      var bestWrite = Double.MaxValue
+      for (_ <- 1 to nRepeats) {
+        val t0 = System.nanoTime()
+        val ordered =
+          if (generic)
+            TurnOrdering.withTurnIdx(ChatGptParser.normalize(
+              ChatGptParser.readRawJsonl(spark, rawPath)))
+          else
+            graft.parse.FastTranscriptParser.parse(spark, rawPath)
+        val sinkData = Router.writeRoutedSinks(ordered, work.toString,
+          saltBuckets = saltBuckets)
+        val tWrite = (System.nanoTime() - t0) / 1e9
+        val routedTable = spark.read.parquet(sinkData)
+        val routed = routedTable
+          .groupBy(col("role"), col("tool_sink")).count().collect()
+        nThreads = Aggregates.threadStats(routedTable).count()
+        routedTable.agg(
+          count(lit(1)), min(md5(col("text").cast("binary")))).collect()
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        turns = routed.map(_.getLong(2)).sum
+        if (elapsed < bestElapsed) { bestElapsed = elapsed; bestWrite = tWrite }
+      }
       f"""{"turns":$turns,"threads":$nThreads,"sec":$bestElapsed%.3f,""" +
         f""""parse_route_sec":$bestWrite%.3f,""" +
         f""""agg_sec":${bestElapsed - bestWrite}%.3f,""" +
         f""""turns_per_sec":${turns / bestElapsed}%.1f,""" +
-        f""""repeats":$repeats,"cpus":$cpus}"""
+        f""""repeats":$nRepeats,"cpus":$cpus}"""
+    }
+
+    val pipeline = runPipeline(generic = false, repeats)
+    // generic path: one repeat (≈5× the fast path's cost; the point is
+    // round-over-round regression visibility, not a tight estimate)
+    val pipelineGeneric =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_GENERIC")) """{}"""
+      else runPipeline(generic = true, 1)
 
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pipeline":$pipeline,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pipeline":$pipeline,"pipeline_generic":$pipelineGeneric,"sf":"$sfDir"}""")
     // clean the (possibly tmpfs) working set
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(work).iterator().asScala.toSeq.reverse

@@ -95,15 +95,23 @@ object Main {
     }
   }
 
+  /** Path existence through the Hadoop FS of the path's scheme (local
+    * java.nio checks would wrongly 404 hdfs:/s3a: inputs). */
+  private def fsExists(spark: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)
+  }
+
   /** parse: raw export JSON → normalized messages → per-thread JSONL +
-    * routed (role, tool) sinks + manifest with per-partition lineage.
+    * routed (role, tool) snapshot sinks + distributed thread index +
+    * pointer manifest with per-partition lineage.
     */
   def parseMode(spark: SparkSession, args: Array[String]): Int = {
     import spark.implicits._
     val input = req(args, "input")
     val outdir = req(args, "outdir")
     val provider = opt(args, "provider").getOrElse("openai")
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(input))) {
+    if (!fsExists(spark, input)) {
       System.err.println(s"[LP-IO-404] input not found: $input")
       return 2
     }
@@ -111,13 +119,16 @@ object Main {
     val raw = ChatGptParser.readRawAuto(spark, input)
     val msgs = ChatGptParser.normalize(raw, provider).cache()
 
-    // resume: drop conversations unchanged vs the previous manifest
-    val manifestPath = s"$outdir/$provider/manifest.json"
+    val providerDir = s"$outdir/$provider"
+    val manifestPath = s"$providerDir/manifest.json"
+    val indexRoot = s"$providerDir/thread_index"
     val stats = Aggregates.threadStats(msgs)
+
+    // resume: conversations unchanged vs the previous thread index are
+    // skipped for the per-thread JSONL rewrite only
     val (toProcess, skipped) =
-      if (flag(args, "resume") &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get(manifestPath))) {
-        val prev = Lineage.readManifestThreads(spark, manifestPath)
+      if (flag(args, "resume") && Lineage.threadIndexExists(spark, indexRoot)) {
+        val prev = Lineage.readThreadIndex(spark, indexRoot)
         val changed = Lineage.changedThreads(stats, prev)
           .select("conversation_id")
         val n = stats.count() - changed.count()
@@ -128,15 +139,23 @@ object Main {
       .select(Schemas.messageColumns.map(col): _*)
       .as[Schemas.Message]
     Router.writeThreadJsonl(typed, outdir, provider)
-    Router.writeRoutedSinks(toProcess, s"$outdir/$provider")
+    // routed sinks are a snapshot of the FULL dataset: a subset write
+    // under SaveMode.Overwrite truncated unchanged threads' routed rows
+    // on --resume (round-1 bug); the snapshot commit also keeps the
+    // previous tree readable until the new one is complete.
+    val hotThreshold = opt(args, "hot-threshold").map(_.toLong)
+      .getOrElse(10000L) // ~ the reference's own max-thread-size model
+    Router.writeRoutedSinks(msgs, providerDir, hotThreshold = hotThreshold)
 
-    // manifest: ALL threads (fixes the reference bug of not re-indexing
-    // skipped ones, parser.py:271-274) + per-partition lineage
-    val entries = Lineage.threadEntries(stats).collect().toSeq
+    // thread index: distributed snapshot table — ALL threads (fixes the
+    // reference bug of not re-indexing skipped ones, parser.py:271-274);
+    // the driver holds only the bounded per-partition lineage + pointer
+    Lineage.writeThreadIndex(stats, indexRoot)
     val partitions = Lineage.capturePartitions(msgs).collect().toSeq
-    Lineage.writeManifest(manifestPath, provider, entries, partitions)
-
     val summary = Aggregates.runSummary(msgs).head()
+    Lineage.writeManifest(manifestPath, provider, summary.getLong(0),
+      "thread_index", partitions)
+
     println(s"""{"mode":"parse","threads":${summary.getLong(0)},""" +
       s""""messages":${summary.getLong(1)},"skipped_threads":$skipped}""")
     0
@@ -147,7 +166,7 @@ object Main {
     val root = req(args, "parsed-root")
     val outdir = opt(args, "export-outdir")
       .getOrElse(req(args, "outdir"))
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root))) {
+    if (!fsExists(spark, root)) {
       System.err.println(s"[LP-IO-404] parsed root missing: $root")
       return 4
     }
@@ -174,8 +193,11 @@ object Main {
       .drop("meta", "record_type")
 
     val parts = Exporter.exportThreads(rows, tz, formatting, split)
-    Exporter.writeParts(parts, s"$outdir/md")
-    println(s"""{"mode":"export","parts":${parts.count()}}""")
+    // writeParts counts via an accumulator inside the single write pass
+    // (a separate parts.count() re-executed the whole render+pack
+    // pipeline — round-1 double render)
+    val nParts = Exporter.writeParts(parts, s"$outdir/md")
+    println(s"""{"mode":"export","parts":$nParts}""")
     0
   }
 }

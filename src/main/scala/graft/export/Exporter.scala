@@ -121,7 +121,11 @@ object Exporter {
   }
 
   /** Windows-reserved chars + control chars → _, whitespace collapsed,
-    * length-capped (reference: utils.py:41-51). */
+    * length-capped (reference: utils.py:41-51). The cap mirrors Python
+    * slicing exactly: `root[:maxLen-len(ext)-3]` with a NEGATIVE bound
+    * drops characters from the end (a naive substring threw
+    * StringIndexOutOfBounds when the extension alone exceeded
+    * maxLen-3, failing the whole export task). */
   def sanitizeFilename(name: String, maxLen: Int = 120): String = {
     var n = name.replaceAll("[<>:\"/\\\\|?*\\x00-\\x1F]", "_")
     n = n.replaceAll("\\s+", " ").trim
@@ -131,9 +135,31 @@ object Exporter {
           val i = n.lastIndexOf('.')
           (n.substring(0, i), n.substring(i))
         } else (n, "")
-      n = root.substring(0, maxLen - ext.length - 3) + "..." + ext
+      val bound = maxLen - ext.length - 3
+      val cut =
+        if (bound >= 0) math.min(bound, root.length)
+        else math.max(0, root.length + bound)
+      n = root.substring(0, cut) + "..." + ext
     }
     n
+  }
+
+  /** Part file name for a conversation. When sanitization had to alter
+    * the raw name, distinct cids can collide onto one file name and the
+    * executor-side REPLACE_EXISTING write would last-writer-win
+    * nondeterministically — so a deterministic disambiguator derived
+    * from the ORIGINAL cid is appended (clean cids keep the exact
+    * reference naming). */
+  def partFileName(cid: String, suffix: String): String = {
+    val raw = s"thread-$cid$suffix.md"
+    val safe = sanitizeFilename(raw)
+    if (safe == raw) safe
+    else {
+      val h = f"${scala.util.hashing.MurmurHash3.stringHash(cid)}%08x"
+      val dot = safe.lastIndexOf('.')
+      if (dot < 0) s"$safe-$h" else
+        s"${safe.substring(0, dot)}-$h${safe.substring(dot)}"
+    }
   }
 
   // ---------------------------------------------------------------
@@ -229,24 +255,12 @@ object Exporter {
         "---",
         "")
       val md = fm.mkString("\n") + blocks.mkString
-      return Seq(MdPart(cid, 1, 1,
-        sanitizeFilename(s"thread-$cid.md"), md))
+      return Seq(MdPart(cid, 1, 1, partFileName(cid, ""), md))
     }
 
     def fmLines(msgCount: Int, partIdx: Int, partTotal: Int): Seq[String] =
-      Seq(
-        "---",
-        s"thread: $cid",
-        s"provider: $provider",
-        s"models: ${asYamlList(models)}",
-        s"message_count: $msgCount",
-        s"range: ${toIsoUtc(tsMin)} 〜 ${toIsoUtc(tsMax)}",
-        s"part_index: $partIdx",
-        s"part_total: $partTotal",
-        s"generated_at_utc: $generatedAtUtc",
-        s"tz: ${tz.getId}",
-        "---",
-        "")
+      splitFmLines(cid, provider, models, tsMin, tsMax, msgCount,
+        partIdx, partTotal, generatedAtUtc, tz)
 
     val hardFm = (n: Int) =>
       utf8Len(fmLines(n, 1, 0).mkString("\n"))
@@ -256,10 +270,31 @@ object Exporter {
       val page = fmLines(idxs.length, p + 1, total).mkString("\n") +
         idxs.map(blocks(_)).mkString
       val suffix = if (total == 1) "" else f"__part${p + 1}%02d"
-      MdPart(cid, p + 1, total,
-        sanitizeFilename(s"thread-$cid$suffix.md"), page)
+      MdPart(cid, p + 1, total, partFileName(cid, suffix), page)
     }
   }
+
+  /** Split-mode front matter (reference: exporter.py:320-333; shared by
+    * renderThread and the no-write preview so hard-mode byte accounting
+    * agrees between them). */
+  private def splitFmLines(
+      cid: String, provider: String, models: Seq[String],
+      tsMin: Option[Double], tsMax: Option[Double], msgCount: Int,
+      partIdx: Int, partTotal: Int, generatedAtUtc: String,
+      tz: ZoneId): Seq[String] =
+    Seq(
+      "---",
+      s"thread: $cid",
+      s"provider: $provider",
+      s"models: ${asYamlList(models)}",
+      s"message_count: $msgCount",
+      s"range: ${toIsoUtc(tsMin)} 〜 ${toIsoUtc(tsMax)}",
+      s"part_index: $partIdx",
+      s"part_total: $partTotal",
+      s"generated_at_utc: $generatedAtUtc",
+      s"tz: ${tz.getId}",
+      "---",
+      "")
 
   /** Distributed export: group by conversation, render + pack per
     * group. Input needs columns: conversation_id, provider_id,
@@ -288,19 +323,105 @@ object Exporter {
       }
   }
 
-  /** Write parts as files (executor-side, shared filesystem), atomic
-    * per file. */
-  def writeParts(parts: Dataset[MdPart], outDir: String): Unit =
+  /** Split preview (E14, reference: exporter.py:211-219): per-thread
+    * part estimate WITHOUT writing anything. Blocks are rendered (byte
+    * sizes are what the packer decides on) and the REAL packer runs, so
+    * `n_parts` equals exactly what writeParts would produce;
+    * `est_parts_by_size` is the reference's cheap total/limit estimate
+    * for comparison. */
+  final case class PartPreview(
+      conversation_id: String,
+      n_messages: Int,
+      total_bytes: Long,
+      n_parts: Int,
+      est_parts_by_size: Int)
+
+  def previewThreads(
+      msgs: DataFrame,
+      tz: String = "UTC",
+      formatting: String = "light",
+      split: SplitConf = SplitConf.none,
+      generatedAtUtc: String = "1970-01-01T00:00:00+00:00")
+      : Dataset[PartPreview] = {
+    val spark = msgs.sparkSession
+    import spark.implicits._
+    val withModel =
+      if (msgs.columns.contains("model")) msgs
+      else msgs.withColumn("model", lit(null).cast("string"))
+    val zoneId = tz
+    withModel
+      .select("conversation_id", "provider_id", "message_id", "parent_id",
+        "role", "ts", "text", "model")
+      .as[ExportMsg]
+      .groupByKey(_.conversation_id)
+      .mapGroups { (cid, it) =>
+        val zone = ZoneId.of(zoneId)
+        val msgsSeq = it.toSeq
+        val sorted = msgsSeq.sortBy(m => (m.ts.isEmpty, m.ts, m.message_id))
+        val provider =
+          sorted.headOption.map(_.provider_id).getOrElse("unknown")
+        val models = sorted.flatMap(_.model).distinct.sorted
+        val tss = sorted.flatMap(_.ts)
+        val blocks =
+          sorted.map(renderBlock(_, zone, formatting)).toIndexedSeq
+        val total = blocks.map(utf8Len(_).toLong).sum
+        val nParts =
+          if (split.mode.isEmpty) 1
+          else {
+            val hardFm = (n: Int) => utf8Len(splitFmLines(cid, provider,
+              models, tss.minOption.map(_.toDouble),
+              tss.maxOption.map(_.toDouble), n, 1, 0, generatedAtUtc,
+              zone).mkString("\n"))
+            packBlocks(blocks, split, hardFm).length
+          }
+        val est = split.sizeLimit
+          .map(l => math.max(1, math.ceil(total.toDouble / l).toInt))
+          .getOrElse(1)
+        PartPreview(cid, sorted.size, total, nParts, est)
+      }
+  }
+
+  /** Write parts as files (executor-side, through the Hadoop FS of
+    * outDir's scheme), atomic per file; returns the number of parts
+    * written, counted by accumulator inside this single pass — no
+    * second execution of the render+pack pipeline. */
+  def writeParts(parts: Dataset[MdPart], outDir: String): Long = {
+    val acc = parts.sparkSession.sparkContext.longAccumulator("md_parts")
+    val scheme = Option(new org.apache.hadoop.fs.Path(outDir)
+      .toUri.getScheme)
+    val local = scheme.isEmpty || scheme.contains("file")
     parts.foreachPartition { (it: Iterator[MdPart]) =>
       val utf8 = java.nio.charset.StandardCharsets.UTF_8
-      it.foreach { p =>
-        val dir = java.nio.file.Paths.get(outDir)
+      if (local) {
+        // java.nio fast path for local schemes (Hadoop LocalFileSystem
+        // costs ~45 ms per small file — see Router.writeThreadJsonl)
+        val dir = java.nio.file.Paths.get(outDir.stripPrefix("file:"))
         java.nio.file.Files.createDirectories(dir)
-        val tmp = dir.resolve(p.file_name + ".tmp")
-        java.nio.file.Files.write(tmp, p.content.getBytes(utf8))
-        java.nio.file.Files.move(tmp, dir.resolve(p.file_name),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        it.foreach { p =>
+          val tmp = dir.resolve(p.file_name + ".tmp")
+          java.nio.file.Files.write(tmp, p.content.getBytes(utf8))
+          java.nio.file.Files.move(tmp, dir.resolve(p.file_name),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          acc.add(1L)
+        }
+      } else {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val dir = new org.apache.hadoop.fs.Path(outDir)
+        val fs = dir.getFileSystem(conf)
+        fs.mkdirs(dir)
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          dir.toUri, conf)
+        it.foreach { p =>
+          val tmp = new org.apache.hadoop.fs.Path(dir, p.file_name + ".tmp")
+          val out = fs.create(tmp, true)
+          try out.write(p.content.getBytes(utf8)) finally out.close()
+          fc.rename(tmp, new org.apache.hadoop.fs.Path(dir, p.file_name),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          acc.add(1L)
+        }
       }
     }
+    acc.value
+  }
 }

@@ -75,23 +75,38 @@ object Lineage {
       .as[ThreadEntry]
   }
 
-  /** Atomic manifest commit: write tmp, fsync-free rename — same
-    * protocol as the reference (tmp → replace) and the same shape as an
-    * Iceberg snapshot's metadata pointer swap. */
+  /** Write the thread index as a DISTRIBUTED snapshot table (one row
+    * per conversation, parquet part files, atomic pointer commit).
+    * The round-1 shape collected every ThreadEntry onto the driver to
+    * inline them into manifest.json — a guaranteed driver OOM at the
+    * 10^8-conversation target; the driver now touches only the
+    * constant-size pointer. Returns the committed snapshot. */
+  def writeThreadIndex(threadStats: DataFrame,
+      tableRoot: String): graft.table.Snapshot =
+    new graft.table.SnapshotParquetTable(tableRoot)
+      .commit(threadEntries(threadStats).toDF())
+
+  /** Previous run's thread index (resume anti-join side). */
+  def readThreadIndex(spark: SparkSession, tableRoot: String): DataFrame =
+    new graft.table.SnapshotParquetTable(tableRoot).read(spark)
+
+  def threadIndexExists(spark: SparkSession, tableRoot: String): Boolean =
+    new graft.table.SnapshotParquetTable(tableRoot)
+      .currentSnapshot(spark).isDefined
+
+  /** Atomic manifest commit: write tmp, atomic rename — same protocol
+    * as the reference (tmp → replace) and the same shape as an Iceberg
+    * snapshot's metadata pointer swap. The manifest is a bounded
+    * POINTER document: run-level stats, per-partition lineage (one row
+    * per task) and the thread-index table path — never the per-thread
+    * entries themselves. Hadoop FS IO so hdfs:/s3a: manifests work. */
   def writeManifest(
       path: String,
       provider: String,
-      threads: Seq[ThreadEntry],
+      threadCount: Long,
+      indexPath: String,
       partitions: Seq[PartitionLineage] = Nil,
       schemaVersion: String = "1.3"): Unit = {
-    val threadJson = threads.sortBy(_.conversation_id).map { t =>
-      PyJson.obj(
-        "conversation_id" -> PyJson.str(t.conversation_id),
-        "path" -> PyJson.str(s"thread-${t.conversation_id}/parsed.jsonl"),
-        "count" -> t.count.toString,
-        "ts_min" -> t.ts_min.toString,
-        "ts_max" -> t.ts_max.toString)
-    }.mkString("[", ", ", "]")
     val partJson = partitions.sortBy(_.partition_id).map { p =>
       PyJson.obj(
         "partition_id" -> p.partition_id.toString,
@@ -102,33 +117,21 @@ object Lineage {
     val json = PyJson.obj(
       "schema_version" -> PyJson.str(schemaVersion),
       "provider" -> PyJson.str(provider),
-      "index" -> PyJson.obj("threads" -> threadJson),
+      "index" -> PyJson.obj(
+        "path" -> PyJson.str(indexPath),
+        "threads" -> threadCount.toString),
       "partitions" -> partJson)
-    val p = java.nio.file.Paths.get(path)
-    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-    java.nio.file.Files.write(tmp,
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
-
-  /** Load a previous manifest's thread index as a DataFrame (broadcast
-    * side of the resume anti-join). */
-  def readManifestThreads(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("index", StructType(Seq(
-        StructField("threads", ArrayType(StructType(Seq(
-          StructField("conversation_id", StringType),
-          StructField("count", LongType),
-          StructField("ts_min", LongType),
-          StructField("ts_max", LongType))))))))))
-    spark.read.schema(schema).option("multiLine", value = true).json(path)
-      .select(explode(col("index.threads")).as("t"))
-      .select(col("t.conversation_id"), col("t.count"),
-        col("t.ts_min"), col("t.ts_max"))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = p.getFileSystem(conf)
+    Option(p.getParent).foreach(fs.mkdirs(_))
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Resume filter: conversations whose (conversation_id, count) already

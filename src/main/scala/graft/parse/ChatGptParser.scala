@@ -61,14 +61,26 @@ object ChatGptParser {
 
   /** Container sniffing by first non-whitespace char (reference:
     * parser.py:56-76): '[' or a single '{' spanning lines → multiLine;
-    * otherwise JSONL. Reads a few bytes on the driver only.
+    * otherwise JSONL. Reads a few bytes on the driver only, through the
+    * Hadoop FileSystem of the path's scheme — java.nio only ever worked
+    * for local files and silently broke hdfs:/s3a: inputs. A directory
+    * input (the scale shape: a dir of JSONL part files) sniffs its
+    * first contained data file.
     */
   def readRawAuto(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val target =
+      if (!fs.getFileStatus(p).isDirectory) p
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName).headOption.map(_.getPath).getOrElse(p)
     val head = {
-      val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+      val in = fs.open(target)
       try {
         val buf = new Array[Byte](4096)
-        val n = math.max(in.read(buf), 0)
+        val n = math.max(in.read(buf, 0, buf.length), 0)
         new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
       } finally in.close()
     }
@@ -139,6 +151,11 @@ object ChatGptParser {
         p => try_variant_get(p, "$", "string")),
       array().cast(ArrayType(StringType)))
 
+    // Micro-divergence (documented, unreachable on well-formed exports):
+    // a NUMERIC author.role is stringified by Spark's JSON reader
+    // (role="123"); the reference's isinstance check yields "unknown"
+    // and the fast-path scanner falls through to msg.role. All three
+    // agree on every string-or-absent role.
     val role = coalesce(
       nonEmpty(msg("author")("role")), nonEmpty(msg("role")), lit("unknown"))
 

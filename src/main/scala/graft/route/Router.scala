@@ -23,33 +23,67 @@ import graft.util.PyJson
   */
 object Router {
 
+  /** Pre-write distribution for the routed fan-out.
+    *
+    * saltBuckets > 0 bounds the task set feeding each sink (file-count
+    * control on a 1000-executor cluster: tasks × sinks files
+    * otherwise); saltBuckets = 0 skips the exchange entirely.
+    *
+    * hotThreshold > 0 switches to ADAPTIVE salting (SURVEY §4.2.3):
+    * a first-pass `groupBy(conv).count` finds conversations above the
+    * threshold; only those are salted by message_id (a mega-
+    * conversation then spreads over saltBuckets tasks instead of
+    * serializing one), while every normal conversation keeps
+    * whole-conversation locality (salt = hash(conv)), so its rows land
+    * in one task's files and range scans stay clustered. The hot set is
+    * broadcast — by definition it is small (count ≥ threshold caps its
+    * size at totalRows / threshold).
+    */
+  def saltedForRouting(
+      msgs: DataFrame,
+      saltBuckets: Int,
+      hotThreshold: Long = 0L): DataFrame = {
+    val withSink =
+      msgs.withColumn("tool_sink", coalesce(col("tool"), lit("none")))
+    if (saltBuckets <= 0) withSink
+    else if (hotThreshold <= 0L)
+      withSink.withColumn("__salt",
+        pmod(xxhash64(col("message_id")), lit(saltBuckets)))
+    else {
+      val hot = msgs.groupBy(col("conversation_id"))
+        .agg(count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") >= hotThreshold)
+        .select(col("conversation_id"), lit(true).as("__hot"))
+      withSink.join(broadcast(hot), Seq("conversation_id"), "left")
+        .withColumn("__salt",
+          when(col("__hot"),
+            pmod(xxhash64(col("message_id")), lit(saltBuckets)))
+            .otherwise(pmod(xxhash64(col("conversation_id")),
+              lit(saltBuckets))))
+        .drop("__hot")
+    }
+  }
+
   /** Single partitioned parquet write fanning out all (role, tool)
-    * sinks. Returns the sink root. */
-  /** saltBuckets > 0: pre-shuffle on (role, tool, salt) so each sink's
-    * files come from a bounded task set (file-count control on a 1000-
-    * executor cluster: tasks × sinks files otherwise). saltBuckets = 0:
-    * no exchange — every scan task writes its slice of each sink
-    * directly (dynamic partition insert sorts within task); right when
-    * upstream parallelism is already the write parallelism you want.
+    * sinks, committed as a [[graft.table.SnapshotParquetTable]]
+    * snapshot (atomic pointer swap — a crashed run can never truncate
+    * the previous routed tree, which SaveMode.Overwrite would).
+    * Returns the committed snapshot's DATA path (read it directly, or
+    * read the table root via SnapshotParquetTable).
     */
   def writeRoutedSinks(
       msgs: DataFrame,
       outDir: String,
-      saltBuckets: Int = 8): String = {
-    val sinkRoot = s"$outDir/routed"
-    val withSink =
-      msgs.withColumn("tool_sink", coalesce(col("tool"), lit("none")))
+      saltBuckets: Int = 8,
+      hotThreshold: Long = 0L): String = {
+    val salted = saltedForRouting(msgs, saltBuckets, hotThreshold)
     val distributed =
-      if (saltBuckets <= 0) withSink
-      else withSink.repartition(
-        col("role"), col("tool_sink"),
-        pmod(xxhash64(col("message_id")), lit(saltBuckets)))
-    distributed
-      .write
-      .mode(SaveMode.Overwrite)
-      .partitionBy("role", "tool_sink")
-      .parquet(sinkRoot)
-    sinkRoot
+      if (salted.columns.contains("__salt"))
+        salted.repartition(col("role"), col("tool_sink"), col("__salt"))
+          .drop("__salt")
+      else salted
+    new graft.table.SnapshotParquetTable(s"$outDir/routed")
+      .commit(distributed, Seq("role", "tool_sink")).dataPath
   }
 
   /** Render one message as the reference's exact JSONL byte format
@@ -96,26 +130,54 @@ object Router {
 
   /** Write per-thread parsed.jsonl files in the reference layout under
     * `outDir/<provider>/thread-<cid>/parsed.jsonl`, atomically
-    * (tmp → move, like parser.py:286,324). Executor-side file IO against
-    * a shared filesystem; one file per conversation, written from
-    * whichever task owns the group — no driver collect.
+    * (tmp → rename, like parser.py:286,324). Executor-side IO through
+    * the Hadoop FileSystem of outDir's scheme (file:/hdfs:/s3a: all
+    * work — java.nio would silently break off the local disk); one
+    * file per conversation, written from whichever task owns the
+    * group — no driver collect.
     */
   def writeThreadJsonl(
       msgs: Dataset[Message],
       outDir: String,
       provider: String = "openai"): Unit = {
+    val scheme = Option(new org.apache.hadoop.fs.Path(outDir)
+      .toUri.getScheme)
+    val local = scheme.isEmpty || scheme.contains("file")
     threadJsonl(msgs).foreachPartition {
       (it: Iterator[(String, String)]) =>
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
-        it.foreach { case (cid, content) =>
-          val dir = java.nio.file.Paths.get(outDir, provider, s"thread-$cid")
-          java.nio.file.Files.createDirectories(dir)
-          val tmp = dir.resolve("parsed.tmp")
-          val dst = dir.resolve("parsed.jsonl")
-          java.nio.file.Files.write(tmp, content.getBytes(utf8))
-          java.nio.file.Files.move(tmp, dst,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        if (local) {
+          // java.nio fast path: Hadoop's LocalFileSystem measured ~45 ms
+          // per small file (checksum wrapper + permission plumbing) vs
+          // <1 ms here — at one file per conversation that difference is
+          // the whole write stage
+          val baseDir = outDir.stripPrefix("file:")
+          it.foreach { case (cid, content) =>
+            val dir = java.nio.file.Paths.get(baseDir, provider,
+              s"thread-$cid")
+            java.nio.file.Files.createDirectories(dir)
+            val tmp = dir.resolve("parsed.tmp")
+            java.nio.file.Files.write(tmp, content.getBytes(utf8))
+            java.nio.file.Files.move(tmp, dir.resolve("parsed.jsonl"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+        } else {
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val base = new org.apache.hadoop.fs.Path(s"$outDir/$provider")
+          val fs = base.getFileSystem(conf)
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            base.toUri, conf)
+          it.foreach { case (cid, content) =>
+            val dir = new org.apache.hadoop.fs.Path(base, s"thread-$cid")
+            fs.mkdirs(dir)
+            val tmp = new org.apache.hadoop.fs.Path(dir, "parsed.tmp")
+            val out = fs.create(tmp, true)
+            try out.write(content.getBytes(utf8)) finally out.close()
+            fc.rename(tmp,
+              new org.apache.hadoop.fs.Path(dir, "parsed.jsonl"),
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          }
         }
     }
   }

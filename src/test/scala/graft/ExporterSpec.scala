@@ -51,6 +51,41 @@ class ExporterSpec extends AnyFunSuite {
     assert(blockCounts === Seq.fill(14)(2) :+ 22)
   }
 
+  test("split preview (E14): no-write estimate equals actual packing") {
+    import spark.implicits._
+    val msgs = (0 until 50).map(msg)
+    val df = spark.createDataset(msgs).toDF()
+    for (spec <- Seq("count=10", "size=1K", "auto")) {
+      val conf = SplitConf.parse(spec)
+      val want = Exporter.renderThread("c50", msgs, ZoneId.of("UTC"),
+        "light", conf, "PINNED").length
+      val got = Exporter.previewThreads(df, "UTC", "light", conf,
+        "PINNED").collect()
+      assert(got.length === 1)
+      assert(got.head.n_parts === want, s"spec=$spec")
+      assert(got.head.n_messages === 50)
+      assert(got.head.total_bytes > 0L)
+    }
+    // no-split preview: one part, est 1
+    val noSplit = Exporter.previewThreads(df, "UTC", "light",
+      SplitConf.none, "PINNED").collect().head
+    assert(noSplit.n_parts === 1 && noSplit.est_parts_by_size === 1)
+  }
+
+  test("sanitize filename: long-extension clamp mirrors Python slicing") {
+    // extension longer than maxLen-3: Python root[:negative] degrades
+    // gracefully instead of throwing
+    val ext = "." + "e" * 130
+    val out = Exporter.sanitizeFilename("abcdef" + ext, maxLen = 120)
+    assert(out.startsWith("...") || out.contains("..."))
+    // collision disambiguation: two cids sanitizing to the same name
+    // get distinct part files; clean cids keep reference naming
+    val a = Exporter.partFileName("x/y", "")
+    val b = Exporter.partFileName("x?y", "")
+    assert(a !== b)
+    assert(Exporter.partFileName("clean-cid", "") === "thread-clean-cid.md")
+  }
+
   test("light formatter: blank collapse, fence verbatim, auto-close, tail strip") {
     assert(LightFormatter.render("a\n\n\n\nb") === "a\n\nb")
     assert(LightFormatter.render("x\n```\n\n\n\ncode\n```\ny") ===

@@ -21,14 +21,23 @@ class MainAppSpec extends AnyFunSuite {
     val want = java.nio.file.Files.readString(java.nio.file.Paths.get(
       TestSpark.resource("/golden/sample_multi_parsed.jsonl")))
     assert(got === want)
-    // routed sinks exist with partition pruning layout
+    // routed sinks: snapshot-committed with partition pruning layout
+    val routed = new graft.table.SnapshotParquetTable(
+      out.resolve("openai/routed").toString)
+    val snap = routed.currentSnapshot(spark).get
     assert(java.nio.file.Files.exists(
-      out.resolve("openai/routed/role=assistant")))
-    // manifest counts
+      java.nio.file.Paths.get(snap.dataPath, "role=assistant")))
+    assert(routed.read(spark).count() === 16L)
+    // pointer manifest + distributed thread index
     val manifest = java.nio.file.Files.readString(
       out.resolve("openai/manifest.json"))
-    assert(manifest.contains("\"count\": 16"))
+    assert(manifest.contains("\"path\": \"thread_index\""))
+    assert(manifest.contains("\"threads\": 1"))
     assert(manifest.contains("\"partitions\""))
+    val idx = graft.lineage.Lineage.readThreadIndex(spark,
+      out.resolve("openai/thread_index").toString)
+    assert(idx.filter(org.apache.spark.sql.functions.col("count") === 16)
+      .count() === 1L)
     // markdown produced and byte-equal to the reference export
     val md = java.nio.file.Files.readString(
       out.resolve(s"md/thread-$cid.md"))
@@ -37,18 +46,87 @@ class MainAppSpec extends AnyFunSuite {
     assert(md === wantMd)
   }
 
-  test("parse --resume skips unchanged threads") {
+  test("parse --resume skips unchanged threads, routed sinks stay complete") {
     val out = java.nio.file.Files.createTempDirectory("graft-resume")
     val in = TestSpark.resource("/fixtures/openai_sample_multi.json")
     assert(Main.run(Array("parse", "--input", in,
       "--outdir", out.toString)) === 0)
-    // second run with --resume: manifest says unchanged → skipped
-    val errBuf = new java.io.ByteArrayOutputStream()
+    val routed = new graft.table.SnapshotParquetTable(
+      out.resolve("openai/routed").toString)
+    val before = routed.read(spark).count()
+    // second run with --resume: index says unchanged → JSONL skipped,
+    // but the routed snapshot must still hold EVERY thread's rows
+    // (round-1 bug: subset write under Overwrite truncated routed/)
     assert(Main.run(Array("parse", "--input", in,
       "--outdir", out.toString, "--resume")) === 0)
-    val manifest = java.nio.file.Files.readString(
-      out.resolve("openai/manifest.json"))
-    assert(manifest.contains("\"count\": 16")) // still fully indexed
+    assert(routed.read(spark).count() === before,
+      "resume must not drop unchanged threads from routed sinks")
+    val idx = graft.lineage.Lineage.readThreadIndex(spark,
+      out.resolve("openai/thread_index").toString)
+    assert(idx.filter(org.apache.spark.sql.functions.col("count") === 16)
+      .count() === 1L) // still fully indexed
+  }
+
+  test("readRawAuto sniffs containers through the Hadoop FS (file:// URI)") {
+    import graft.parse.ChatGptParser
+    // single-object multiline fixture via an explicit scheme — the
+    // java.nio sniffer this replaces could not open scheme'd paths
+    val p = "file://" + TestSpark.resource("/fixtures/openai_sample_multi.json")
+    assert(ChatGptParser.normalize(
+      ChatGptParser.readRawAuto(spark, p)).count() === 16L)
+    // directory of JSONL part files (the scale shape) sniffs as JSONL
+    val dir = java.nio.file.Files.createTempDirectory("graft-sniff")
+    graft.gen.TranscriptGen.renderRawJsonl(
+      graft.gen.TranscriptGen.synthesize(spark, 5))
+      .write.mode("overwrite").text(s"$dir/raw")
+    assert(graft.parse.ChatGptParser.normalize(
+      ChatGptParser.readRawAuto(spark, s"$dir/raw")).count() > 0L)
+  }
+
+  test("parse 10^5 conversations with a 512 MiB driver (index never collected)") {
+    val base =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val work = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(base), "graft-big")
+    try {
+      val raw = s"$work/raw"
+      graft.gen.TranscriptGen.renderRawJsonl(
+        graft.gen.TranscriptGen.synthesize(spark, 100000, baseTurns = 2,
+          megaFactor = 200))
+        .write.mode("overwrite").text(raw)
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = Seq(
+        s"${System.getProperty("java.home")}/bin/java",
+        "-Xmx512m", "-XX:+UseParallelGC", "-Dfile.encoding=UTF-8",
+        "-Dspark.ui.enabled=false") ++ addOpens ++ Seq(
+        "-cp", System.getProperty("java.class.path"),
+        "graft.app.Main", "parse",
+        "--input", raw, "--outdir", s"$work/out")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_CPUS", "4")
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val log = new String(proc.getInputStream.readAllBytes())
+      val rc = proc.waitFor()
+      assert(rc === 0, s"capped-driver parse failed:\n${log.takeRight(3000)}")
+      val idx = graft.lineage.Lineage.readThreadIndex(spark,
+        s"$work/out/openai/thread_index")
+      assert(idx.count() === 100000L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(work).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("exit codes: missing input=2, missing parsed root=4, bad mode=2") {

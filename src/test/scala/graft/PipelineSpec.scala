@@ -130,22 +130,28 @@ class PipelineSpec extends AnyFunSuite {
       s"expected partition filters in scan:\n$scan")
   }
 
-  test("lineage manifest: write, read back, resume anti-join") {
-    import spark.implicits._
+  test("lineage: distributed thread index + pointer manifest + resume anti-join") {
     val stats = synth.filter(col("ts_ms").isNotNull)
       .groupBy(col("conv_id").as("conversation_id"))
       .agg(count(lit(1)).as("count"),
         min("ts_ms").as("ts_min"), max("ts_ms").as("ts_max"))
-    val entries = Lineage.threadEntries(stats).collect().toSeq
     val parts = Lineage.capturePartitions(
       synth.filter(col("ts_ms").isNotNull), "ts_ms").collect().toSeq
     assert(parts.map(_.row_count).sum ===
       synth.filter(col("ts_ms").isNotNull).count())
     val tmp = java.nio.file.Files.createTempDirectory("graft-lin")
+    val indexRoot = s"$tmp/thread_index"
     val mpath = s"$tmp/manifest.json"
-    Lineage.writeManifest(mpath, "openai", entries, parts)
-    val prev = Lineage.readManifestThreads(spark, mpath)
-    assert(prev.count() === entries.size.toLong)
+    // thread index is a distributed snapshot table — never collected
+    Lineage.writeThreadIndex(stats, indexRoot)
+    Lineage.writeManifest(mpath, "openai", stats.count(), "thread_index",
+      parts)
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(mpath))
+    assert(manifest.contains("\"path\": \"thread_index\""))
+    assert(manifest.contains("\"partitions\""))
+    val prev = Lineage.readThreadIndex(spark, indexRoot)
+    assert(prev.count() === stats.count())
     // unchanged run → nothing to re-process
     assert(Lineage.changedThreads(stats, prev).count() === 0L)
     // one conversation grows by a turn → exactly that one is re-processed
@@ -154,5 +160,50 @@ class PipelineSpec extends AnyFunSuite {
         .otherwise(col("count")))
     val changed = Lineage.changedThreads(grown, prev).collect()
     assert(changed.map(_.getString(0)).toSeq === Seq("conv-000000003"))
+    // a second index commit supersedes the first atomically
+    Lineage.writeThreadIndex(stats.limit(3), indexRoot)
+    assert(Lineage.readThreadIndex(spark, indexRoot).count() === 3L)
+  }
+
+  test("adaptive salting: mega-conversation spreads, normal convs stay co-located") {
+    val msgs = synth.filter(col("ts_ms").isNotNull).select(
+      col("conv_id").as("conversation_id"), col("message_id"),
+      col("role"), col("tool"), col("text"))
+    val counts = msgs.groupBy("conversation_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val megaConv = counts.maxBy(_._2)._1
+    val threshold = counts.values.toSeq.sorted.apply(counts.size - 2) + 1
+    val salted = Router.saltedForRouting(msgs, saltBuckets = 8,
+      hotThreshold = threshold)
+    val saltsPerConv = salted
+      .groupBy("conversation_id")
+      .agg(countDistinct(col("__salt")).as("n_salts"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hot conversation fans out over multiple salt buckets → no single
+    // task serializes it
+    assert(saltsPerConv(megaConv) >= 4,
+      s"mega conv must spread, got ${saltsPerConv(megaConv)} buckets")
+    // every non-hot conversation keeps whole-conversation locality
+    saltsPerConv.filterNot(_._1 == megaConv).foreach { case (c, n) =>
+      assert(n === 1L, s"non-hot conv $c must map to one salt bucket")
+    }
+  }
+
+  test("snapshot table: atomic commit, crash leaves previous snapshot readable") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snap")
+    val table = new graft.table.SnapshotParquetTable(s"$tmp/t")
+    val s0 = table.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    assert(s0.id === 0L)
+    assert(table.read(spark).count() === 2L)
+    // simulate a crashed commit: data dir written, pointer NOT swapped
+    Seq((9, "x")).toDF("id", "v").write
+      .parquet(s"$tmp/t/snap-00001")
+    assert(table.read(spark).count() === 2L, "reader must see old snapshot")
+    // next commit skips the orphaned id and swaps atomically
+    val s2 = table.commit(Seq((3, "c"), (4, "d"), (5, "e")).toDF("id", "v"))
+    assert(s2.id === 2L)
+    assert(table.read(spark).count() === 3L)
+    assert(table.currentSnapshot(spark).map(_.id) === Some(2L))
   }
 }
