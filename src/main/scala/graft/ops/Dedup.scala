@@ -48,12 +48,17 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, k: Int = 3, minJaccard: Double = 0.1,
       maxDocFreq: Int = 100): DataFrame = {
-    val all = shingles(docs, k)
-    val rare = all.groupBy("shingle")
-      .agg(count(lit(1)).as("df"))
+    // df-filter in ONE pass: a count window over the shingle partition
+    // replaces the groupBy(df)+join-back (which exploded the shingle
+    // set twice and shuffled it three times); the filtered table is
+    // persisted because the sizes agg and both self-join sides scan it
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shingle"))
+    val sh = shingles(docs, k)
+      .withColumn("df", count(lit(1)).over(w))
       .filter(col("df") <= maxDocFreq)
-      .select("shingle")
-    val sh = all.join(rare, Seq("shingle"))
+      .drop("df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.withColumnRenamed("doc_id", "doc_a")
     val b = sh.withColumnRenamed("doc_id", "doc_b")
