@@ -86,6 +86,38 @@ object StreamingPipeline {
         })
   }
 
+  /** Streaming form of the parse→route pipeline: incremental text-file
+    * source over a raw-export JSONL directory (the local stand-in for
+    * a Kafka/queue source) → fast-path single-pass parse (zero-shuffle,
+    * streaming-safe: no window, no agg) → partitioned parquet file sink
+    * with its own transaction log, checkpointed.
+    *
+    * Resumability comes from the SINK + checkpoint, not foreachBatch:
+    * the parquet file sink's _spark_metadata commit log gives
+    * exactly-once file visibility across restarts — the streaming twin
+    * of the batch path's snapshot-pointer commits. A restarted query
+    * with the same checkpoint processes only unseen input files.
+    */
+  def parseAndRouteStream(
+      spark: SparkSession,
+      rawDir: String,
+      sinkDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val lines = spark.readStream.text(rawDir)
+      .withColumnRenamed("value", "line")
+    val turns = graft.parse.FastTranscriptParser.parseLines(lines)
+    turns
+      .withColumn("tool_sink", coalesce(col("tool"), lit("none")))
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("role", "tool_sink")
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   /** Run a streaming query to completion over the (static) input dir
     * using the memory sink — local smoke harness for the streaming
     * plan; on a cluster the sink would be the routed Iceberg tables. */

@@ -186,6 +186,46 @@ class OpsSpec extends AnyFunSuite {
     assert(s2.exceptAll(batch).count() === 0L)
   }
 
+  test("streaming parse→route: equals batch, restart resumes from checkpoint") {
+    val work = java.nio.file.Files.createTempDirectory("graft-spr")
+    val rawDir = s"$work/raw"
+    val sinkDir = s"$work/routed_stream"
+    val ckpt = s"$work/ckpt"
+    val corpus = graft.gen.TranscriptGen.synthesize(spark, 30)
+    graft.gen.TranscriptGen.renderRawJsonl(corpus.filter(
+      col("conv_id") < "conv-000000020"))
+      .write.mode("overwrite").text(rawDir)
+    val q1 = StreamingPipeline.parseAndRouteStream(
+      spark, rawDir, sinkDir, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    val batch = graft.parse.FastTranscriptParser.parse(spark, rawDir)
+    val firstCount = spark.read.parquet(sinkDir).count()
+    assert(firstCount === batch.count())
+    // drop MORE raw files, restart with the same checkpoint: only the
+    // new files are processed (exactly-once via the sink's own log)
+    graft.gen.TranscriptGen.renderRawJsonl(corpus.filter(
+      col("conv_id") >= "conv-000000020"))
+      .write.mode("append").text(rawDir)
+    val q2 = StreamingPipeline.parseAndRouteStream(
+      spark, rawDir, sinkDir, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val total = spark.read.parquet(sinkDir).count()
+    val batchAll = graft.parse.FastTranscriptParser.parse(spark, rawDir)
+    assert(total === batchAll.count(),
+      "restart must append exactly the new files' turns")
+    // routed per-sink counts match the batch aggregation
+    val s = spark.read.parquet(sinkDir)
+      .groupBy("role", "tool_sink").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val b = batchAll
+      .withColumn("tool_sink", coalesce(col("tool"), lit("none")))
+      .groupBy("role", "tool_sink").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(s === b)
+  }
+
   test("streaming: mapGroupsWithState sessionization") {
     import spark.implicits._
     val updates = StreamingPipeline.sessionize(

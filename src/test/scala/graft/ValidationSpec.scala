@@ -10,6 +10,27 @@ import graft.parse.Validation
   * (tests/test_parser_validation.py: good message passes, missing role
   * rejected). */
 class ValidationSpec extends AnyFunSuite {
+
+  test("A14 sanitize chain matches reference _sanitize_impl semantics") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val in = Seq("a\u00A0b", "a\u0001\u0002b", " a\t\n b \u3000c ",
+      "x\u007Fy", "", "  ", "日本 語\tテスト")
+    val got = in.toDF("t")
+      .select(graft.parse.Sanitize.sanitizeText(col("t")))
+      .as[String].collect().toSeq
+    // expectations computed by running the reference's 4-line
+    // _sanitize_impl (openai/utils.py:33-38) on the same inputs; note
+    // \t is a CONTROL char stripped before collapse, so 語/テスト join
+    // with no space, and U+3000 collapses like Python's Unicode \s
+    assert(got === Seq("a b", "ab", "a b c", "xy", "", "", "日本 語テスト"))
+    val joined = Seq(Tuple1(Seq("  hello ", "wor\tld")))
+      .toDF("parts")
+      .select(graft.parse.Sanitize.partsToText(col("parts")))
+      .as[String].head()
+    assert(joined === "hello world")
+  }
   lazy val spark = TestSpark.spark
 
   private def frame(role: String) = {
