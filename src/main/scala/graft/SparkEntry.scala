@@ -43,6 +43,7 @@ object SparkEntry {
     "q33_simhash_pairs" -> (T.simhashPairs(_, _)),
     "q34_embedding_neardup" -> (T.embeddingNearDup(_, _)),
     "q35_embedding_neardup_lsh" -> (T.embeddingNearDupLsh(_, _)),
+    "q36_dedup_clusters" -> (T.dedupClusters(_, _)),
     "q40_ann_brute" -> (T.annBruteForce(_, _)),
     "q41_ann_ivf" -> (T.annIvf(_, _)),
     "q42_ann_lsh" -> (T.annLsh(_, _)))

@@ -241,6 +241,64 @@ object Dedup {
       .filter(col("cos_sim") >= minCosine)
   }
 
+  /** Duplicate-cluster assignment: connected components over a
+    * near-dup PAIR table (the canonical-selection step every dedup
+    * pipeline needs after pair generation — "keep min doc_id per
+    * cluster"). Iterative min-label propagation: each round every node
+    * takes the minimum label among itself and its neighbors; labels
+    * are monotonically non-increasing, so the label SUM is a strict
+    * convergence witness (one cheap agg per round, no change-join).
+    *
+    * Scale: O(diameter) rounds of one equi-join + agg each, all
+    * hash-partitioned on node id — dedup graphs are near-cliques of
+    * duplicates (tiny diameter), so 3-4 rounds in practice. For
+    * adversarial long-path graphs the large-star/small-star algorithm
+    * halves diameter per round; not needed for dedup cliques. Each
+    * round's result is persisted and the previous unpersisted, so
+    * lineage stays O(1) deep (no exponential plan growth).
+    *
+    * Output: (doc_id, cluster_id = min doc_id reachable) for every doc
+    * that appears in at least one pair; singletons are their own
+    * implicit cluster and are not emitted.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs
+      .select(col("doc_a").cast("long").as("src"),
+        col("doc_b").cast("long").as("dst"))
+      .unionByName(pairs.select(col("doc_b").cast("long").as("src"),
+        col("doc_a").cast("long").as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist(lvl)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(edges("src").as("nid"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"),
+          "left")
+        .select(labels("doc_id").as("doc_id"),
+          least(labels("cluster_id"),
+            coalesce(col("nbr_min"), labels("cluster_id")))
+            .as("cluster_id"))
+        .persist(lvl)
+      val s = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      i += 1
+    }
+    labels
+  }
+
   /** APPROXIMATE near-dup pairs via sign-LSH banding + exact cosine
     * verify — the 100-TB path for true near-duplicate detection (high
     * thresholds, where LSH recall is near 1): candidates are only

@@ -70,6 +70,14 @@ object TrainingDataQueries {
     Dedup.embeddingNearDupsLsh(embs(s, dir), minCosine = 0.45,
       rowsPerBand = 4, nBands = 8).orderBy("vec_a", "vec_b")
 
+  /** Near-dup clusters: connected components over the q31 jaccard
+    * pairs — the canonical-selection step after pair generation. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs(s, dir), k = 3, minJaccard = 0.1)
+        .select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+
   def annBruteForce(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(embs(s, dir), k = 5, nQueries = 10)
 
@@ -188,6 +196,27 @@ object TrainingDataQueries {
        |ORDER BY c.vec_a, c.vec_b""".stripMargin
   }
 
+  private val ngramJaccardOracle: String =
+    s"""WITH $SH,
+       |rare AS (SELECT shingle FROM
+       |  (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+       |  WHERE df <= 100),
+       |shf AS (SELECT sh.doc_id, sh.shingle
+       |  FROM sh JOIN rare USING (shingle)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    count(*) AS i
+       |  FROM shf a JOIN shf b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q20_token_count" ->
       """SELECT doc_id,
@@ -235,26 +264,18 @@ object TrainingDataQueries {
         |SELECT md5(text) AS text_hash, count(*) AS n_docs,
         |  min(doc_id) AS canonical
         |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash""".stripMargin,
-    "q31_ngram_jaccard" ->
-      s"""WITH $SH,
-         |rare AS (SELECT shingle FROM
-         |  (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
-         |  WHERE df <= 100),
-         |shf AS (SELECT sh.doc_id, sh.shingle
-         |  FROM sh JOIN rare USING (shingle)),
-         |sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
-         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    count(*) AS i
-         |  FROM shf a JOIN shf b
-         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b,
-         |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
-         |FROM inter
-         |JOIN sz sa ON sa.doc_id = doc_a
-         |JOIN sz sb ON sb.doc_id = doc_b
-         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q31_ngram_jaccard" -> ngramJaccardOracle,
+    "q36_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT doc_a, doc_b FROM ($ngramJaccardOracle) t),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(node, lab) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, r.lab FROM edges e JOIN reach r ON e.d = r.node)
+         |SELECT node AS doc_id, min(lab) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "q32_minhash_lsh" ->
       s"""WITH $SH,
          |sig AS (SELECT doc_id, seed,

@@ -86,6 +86,21 @@ class OpsSpec extends AnyFunSuite {
       s"signature table must be cached, not recomputed per branch:\n$plan")
   }
 
+  test("connected components: cliques, long paths, separate clusters") {
+    import spark.implicits._
+    // two components: a triangle {1,2,3} and a pair {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a long path forces multiple propagation rounds (diameter 6)
+    val path = (1L to 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ccPath = Dedup.connectedComponents(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccPath === (1L to 7L).map(_ -> 1L).toMap)
+  }
+
   test("embedding near-dup: blocked equi-join — no nested-loop, matches all-pairs") {
     val res = Dedup.embeddingNearDups(embs, minCosine = 0.3)
     val plan = res.queryExecution.executedPlan.toString
