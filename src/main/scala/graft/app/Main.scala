@@ -154,7 +154,8 @@ object Main {
     val partitions = Lineage.capturePartitions(msgs).collect().toSeq
     val summary = Aggregates.runSummary(msgs).head()
     Lineage.writeManifest(manifestPath, provider, summary.getLong(0),
-      "thread_index", partitions)
+      "thread_index", partitions,
+      hadoopConf = spark.sessionState.newHadoopConf())
 
     println(s"""{"mode":"parse","threads":${summary.getLong(0)},""" +
       s""""messages":${summary.getLong(1)},"skipped_threads":$skipped}""")

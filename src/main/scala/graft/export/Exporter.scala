@@ -157,8 +157,16 @@ object Exporter {
     else {
       val h = f"${scala.util.hashing.MurmurHash3.stringHash(cid)}%08x"
       val dot = safe.lastIndexOf('.')
-      if (dot < 0) s"$safe-$h" else
-        s"${safe.substring(0, dot)}-$h${safe.substring(dot)}"
+      val (root, ext) =
+        if (dot < 0) (safe, "") else (safe.substring(0, dot),
+          safe.substring(dot))
+      // cap the root BEFORE appending so the name stays within the
+      // length limit AND the disambiguator always survives (a re-cap
+      // afterwards would truncate the hash away and reopen collisions)
+      val budget = math.max(1, 120 - ext.length - h.length - 1)
+      val capped = if (root.length > budget) root.substring(0, budget)
+                   else root
+      s"$capped-$h$ext"
     }
   }
 
@@ -390,6 +398,10 @@ object Exporter {
     val scheme = Option(new org.apache.hadoop.fs.Path(outDir)
       .toUri.getScheme)
     val local = scheme.isEmpty || scheme.contains("file")
+    val confOverlay =
+      if (local) Map.empty[String, String]
+      else graft.util.HadoopConfs.capture(
+        parts.sparkSession.sessionState.newHadoopConf())
     parts.foreachPartition { (it: Iterator[MdPart]) =>
       val utf8 = java.nio.charset.StandardCharsets.UTF_8
       if (local) {
@@ -406,7 +418,7 @@ object Exporter {
           acc.add(1L)
         }
       } else {
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = graft.util.HadoopConfs.restore(confOverlay)
         val dir = new org.apache.hadoop.fs.Path(outDir)
         val fs = dir.getFileSystem(conf)
         fs.mkdirs(dir)

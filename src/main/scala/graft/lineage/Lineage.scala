@@ -106,7 +106,8 @@ object Lineage {
       threadCount: Long,
       indexPath: String,
       partitions: Seq[PartitionLineage] = Nil,
-      schemaVersion: String = "1.3"): Unit = {
+      schemaVersion: String = "1.3",
+      hadoopConf: org.apache.hadoop.conf.Configuration = null): Unit = {
     val partJson = partitions.sortBy(_.partition_id).map { p =>
       PyJson.obj(
         "partition_id" -> p.partition_id.toString,
@@ -122,7 +123,10 @@ object Lineage {
         "threads" -> threadCount.toString),
       "partitions" -> partJson)
     val p = new org.apache.hadoop.fs.Path(path)
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // pass the SESSION conf (spark.hadoop.* — S3 creds, defaultFS)
+    // from callers with a session; bare defaults only as a fallback
+    val conf = Option(hadoopConf)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
     val fs = p.getFileSystem(conf)
     Option(p.getParent).foreach(fs.mkdirs(_))
     val tmp = new org.apache.hadoop.fs.Path(

@@ -48,16 +48,22 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, k: Int = 3, minJaccard: Double = 0.1,
       maxDocFreq: Int = 100): DataFrame = {
-    // df-filter in ONE pass: a count window over the shingle partition
-    // replaces the groupBy(df)+join-back (which exploded the shingle
-    // set twice and shuffled it three times); the filtered table is
+    // df-filter as partial-agg groupBy + join-back — deliberately NOT a
+    // count window over the shingle partition: a hot stop-shingle
+    // (exactly what this filter exists to drop) would form one window
+    // group that a single task must buffer, and AQE cannot split a
+    // window partition, whereas the hash aggregate combines map-side
+    // and the join is AQE-skew-splittable. The filtered table is
     // persisted because the sizes agg and both self-join sides scan it
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shingle"))
-    val sh = shingles(docs, k)
-      .withColumn("df", count(lit(1)).over(w))
+    // (lifetime note: the cache backs the RETURNED lazy DataFrame, so
+    // it cannot be released here; MEMORY_AND_DISK lets Spark's LRU
+    // evict it under pressure).
+    val all = shingles(docs, k)
+    val rare = all.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
-      .drop("df")
+      .select("shingle")
+    val sh = all.join(rare, Seq("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.withColumnRenamed("doc_id", "doc_a")
@@ -261,7 +267,18 @@ object Dedup {
     * that appears in at least one pair; singletons are their own
     * implicit cluster and are not emitted.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // fail fast on non-numeric ids: cast("long") would silently null
+    // string ids and collapse every node into one garbage cluster
+    val numeric = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType)
+    require(Seq("doc_a", "doc_b").forall(c =>
+      numeric.contains(pairs.schema(c).dataType)),
+      s"connectedComponents needs integral doc ids, got " +
+        s"${pairs.schema("doc_a").dataType}; map string ids to longs " +
+        "(e.g. xxhash64 or a dictionary) first")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs
       .select(col("doc_a").cast("long").as("src"),
@@ -272,12 +289,13 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .persist(lvl)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
+    // null sum == empty graph: nothing to propagate
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head()
+        .getDecimal(0))
     var prevSum = labelSum(labels)
     var i = 0
-    var converged = false
+    var converged = prevSum.isEmpty
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(edges("src").as("nid"))
@@ -292,10 +310,19 @@ object Dedup {
       val s = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = s.compareTo(prevSum) == 0
+      converged = s == prevSum
       prevSum = s
       i += 1
     }
+    // wrong-but-silent is the worst outcome for a dedup canonicalizer:
+    // an unconverged exit would split one component across cluster ids
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter > maxIter); raise maxIter or use a " +
+          "diameter-halving variant (large-star/small-star) for " +
+          "long-chain graphs")
+    edges.unpersist() // final labels are materialized; edges only back recompute
     labels
   }
 

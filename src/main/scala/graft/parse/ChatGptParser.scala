@@ -72,10 +72,20 @@ object ChatGptParser {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val target =
       if (!fs.getFileStatus(p).isDirectory) p
-      else fs.listStatus(p).toSeq
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))
-        .sortBy(_.getPath.getName).headOption.map(_.getPath).getOrElse(p)
+      else {
+        // recursive: part files may sit under nested partition dirs
+        // (raw/date=…/part-*.jsonl); a clean error beats fs.open(dir)
+        val it = fs.listFiles(p, true)
+        var found: Option[org.apache.hadoop.fs.Path] = None
+        while (found.isEmpty && it.hasNext) {
+          val s = it.next()
+          val n = s.getPath.getName
+          if (s.isFile && !n.startsWith("_") && !n.startsWith("."))
+            found = Some(s.getPath)
+        }
+        found.getOrElse(throw new java.nio.file.NoSuchFileException(
+          s"no data files under $path"))
+      }
     val head = {
       val in = fs.open(target)
       try {

@@ -143,6 +143,10 @@ object Router {
     val scheme = Option(new org.apache.hadoop.fs.Path(outDir)
       .toUri.getScheme)
     val local = scheme.isEmpty || scheme.contains("file")
+    val confOverlay =
+      if (local) Map.empty[String, String]
+      else graft.util.HadoopConfs.capture(
+        msgs.sparkSession.sessionState.newHadoopConf())
     threadJsonl(msgs).foreachPartition {
       (it: Iterator[(String, String)]) =>
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
@@ -163,7 +167,7 @@ object Router {
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           }
         } else {
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = graft.util.HadoopConfs.restore(confOverlay)
           val base = new org.apache.hadoop.fs.Path(s"$outDir/$provider")
           val fs = base.getFileSystem(conf)
           val fc = org.apache.hadoop.fs.FileContext.getFileContext(

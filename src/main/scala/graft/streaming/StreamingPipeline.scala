@@ -106,6 +106,10 @@ object StreamingPipeline {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val lines = spark.readStream.text(rawDir)
       .withColumnRenamed("value", "line")
+      // same filename-stem conversation-id fallback as the batch fast
+      // path — without it a record lacking conversation_id would route
+      // to "unknown" here but to the stem in batch
+      .withColumn("_file", input_file_name())
     val turns = graft.parse.FastTranscriptParser.parseLines(lines)
     turns
       .withColumn("tool_sink", coalesce(col("tool"), lit("none")))

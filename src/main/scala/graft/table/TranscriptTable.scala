@@ -40,7 +40,15 @@ trait TranscriptTable {
 
 final case class Snapshot(id: Long, dataPath: String)
 
-class SnapshotParquetTable(val root: String) extends TranscriptTable {
+/** @param retainSnapshots how many newest snapshot data dirs commit()
+  *   keeps (Iceberg's expire-snapshots contract: without expiry every
+  *   commit grows the table by a full data copy — on the bench's tmpfs
+  *   work dirs that is RAM). The pointer's current snapshot is never
+  *   deleted; readers holding an already-expired path break, exactly
+  *   as with Iceberg — retain enough history for in-flight readers.
+  */
+class SnapshotParquetTable(val root: String, retainSnapshots: Int = 2)
+    extends TranscriptTable {
 
   private def fs(spark: SparkSession): FileSystem =
     new Path(root).getFileSystem(
@@ -102,7 +110,27 @@ class SnapshotParquetTable(val root: String) extends TranscriptTable {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       new Path(root).toUri, spark.sessionState.newHadoopConf())
     fc.rename(tmp, pointer, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    expireSnapshots(spark, retainSnapshots)
     Snapshot(id, dataDir)
+  }
+
+  /** Delete all but the newest `keep` snapshot data dirs (never the
+    * pointer's current one — it is always among the newest since ids
+    * are monotone). Also reaps orphaned dirs from crashed commits.
+    * Returns the number of deleted snapshot dirs. */
+  def expireSnapshots(spark: SparkSession, keep: Int): Int = {
+    if (keep <= 0) return 0
+    val f = fs(spark)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) return 0
+    val snaps = f.listStatus(rootPath).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("snap-"))
+      .sortBy(_.getName.stripPrefix("snap-").toLong)
+    val current = currentSnapshot(spark).map(_.id)
+    val toDelete = snaps.dropRight(keep).filterNot(p =>
+      current.contains(p.getName.stripPrefix("snap-").toLong))
+    toDelete.foreach(p => f.delete(p, true))
+    toDelete.size
   }
 
   override def read(spark: SparkSession): DataFrame =

@@ -99,6 +99,14 @@ class OpsSpec extends AnyFunSuite {
     val ccPath = Dedup.connectedComponents(path).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ccPath === (1L to 7L).map(_ -> 1L).toMap)
+    // empty pair table → empty result, not an NPE
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).count() === 0L)
+    // string ids must fail fast, not silently null-collapse
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(
+        Seq(("a", "b")).toDF("doc_a", "doc_b"))
+    }
   }
 
   test("embedding near-dup: blocked equi-join — no nested-loop, matches all-pairs") {

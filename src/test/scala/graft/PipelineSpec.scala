@@ -205,5 +205,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(s2.id === 2L)
     assert(table.read(spark).count() === 3L)
     assert(table.currentSnapshot(spark).map(_.id) === Some(2L))
+    // auto-expiry (retain 2): a third commit reaps the oldest dirs so
+    // the table does not grow by one corpus copy per commit
+    table.commit(Seq((6, "f")).toDF("id", "v"))
+    val snaps = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$tmp/t")).toArray.map(_.toString)
+      .filter(_.contains("snap-")).sorted
+    assert(snaps.map(_.split('/').last).toSeq ===
+      Seq("snap-00002", "snap-00003"))
+    assert(table.read(spark).count() === 1L)
   }
 }
