@@ -66,6 +66,24 @@ object PropertySpec extends Properties("graft") {
         !out.exists(c => "<>:\"/\\|?*".contains(c) || c < 0x20)
     }
 
+  property("partFileName bounded, windows-safe, and collision-distinct") =
+    forAll(anyText, anyText) { (a, b) =>
+      val fa = Exporter.partFileName(a, "")
+      val fb = Exporter.partFileName(b, "")
+      fa.length <= 120 &&
+        !fa.exists(c => "<>:\"/\\|?*".contains(c) || c < 0x20) &&
+        (a == b || fa != fb || a.isEmpty || b.isEmpty)
+    }
+
+  // E16 format_bytes (reference utils.py:34-39) — reference-computed pairs
+  property("formatBytes matches reference format_bytes") = Prop.all(
+    Prop(SizeExpr.formatBytes(0L) == "0.0B"),
+    Prop(SizeExpr.formatBytes(1023L) == "1023.0B"),
+    Prop(SizeExpr.formatBytes(1024L) == "1.0KiB"),
+    Prop(SizeExpr.formatBytes(4 * 1024 * 1024L) == "4.0MiB"),
+    Prop(SizeExpr.formatBytes(1536L) == "1.5KiB"),
+    Prop(SizeExpr.formatBytes(5L * 1024 * 1024 * 1024 * 1024) == "5.0TiB"))
+
   property("ts heuristic split at 1e11") = Prop.all(
     forAll(Gen.choose(0L, 99999999999L)) { v =>
       Exporter.tsToSeconds(v.toDouble) == v.toDouble
