@@ -117,42 +117,53 @@ object Main {
     }
 
     val raw = ChatGptParser.readRawAuto(spark, input)
-    val msgs = ChatGptParser.normalize(raw, provider).cache()
+    val msgs = ChatGptParser.normalize(raw, provider)
 
     val providerDir = s"$outdir/$provider"
     val manifestPath = s"$providerDir/manifest.json"
     val indexRoot = s"$providerDir/thread_index"
-    val stats = Aggregates.threadStats(msgs)
+
+    // ONE pass over the raw JSON: parse → routed snapshot write. Every
+    // downstream stage (stats, index, JSONL, lineage, summary) reads
+    // the COLUMNAR routed table back instead of re-parsing raw JSON or
+    // caching the whole corpus in executor memory (a full-corpus
+    // .cache() at the 10^12-turn target is most of the cluster's RAM;
+    // parquet re-reads are pruned and cheap). The snapshot commit also
+    // means a crashed run leaves the previous routed tree readable and
+    // a --resume can never truncate unchanged threads (round-1 bug).
+    val hotThreshold = opt(args, "hot-threshold").map(_.toLong)
+      .getOrElse(10000L) // ~ the reference's own max-thread-size model
+    val routedData = Router.writeRoutedSinks(msgs, providerDir,
+      hotThreshold = hotThreshold)
+    // `tool` itself is a regular column in the routed files; only
+    // (role, tool_sink) are partition directories
+    val routed = spark.read.parquet(routedData)
+    val stats = Aggregates.threadStats(routed)
 
     // resume: conversations unchanged vs the previous thread index are
-    // skipped for the per-thread JSONL rewrite only
+    // skipped for the per-thread JSONL rewrite only. No broadcast
+    // hint — on a first resume after large drift `changed` is
+    // corpus-sized; AQE picks broadcast when it is actually small.
     val (toProcess, skipped) =
       if (flag(args, "resume") && Lineage.threadIndexExists(spark, indexRoot)) {
         val prev = Lineage.readThreadIndex(spark, indexRoot)
         val changed = Lineage.changedThreads(stats, prev)
           .select("conversation_id")
         val n = stats.count() - changed.count()
-        (msgs.join(broadcast(changed), Seq("conversation_id")), n)
-      } else (msgs, 0L)
+        (routed.join(changed, Seq("conversation_id")), n)
+      } else (routed, 0L)
 
     val typed = toProcess
       .select(Schemas.messageColumns.map(col): _*)
       .as[Schemas.Message]
     Router.writeThreadJsonl(typed, outdir, provider)
-    // routed sinks are a snapshot of the FULL dataset: a subset write
-    // under SaveMode.Overwrite truncated unchanged threads' routed rows
-    // on --resume (round-1 bug); the snapshot commit also keeps the
-    // previous tree readable until the new one is complete.
-    val hotThreshold = opt(args, "hot-threshold").map(_.toLong)
-      .getOrElse(10000L) // ~ the reference's own max-thread-size model
-    Router.writeRoutedSinks(msgs, providerDir, hotThreshold = hotThreshold)
 
     // thread index: distributed snapshot table — ALL threads (fixes the
     // reference bug of not re-indexing skipped ones, parser.py:271-274);
     // the driver holds only the bounded per-partition lineage + pointer
     Lineage.writeThreadIndex(stats, indexRoot)
-    val partitions = Lineage.capturePartitions(msgs).collect().toSeq
-    val summary = Aggregates.runSummary(msgs).head()
+    val partitions = Lineage.capturePartitions(routed).collect().toSeq
+    val summary = Aggregates.runSummary(routed).head()
     Lineage.writeManifest(manifestPath, provider, summary.getLong(0),
       "thread_index", partitions,
       hadoopConf = spark.sessionState.newHadoopConf())

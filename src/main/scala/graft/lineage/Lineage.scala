@@ -140,14 +140,16 @@ object Lineage {
 
   /** Resume filter: conversations whose (conversation_id, count) already
     * match the previous manifest are unchanged → skip re-processing
-    * (reference semantics parser.py:182-195). Left-anti broadcast join,
-    * no full shuffle of the fact side.
+    * (reference semantics parser.py:182-195). Left-anti join with NO
+    * broadcast hint: the previous index is one row per conversation —
+    * 10^8 rows at the design target, far past broadcast limits — so the
+    * join must be allowed to shuffle; AQE still broadcasts it when the
+    * index is actually small.
     */
   def changedThreads(
       currentStats: DataFrame,
       previousManifest: DataFrame): DataFrame =
     currentStats.join(
-      broadcast(previousManifest.select(
-        col("conversation_id"), col("count"))),
+      previousManifest.select(col("conversation_id"), col("count")),
       Seq("conversation_id", "count"), "left_anti")
 }
