@@ -117,7 +117,17 @@ object Main {
     }
 
     val raw = ChatGptParser.readRawAuto(spark, input)
-    val msgs = ChatGptParser.normalize(raw, provider)
+    // parse-failure counter rides the SAME scan via observe (an extra
+    // corruptRows() pass would re-parse all the raw JSON); the metric
+    // materializes with the routed write action below
+    // unique name: repeated parse runs in one session (chain, tests)
+    // must not collide on the listener registration
+    val obs = new org.apache.spark.sql.Observation(
+      "parse_metrics_" + java.util.UUID.randomUUID())
+    val rawObserved = raw.observe(obs,
+      count(when(col("_corrupt_record").isNotNull &&
+        col("mapping").isNull, 1)).as("corrupt_lines"))
+    val msgs = ChatGptParser.normalize(rawObserved, provider)
 
     val providerDir = s"$outdir/$provider"
     val manifestPath = s"$providerDir/manifest.json"
@@ -164,12 +174,17 @@ object Main {
     Lineage.writeThreadIndex(stats, indexRoot)
     val partitions = Lineage.capturePartitions(routed).collect().toSeq
     val summary = Aggregates.runSummary(routed).head()
+    val corrupt = obs.get.getOrElse("corrupt_lines", 0L) match {
+      case n: Long => n
+      case _ => 0L
+    }
     Lineage.writeManifest(manifestPath, provider, summary.getLong(0),
-      "thread_index", partitions,
+      "thread_index", partitions, corruptLines = corrupt,
       hadoopConf = spark.sessionState.newHadoopConf())
 
     println(s"""{"mode":"parse","threads":${summary.getLong(0)},""" +
-      s""""messages":${summary.getLong(1)},"skipped_threads":$skipped}""")
+      s""""messages":${summary.getLong(1)},"skipped_threads":$skipped,""" +
+      s""""corrupt_lines":$corrupt}""")
     0
   }
 

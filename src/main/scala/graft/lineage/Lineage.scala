@@ -107,6 +107,7 @@ object Lineage {
       indexPath: String,
       partitions: Seq[PartitionLineage] = Nil,
       schemaVersion: String = "1.3",
+      corruptLines: Long = 0L,
       hadoopConf: org.apache.hadoop.conf.Configuration = null): Unit = {
     val partJson = partitions.sortBy(_.partition_id).map { p =>
       PyJson.obj(
@@ -121,6 +122,7 @@ object Lineage {
       "index" -> PyJson.obj(
         "path" -> PyJson.str(indexPath),
         "threads" -> threadCount.toString),
+      "corrupt_lines" -> corruptLines.toString,
       "partitions" -> partJson)
     val p = new org.apache.hadoop.fs.Path(path)
     // pass the SESSION conf (spark.hadoop.* — S3 creds, defaultFS)

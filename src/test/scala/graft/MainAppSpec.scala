@@ -67,6 +67,26 @@ class MainAppSpec extends AnyFunSuite {
       .count() === 1L) // still fully indexed
   }
 
+  test("parse records corrupt-line count in summary and manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt")
+    val in = dir.resolve("raw.jsonl")
+    val good = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      TestSpark.resource("/fixtures/openai_sample.json")))
+      .replace("\n", " ")
+    java.nio.file.Files.writeString(in,
+      good + "\n{broken json!!\n" + "not json at all\n")
+    val outBuf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outBuf)) {
+      assert(Main.run(Array("parse", "--input", in.toString,
+        "--outdir", s"$dir/out")) === 0)
+    }
+    assert(outBuf.toString.contains("\"corrupt_lines\":2"),
+      outBuf.toString)
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/out/openai/manifest.json"))
+    assert(manifest.contains("\"corrupt_lines\": 2"))
+  }
+
   test("readRawAuto sniffs containers through the Hadoop FS (file:// URI)") {
     import graft.parse.ChatGptParser
     // single-object multiline fixture via an explicit scheme — the
