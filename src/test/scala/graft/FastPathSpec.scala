@@ -57,6 +57,21 @@ class FastPathSpec extends AnyFunSuite {
     assert(slow.exceptAll(fast).count() === 0L)
   }
 
+  test("fast path plan is zero-shuffle (no Exchange before the sink)") {
+    import spark.implicits._
+    // materialize the rendered corpus first — the GENERATOR groups by
+    // conversation and legitimately shuffles; the claim under test is
+    // about the parse path alone
+    val rendered = graft.gen.TranscriptGen.renderRawJsonl(
+      graft.gen.TranscriptGen.synthesize(spark, 5)).collect().toSeq
+    val lines = rendered.toDF("line")
+    val plan = graft.parse.FastTranscriptParser.parseLines(lines)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"parse+order must not shuffle — turn_idx comes from the " +
+        s"in-expression sort, not a window:\n$plan")
+  }
+
   test("fast path: corrupt lines and junk are skipped, not fatal") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-fastbad")
     java.nio.file.Files.writeString(
