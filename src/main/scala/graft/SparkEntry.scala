@@ -37,6 +37,9 @@ object SparkEntry {
     "q21_lang_id" -> (T.langId(_, _)),
     "q22_quality" -> (T.quality(_, _)),
     "q23_fingerprint" -> (T.fingerprint(_, _)),
+    "q24_repetition" -> (T.repetition(_, _)),
+    "q25_top_ngrams" -> (T.topNgrams(_, _)),
+    "q26_pii_scrub" -> (T.piiScrub(_, _)),
     "q30_dedup_exact" -> (T.dedupExact(_, _)),
     "q31_ngram_jaccard" -> (T.ngramJaccard(_, _)),
     "q32_minhash_lsh" -> (T.minhashLsh(_, _)),
@@ -44,6 +47,7 @@ object SparkEntry {
     "q34_embedding_neardup" -> (T.embeddingNearDup(_, _)),
     "q35_embedding_neardup_lsh" -> (T.embeddingNearDupLsh(_, _)),
     "q36_dedup_clusters" -> (T.dedupClusters(_, _)),
+    "q37_decontamination" -> (T.decontamination(_, _)),
     "q40_ann_brute" -> (T.annBruteForce(_, _)),
     "q41_ann_ivf" -> (T.annIvf(_, _)),
     "q42_ann_lsh" -> (T.annLsh(_, _)))

@@ -17,6 +17,14 @@ package object functions {
   def word_shingles(col: Column, k: Int = 3): Column =
     c(WordShingles(e(col), k))
 
+  /** Word k-grams with multiplicity (codegen'd). */
+  def word_ngrams(col: Column, k: Int = 2): Column =
+    c(WordNgrams(e(col), k))
+
+  /** One-pass k-gram repetition stats struct (codegen'd). */
+  def ngram_repetition(col: Column, k: Int = 2): Column =
+    c(NgramRepetition(e(col), k))
+
   /** 64-bit SimHash over a token array (codegen'd). */
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
 

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics and cross-corpus checks for training-data
+  * pipelines: global n-gram frequency tables and benchmark
+  * decontamination (n-gram overlap of a training corpus against a
+  * held-out evaluation set).
+  */
+object CorpusStats {
+
+  /** Top-N most frequent word k-grams across the corpus.
+    *
+    * Scale: explode is a narrow map (codegen'd WordNgrams, with
+    * multiplicity); the groupBy is ONE shuffle of (ngram,
+    * partial_count) pairs — partial aggregation combines map-side, so
+    * hot n-grams ("of the") arrive at reducers as one pre-summed row
+    * per map partition, not raw occurrences — the agg itself absorbs
+    * skew. The final top-N is TakeOrderedAndProject (per-partition
+    * heaps + driver merge of N rows), never a global sort of the
+    * full frequency table. Ties break on the n-gram string so the
+    * result is deterministic and oracle-comparable.
+    */
+  def topNgrams(docs: DataFrame, k: Int = 2, topN: Int = 20): DataFrame =
+    docs
+      .select(explode(graft.functions.word_ngrams(col("text"), k))
+        .as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(topN)
+
+  /** Benchmark decontamination: flag training documents whose distinct
+    * word k-shingle sets overlap an evaluation document's by at least
+    * minOverlapFrac (fraction of the TRAINING doc's shingles that also
+    * occur in that eval doc) — the standard n-gram-overlap
+    * decontamination check run before pretraining.
+    *
+    * Scale: the eval/benchmark side is small by nature (thousands of
+    * documents vs a 100-TB corpus), so its shingle table is
+    * BROADCAST — the training corpus is never shuffled: shingle
+    * explode, broadcast-hash join, partial-agg groupBy on
+    * (train doc, eval doc), all map-side until the final bounded
+    * aggregation of matched pairs only. Training docs sharing no
+    * shingle with any eval doc (the overwhelming majority) are dropped
+    * by the join before the shuffle.
+    */
+  def decontaminate(
+      train: DataFrame, eval: DataFrame, k: Int = 3,
+      minOverlapFrac: Double = 0.05): DataFrame = {
+    // per-doc shingle count rides along through the explode (it is a
+    // function of doc_id), so no separate corpus-wide sizes aggregation
+    // and no join-back are needed
+    val trainSh = train
+      .select(col("doc_id"),
+        graft.functions.word_shingles(col("text"), k).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
+        explode(col("shs")).as("shingle"))
+    val evalSh = Dedup.shingles(eval, k)
+      .withColumnRenamed("doc_id", "eval_id")
+    trainSh
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy("doc_id", "eval_id", "n_sh")
+      .agg(count(lit(1)).as("n_shared"))
+      .select(
+        col("doc_id"), col("eval_id"),
+        round(col("n_shared").cast("double") / col("n_sh"), 6)
+          .as("overlap_frac"))
+      .filter(col("overlap_frac") >= minOverlapFrac)
+  }
+}

@@ -77,6 +77,49 @@ object TextAnalysis {
         .as("keep"))
   }
 
+  /** Gopher-style within-document repetition signals over word
+    * 2-grams: fraction of 2-gram occurrences taken by the single most
+    * frequent 2-gram, fraction in any repeated 2-gram, and a keep-gate
+    * like pretraining repetition filters. One codegen'd hash-count pass
+    * per row (graft.functions.NgramRepetition) — zero shuffle. */
+  def repetitionStats(docs: DataFrame, k: Int = 2): DataFrame = {
+    val st = graft.functions.ngram_repetition(col("text"), k)
+    docs
+      .select(col("doc_id"), st.as("st"))
+      .select(
+        col("doc_id"),
+        col("st.n_ngrams").as("n_ngrams"),
+        round(col("st.max_count").cast("double") /
+          greatest(col("st.n_ngrams"), lit(1)), 4).as("top_ngram_frac"),
+        round(col("st.dup_count").cast("double") /
+          greatest(col("st.n_ngrams"), lit(1)), 4).as("dup_ngram_frac"))
+      .withColumn("keep_rep",
+        col("top_ngram_frac") < 0.10 && col("dup_ngram_frac") < 0.15)
+  }
+
+  /** Email pattern shared by the scrub and its DuckDB oracle — kept to
+    * the RE2-compatible subset (no backrefs/lookaround) so the same
+    * pattern string runs in Java regex and DuckDB. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** US-ish short phone form (555-0199); \b is RE2-compatible. */
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII scrub: count + redact emails and phone-shaped tokens. The
+    * scrubbed text is reduced to an md5 so results stay compact; the
+    * full scrubbed column is what a production pipeline would write.
+    * Narrow codegen'd map — no shuffle, no UDFs. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+      PhoneRe, "[PHONE]")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+      md5(scrubbed.cast("binary")).as("scrubbed_hash"))
+  }
+
   /** Canonical-form fingerprint: lowercase, collapse whitespace, trim,
     * md5 — the exact-dedup key robust to spacing/case edits. */
   def fingerprint(text: Column): Column =

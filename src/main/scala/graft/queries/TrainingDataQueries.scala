@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{CorpusStats, Dedup, Similarity, TextAnalysis}
 
 /** Training-data pipeline queries over documents/embeddings, each with
   * a DuckDB oracle where the operator is SQL-expressible (exceptions:
@@ -29,6 +29,41 @@ object TrainingDataQueries {
 
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(docs(s, dir)).orderBy("doc_id")
+
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(docs(s, dir)).orderBy("doc_id")
+
+  def topNgrams(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.topNgrams(docs(s, dir), k = 2, topN = 20)
+
+  /** PII scrub over a corpus with a deterministic injected-PII stripe
+    * (every 7th doc gains an email + phone) so redaction counts are
+    * non-trivial — same pattern as q30's duplicate stripe. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val injected = concat(
+      col("text"), lit(" Contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit("."))
+    val corpus = d.withColumn("text",
+      when(pmod(col("doc_id"), lit(7)) === 0, injected)
+        .otherwise(col("text")))
+    TextAnalysis.piiScrub(corpus).orderBy("doc_id")
+  }
+
+  /** Decontamination demo: eval set = every 97th doc; training corpus
+    * = the rest plus a contaminated stripe (each eval doc re-keyed as
+    * doc_id+200000 — guaranteed overlap 1.0), flagging train docs with
+    * ≥5% 3-shingle overlap against any eval doc. */
+  def decontamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val eval = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val train = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .unionByName(eval.withColumn("doc_id", col("doc_id") + 200000L))
+    CorpusStats.decontaminate(train, eval, k = 3, minOverlapFrac = 0.05)
+      .orderBy("doc_id", "eval_id")
+  }
 
   /** Exact dedup demo over a corpus with a synthetic duplicate stripe
     * (every 10th doc duplicated under doc_id+100000). */
@@ -217,7 +252,89 @@ object TrainingDataQueries {
        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q26's injected corpus + the exact regexes from TextAnalysis
+    * (RE2-compatible subset — same pattern strings run in both
+    * engines). */
+  private val piiScrubOracle: String = {
+    val email = TextAnalysis.EmailRe
+    val phone = TextAnalysis.PhoneRe
+    s"""WITH corpus AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN
+       |      text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+       |      '@example.com or 555-' ||
+       |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+       |    ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT)
+       |    AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT)
+       |    AS n_phones,
+       |  md5(regexp_replace(regexp_replace(text, '$email', '[EMAIL]', 'g'),
+       |    '$phone', '[PHONE]', 'g')) AS scrubbed_hash
+       |FROM corpus ORDER BY doc_id""".stripMargin
+  }
+
+  /** q37: mirrors CorpusStats.decontaminate over the injected corpus —
+    * distinct 3-shingles, per-train-doc shingle counts, overlap frac. */
+  private val decontaminationOracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 97 = 0),
+      |tw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM corpus),
+      |tsh AS (SELECT DISTINCT doc_id,
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM tw, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS t(i)),
+      |ew AS (SELECT doc_id AS eval_id,
+      |    string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents WHERE doc_id % 97 = 0),
+      |esh AS (SELECT DISTINCT eval_id,
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM ew, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS t(i)),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM tsh GROUP BY 1),
+      |ov AS (SELECT t.doc_id, e.eval_id, count(*) AS n_shared
+      |  FROM tsh t JOIN esh e USING (shingle) GROUP BY 1, 2)
+      |SELECT ov.doc_id, ov.eval_id,
+      |  round(CAST(n_shared AS DOUBLE) / n_sh, 6) AS overlap_frac
+      |FROM ov JOIN sz ON sz.doc_id = ov.doc_id
+      |WHERE CAST(n_shared AS DOUBLE) / n_sh >= 0.05
+      |ORDER BY ov.doc_id, ov.eval_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q24_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS ng
+        |  FROM w, UNNEST(generate_series(1, greatest(len(w)-1, 0))) AS t(i)),
+        |c AS (SELECT doc_id, ng, count(*) AS c FROM g GROUP BY 1, 2),
+        |s AS (SELECT doc_id, sum(c) AS n, max(c) AS mx,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+        |  FROM c GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n, 0) AS BIGINT) AS n_ngrams,
+        |  round(CAST(coalesce(s.mx, 0) AS DOUBLE) /
+        |    greatest(coalesce(s.n, 0), 1), 4) AS top_ngram_frac,
+        |  round(CAST(coalesce(s.dup, 0) AS DOUBLE) /
+        |    greatest(coalesce(s.n, 0), 1), 4) AS dup_ngram_frac,
+        |  -- keep gate evaluates the ROUNDED fracs (same as the Spark side)
+        |  (round(CAST(coalesce(s.mx, 0) AS DOUBLE) /
+        |     greatest(coalesce(s.n, 0), 1), 4) < 0.10 AND
+        |   round(CAST(coalesce(s.dup, 0) AS DOUBLE) /
+        |     greatest(coalesce(s.n, 0), 1), 4) < 0.15) AS keep_rep
+        |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q25_top_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT w[i] || ' ' || w[i+1] AS ngram
+        |  FROM w, UNNEST(generate_series(1, greatest(len(w)-1, 0))) AS t(i))
+        |SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY 1
+        |ORDER BY n_occurrences DESC, ngram LIMIT 20""".stripMargin,
+    "q26_pii_scrub" -> piiScrubOracle,
+    "q37_decontamination" -> decontaminationOracle,
     "q20_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{CorpusStats, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.StreamingPipeline
 
 /** Semantics tests for the training-data operators (cross-engine
@@ -84,6 +84,76 @@ class OpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("InMemoryTableScan"),
       s"signature table must be cached, not recomputed per branch:\n$plan")
+  }
+
+  test("ngram repetition: known counts, degenerate docs, zero-shuffle plan") {
+    import spark.implicits._
+    // "a b a b a" → 2-grams [a b, b a, a b, b a]: n=4, max=2, dup=4
+    val d = Seq((1L, "a b a b a"), (2L, "x"), (3L, ""))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) === 4L)
+    assert(r(1L).getDouble(2) === 0.5)   // top frac 2/4
+    assert(r(1L).getDouble(3) === 1.0)   // dup frac 4/4
+    assert(!r(1L).getBoolean(4))
+    // <k tokens → zero n-grams, fracs 0, gate passes
+    Seq(2L, 3L).foreach { id =>
+      assert(r(id).getLong(1) === 0L && r(id).getDouble(2) === 0.0 &&
+        r(id).getBoolean(4))
+    }
+    val plan = TextAnalysis.repetitionStats(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"repetition stats must be a narrow map (no shuffle):\n$plan")
+  }
+
+  test("top ngrams: multiplicity counts, deterministic ties, top-k plan") {
+    import spark.implicits._
+    // "a b":3 total (twice in doc 1, once in doc 2); ties sort by ngram
+    val d = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val top = CorpusStats.topNgrams(d, k = 2, topN = 3).collect()
+    assert(top.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+    val plan = CorpusStats.topNgrams(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N must be a bounded heap, not a global sort:\n$plan")
+  }
+
+  test("pii scrub: emails/phones counted and redacted; hash of scrubbed text") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "write to alice@example.org or bob.smith@mail.co today"),
+      (2L, "call 555-0199 now"),
+      (3L, "clean text")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) === 2L && r(1L).getLong(2) === 0L)
+    assert(r(2L).getLong(1) === 0L && r(2L).getLong(2) === 1L)
+    assert(r(3L).getLong(1) === 0L && r(3L).getLong(2) === 0L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest("call [PHONE] now".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r(2L).getString(3) === expected)
+  }
+
+  test("decontamination: injected overlap found; eval side broadcast") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "one two three four five"),
+      (2L, "totally different words appear here now")).toDF("doc_id", "text")
+    val eval = Seq((100L, "one two three four five")).toDF("doc_id", "text")
+    val r = CorpusStats.decontaminate(train, eval, k = 3,
+      minOverlapFrac = 0.5).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 1L && r.head.getLong(1) === 100L &&
+      r.head.getDouble(2) === 1.0)
+    val plan = CorpusStats.decontaminate(docs, docs.limit(5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the small eval side must broadcast (corpus never shuffles " +
+        s"before the join):\n$plan")
   }
 
   test("connected components: cliques, long paths, separate clusters") {
