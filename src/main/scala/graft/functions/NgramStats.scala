@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.util.regex.Pattern
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -71,35 +69,14 @@ object NgramStats {
     StructField("max_count", LongType, nullable = false),
     StructField("dup_count", LongType, nullable = false)))
 
-  private val ws = Pattern.compile("\\s+")
-
-  /** SQL trim() semantics (spaces only) — same contract as
-    * WordShingles.trimSpaces; kept in sync with the DuckDB oracle. */
-  private def trimSpaces(s: String): String = {
-    var a = 0
-    var b = s.length
-    while (a < b && s.charAt(a) == ' ') a += 1
-    while (b > a && s.charAt(b - 1) == ' ') b -= 1
-    s.substring(a, b)
-  }
-
-  /** split limit -1 keeps trailing empty tokens — matches Spark's
-    * built-in split() and DuckDB string_split_regex (see the
-    * WordShingles.compute note). */
+  // tokenization + gram building delegate to WordShingles — the single
+  // home of the oracle-contract trim/split(-1) semantics
   private def tokens(text: UTF8String): Array[String] =
-    ws.split(trimSpaces(text.toString), -1)
+    WordShingles.tokenize(text)
 
   private def gram(words: Array[String], i: Int, k: Int,
-      sb: java.lang.StringBuilder): String = {
-    sb.setLength(0)
-    var j = 0
-    while (j < k) {
-      if (j > 0) sb.append(' ')
-      sb.append(words(i + j))
-      j += 1
-    }
-    sb.toString
-  }
+      sb: java.lang.StringBuilder): String =
+    WordShingles.joinGram(words, i, k, sb)
 
   /** Java-callable entry for generated code: all k-grams in order. */
   def ngrams(text: UTF8String, k: Int): ArrayData = {

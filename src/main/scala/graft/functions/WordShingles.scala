@@ -52,7 +52,9 @@ object WordShingles {
     s.substring(a, b)
   }
 
-  /** Java-callable entry for generated code.
+  /** THE oracle-contract tokenization, shared by every word-gram
+    * expression (WordShingles, WordNgrams, NgramRepetition) so the
+    * trim/split semantics live in exactly one place.
     *
     * split limit is -1: trailing empty tokens are KEPT, matching both
     * Spark's built-in split() and DuckDB's string_split_regex (the
@@ -61,22 +63,32 @@ object WordShingles {
     * spaces) would otherwise produce a different shingle set here than
     * in the oracle.
     */
+  private[functions] def tokenize(text: UTF8String): Array[String] =
+    ws.split(trimSpaces(text.toString), -1)
+
+  /** k consecutive words joined with single spaces, reusing sb. */
+  private[functions] def joinGram(words: Array[String], i: Int, k: Int,
+      sb: java.lang.StringBuilder): String = {
+    sb.setLength(0)
+    var j = 0
+    while (j < k) {
+      if (j > 0) sb.append(' ')
+      sb.append(words(i + j))
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** Java-callable entry for generated code. */
   def compute(text: UTF8String, k: Int): ArrayData = {
-    val words = ws.split(trimSpaces(text.toString), -1)
+    val words = tokenize(text)
     if (words.length < k) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](words.length * 2)
     var i = 0
     val last = words.length - k
     val sb = new java.lang.StringBuilder
     while (i <= last) {
-      sb.setLength(0)
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(i + j))
-        j += 1
-      }
-      seen.add(sb.toString)
+      seen.add(joinGram(words, i, k, sb))
       i += 1
     }
     val out = new Array[Any](seen.size)

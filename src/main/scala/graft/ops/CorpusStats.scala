@@ -45,10 +45,17 @@ object CorpusStats {
     * aggregation of matched pairs only. Training docs sharing no
     * shingle with any eval doc (the overwhelming majority) are dropped
     * by the join before the shuffle.
+    *
+    * broadcastEval is a hard hint that bypasses
+    * autoBroadcastJoinThreshold — the CALLER asserts the eval side is
+    * executor-memory-small (a benchmark set, not a corpus slice). Pass
+    * false for a large eval side to fall back to a shuffled hash join
+    * with AQE sizing instead of a multi-GB broadcast.
     */
   def decontaminate(
       train: DataFrame, eval: DataFrame, k: Int = 3,
-      minOverlapFrac: Double = 0.05): DataFrame = {
+      minOverlapFrac: Double = 0.05,
+      broadcastEval: Boolean = true): DataFrame = {
     // per-doc shingle count rides along through the explode (it is a
     // function of doc_id), so no separate corpus-wide sizes aggregation
     // and no join-back are needed
@@ -60,7 +67,8 @@ object CorpusStats {
     val evalSh = Dedup.shingles(eval, k)
       .withColumnRenamed("doc_id", "eval_id")
     trainSh
-      .join(broadcast(evalSh), Seq("shingle"))
+      .join(if (broadcastEval) broadcast(evalSh) else evalSh,
+        Seq("shingle"))
       .groupBy("doc_id", "eval_id", "n_sh")
       .agg(count(lit(1)).as("n_shared"))
       .select(

@@ -81,9 +81,13 @@ object TextAnalysis {
     * 2-grams: fraction of 2-gram occurrences taken by the single most
     * frequent 2-gram, fraction in any repeated 2-gram, and a keep-gate
     * like pretraining repetition filters. One codegen'd hash-count pass
-    * per row (graft.functions.NgramRepetition) — zero shuffle. */
+    * per row (graft.functions.NgramRepetition) — zero shuffle.
+    * NULL text counts as an empty document (0 n-grams, gate passes) —
+    * the same convention the DuckDB oracle's LEFT JOIN + coalesce
+    * produces, so nullable corpora stay bit-identical. */
   def repetitionStats(docs: DataFrame, k: Int = 2): DataFrame = {
-    val st = graft.functions.ngram_repetition(col("text"), k)
+    val st = graft.functions.ngram_repetition(
+      coalesce(col("text"), lit("")), k)
     docs
       .select(col("doc_id"), st.as("st"))
       .select(

@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.ops.{CorpusStats, Dedup, Similarity, TextAnalysis}
 
 /** Training-data pipeline queries over documents/embeddings, each with
-  * a DuckDB oracle where the operator is SQL-expressible (exceptions:
-  * simhash and hyperplane-LSH use engine-specific hashing → rows-only
-  * checks).
+  * a bit-exact DuckDB oracle — including the hash/LSH operators: the
+  * SimHash token hash is md5-derived and the hyperplanes are literal
+  * matrices, so DuckDB reproduces signatures and buckets exactly.
   */
 object TrainingDataQueries {
 
@@ -52,15 +52,22 @@ object TrainingDataQueries {
     TextAnalysis.piiScrub(corpus).orderBy("doc_id")
   }
 
-  /** Decontamination demo: eval set = every 97th doc; training corpus
-    * = the rest plus a contaminated stripe (each eval doc re-keyed as
-    * doc_id+200000 — guaranteed overlap 1.0), flagging train docs with
-    * ≥5% 3-shingle overlap against any eval doc. */
+  /** Decontamination demo: eval set = every 97th doc CAPPED at id <
+    * 100000 (the cap keeps the broadcast eval side bounded regardless
+    * of scale factor, like a real benchmark set); training corpus =
+    * the rest plus a contaminated stripe (each eval doc re-keyed with
+    * a 10^12 offset — far above any generated doc_id, so re-keyed ids
+    * can never collide with real train ids at any sf — guaranteed
+    * overlap 1.0), flagging train docs with ≥5% 3-shingle overlap
+    * against any eval doc. */
   def decontamination(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
-    val eval = d.filter(pmod(col("doc_id"), lit(97)) === 0)
-    val train = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-      .unionByName(eval.withColumn("doc_id", col("doc_id") + 200000L))
+    val eval = d.filter(
+      pmod(col("doc_id"), lit(97)) === 0 && col("doc_id") < 100000L)
+    val train = d.filter(
+        pmod(col("doc_id"), lit(97)) =!= 0 || col("doc_id") >= 100000L)
+      .unionByName(
+        eval.withColumn("doc_id", col("doc_id") + 1000000000000L))
     CorpusStats.decontaminate(train, eval, k = 3, minOverlapFrac = 0.05)
       .orderBy("doc_id", "eval_id")
   }
@@ -277,12 +284,17 @@ object TrainingDataQueries {
   }
 
   /** q37: mirrors CorpusStats.decontaminate over the injected corpus —
-    * distinct 3-shingles, per-train-doc shingle counts, overlap frac. */
+    * distinct 3-shingles, per-train-doc shingle counts, overlap frac.
+    * Same eval cap (id < 100000) and collision-proof 10^12 re-key
+    * offset as the Spark side; the final filter compares the ROUNDED
+    * frac, matching Spark's round(...,6)-then-filter order. */
   private val decontaminationOracle: String =
     """WITH corpus AS (
-      |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 97 <> 0 OR doc_id >= 100000
       |  UNION ALL
-      |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 97 = 0),
+      |  SELECT doc_id + 1000000000000, text FROM documents
+      |  WHERE doc_id % 97 = 0 AND doc_id < 100000),
       |tw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
       |  FROM corpus),
       |tsh AS (SELECT DISTINCT doc_id,
@@ -290,7 +302,7 @@ object TrainingDataQueries {
       |  FROM tw, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS t(i)),
       |ew AS (SELECT doc_id AS eval_id,
       |    string_split_regex(trim(text), '\s+') AS w
-      |  FROM documents WHERE doc_id % 97 = 0),
+      |  FROM documents WHERE doc_id % 97 = 0 AND doc_id < 100000),
       |esh AS (SELECT DISTINCT eval_id,
       |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
       |  FROM ew, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS t(i)),
@@ -300,7 +312,7 @@ object TrainingDataQueries {
       |SELECT ov.doc_id, ov.eval_id,
       |  round(CAST(n_shared AS DOUBLE) / n_sh, 6) AS overlap_frac
       |FROM ov JOIN sz ON sz.doc_id = ov.doc_id
-      |WHERE CAST(n_shared AS DOUBLE) / n_sh >= 0.05
+      |WHERE round(CAST(n_shared AS DOUBLE) / n_sh, 6) >= 0.05
       |ORDER BY ov.doc_id, ov.eval_id""".stripMargin
 
   val oracles: Map[String, String] = Map(

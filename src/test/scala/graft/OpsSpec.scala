@@ -102,6 +102,14 @@ class OpsSpec extends AnyFunSuite {
       assert(r(id).getLong(1) === 0L && r(id).getDouble(2) === 0.0 &&
         r(id).getBoolean(4))
     }
+    // NULL text counts as an empty doc (oracle LEFT JOIN convention)
+    val withNull = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(9L, null)),
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string"))
+    val rn = TextAnalysis.repetitionStats(withNull).collect().head
+    assert(rn.getLong(1) === 0L && rn.getDouble(2) === 0.0 &&
+      rn.getBoolean(4))
     val plan = TextAnalysis.repetitionStats(docs)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
