@@ -40,6 +40,7 @@ object SparkEntry {
     "q24_repetition" -> (T.repetition(_, _)),
     "q25_top_ngrams" -> (T.topNgrams(_, _)),
     "q26_pii_scrub" -> (T.piiScrub(_, _)),
+    "q27_corpus_filter" -> (T.corpusFilter(_, _)),
     "q30_dedup_exact" -> (T.dedupExact(_, _)),
     "q31_ngram_jaccard" -> (T.ngramJaccard(_, _)),
     "q32_minhash_lsh" -> (T.minhashLsh(_, _)),

@@ -101,6 +101,36 @@ object TextAnalysis {
         col("top_ngram_frac") < 0.10 && col("dup_ngram_frac") < 0.15)
   }
 
+  /** Composite pretraining keep-filter: the language, quality, and
+    * repetition gates composed into ONE narrow pass over the scan —
+    * deliberately NOT a join of the three per-filter frames (three
+    * shuffles at corpus scale) but a fused select whose predicates all
+    * live in the same WholeStageCodegen span as the scan. Gate
+    * semantics are exactly [[qualityScore]].keep, [[repetitionStats]]
+    * .keep_rep and [[langGuess]] == "en"; the DuckDB oracle is
+    * composed from those operators' own oracles, so the composite
+    * cannot drift from its components. */
+  def corpusFilter(docs: DataFrame): DataFrame = {
+    val nTokens = size(tokens(col("text"))).cast("long")
+    val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("long")
+    val keepQuality = nTokens.between(10, 2000) &&
+      punct.cast("double") / greatest(nTokens, lit(1)) < 0.5
+    val st = graft.functions.ngram_repetition(
+      coalesce(col("text"), lit("")), 2)
+    val topF = round(st.getField("max_count").cast("double") /
+      greatest(st.getField("n_ngrams"), lit(1)), 4)
+    val dupF = round(st.getField("dup_count").cast("double") /
+      greatest(st.getField("n_ngrams"), lit(1)), 4)
+    val keepRep = topF < 0.10 && dupF < 0.15
+    val keepLang = langGuess(col("text")) === "en"
+    docs.select(
+      col("doc_id"),
+      keepQuality.as("keep_quality"),
+      keepRep.as("keep_rep"),
+      keepLang.as("keep_lang"),
+      (keepQuality && keepRep && keepLang).as("keep"))
+  }
+
   /** Email pattern shared by the scrub and its DuckDB oracle — kept to
     * the RE2-compatible subset (no backrefs/lookaround) so the same
     * pattern string runs in Java regex and DuckDB. */

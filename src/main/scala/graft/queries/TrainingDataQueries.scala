@@ -33,6 +33,9 @@ object TrainingDataQueries {
   def repetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, dir)).orderBy("doc_id")
 
+  def corpusFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusFilter(docs(s, dir)).orderBy("doc_id")
+
   def topNgrams(s: SparkSession, dir: String): DataFrame =
     CorpusStats.topNgrams(docs(s, dir), k = 2, topN = 20)
 
@@ -315,9 +318,8 @@ object TrainingDataQueries {
       |WHERE round(CAST(n_shared AS DOUBLE) / n_sh, 6) >= 0.05
       |ORDER BY ov.doc_id, ov.eval_id""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q24_repetition" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  private val repetitionOracle: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
         |  FROM documents),
         |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS ng
         |  FROM w, UNNEST(generate_series(1, greatest(len(w)-1, 0))) AS t(i)),
@@ -337,7 +339,54 @@ object TrainingDataQueries {
         |   round(CAST(coalesce(s.dup, 0) AS DOUBLE) /
         |     greatest(coalesce(s.n, 0), 1), 4) < 0.15) AS keep_rep
         |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin
+
+  private val langIdOracle: String =
+    s"""WITH f AS (SELECT doc_id, text,
+       |  ' ' || lower(text) || ' ' AS p,
+       |  greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS nt
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE
+       |    WHEN regexp_matches(text, '[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]') THEN 'cjk'
+       |    WHEN (${stopHitsSql("p")}) / nt >= 0.03 THEN 'en'
+       |    WHEN length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) /
+       |         CAST(greatest(length(text), 1) AS DOUBLE) >= 0.9 THEN 'latin_other'
+       |    ELSE 'other' END AS lang_guess
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  private val qualityOracle: String =
+    s"""WITH f AS (SELECT doc_id, text,
+       |  ' ' || lower(text) || ' ' AS p,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt,
+       |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS np
+       |  FROM documents)
+       |SELECT doc_id, nt AS n_tokens, np AS n_punct,
+       |  CAST(${stopHitsSql("p")} AS BIGINT) AS n_stopwords,
+       |  round(CAST(length(text) AS DOUBLE) / greatest(nt, 1), 4)
+       |    AS mean_token_len,
+       |  round(CAST(CAST(${stopHitsSql("p")} AS BIGINT) AS DOUBLE) /
+       |    greatest(nt, 1), 4) AS stopword_ratio,
+       |  (nt BETWEEN 10 AND 2000 AND
+       |   CAST(np AS DOUBLE) / greatest(nt, 1) < 0.5) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  /** q27: composed verbatim from the component oracles (q22 keep, q24
+    * keep_rep, q21 lang) — the composite cannot drift from them. */
+  private val corpusFilterOracle: String =
+    s"""SELECT q.doc_id,
+       |  q.keep AS keep_quality,
+       |  r.keep_rep AS keep_rep,
+       |  (l.lang_guess = 'en') AS keep_lang,
+       |  (q.keep AND r.keep_rep AND l.lang_guess = 'en') AS keep
+       |FROM ($qualityOracle) q
+       |JOIN ($repetitionOracle) r ON r.doc_id = q.doc_id
+       |JOIN ($langIdOracle) l ON l.doc_id = q.doc_id
+       |ORDER BY q.doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q24_repetition" -> repetitionOracle,
+    "q27_corpus_filter" -> corpusFilterOracle,
     "q25_top_ngrams" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
         |  FROM documents),
@@ -353,34 +402,8 @@ object TrainingDataQueries {
         |  CAST(length(text) AS BIGINT) AS n_chars_meas,
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q21_lang_id" ->
-      s"""WITH f AS (SELECT doc_id, text,
-         |  ' ' || lower(text) || ' ' AS p,
-         |  greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS nt
-         |  FROM documents)
-         |SELECT doc_id,
-         |  CASE
-         |    WHEN regexp_matches(text, '[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]') THEN 'cjk'
-         |    WHEN (${stopHitsSql("p")}) / nt >= 0.03 THEN 'en'
-         |    WHEN length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) /
-         |         CAST(greatest(length(text), 1) AS DOUBLE) >= 0.9 THEN 'latin_other'
-         |    ELSE 'other' END AS lang_guess
-         |FROM f ORDER BY doc_id""".stripMargin,
-    "q22_quality" ->
-      s"""WITH f AS (SELECT doc_id, text,
-         |  ' ' || lower(text) || ' ' AS p,
-         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt,
-         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS np
-         |  FROM documents)
-         |SELECT doc_id, nt AS n_tokens, np AS n_punct,
-         |  CAST(${stopHitsSql("p")} AS BIGINT) AS n_stopwords,
-         |  round(CAST(length(text) AS DOUBLE) / greatest(nt, 1), 4)
-         |    AS mean_token_len,
-         |  round(CAST(CAST(${stopHitsSql("p")} AS BIGINT) AS DOUBLE) /
-         |    greatest(nt, 1), 4) AS stopword_ratio,
-         |  (nt BETWEEN 10 AND 2000 AND
-         |   CAST(np AS DOUBLE) / greatest(nt, 1) < 0.5) AS keep
-         |FROM f ORDER BY doc_id""".stripMargin,
+    "q21_lang_id" -> langIdOracle,
+    "q22_quality" -> qualityOracle,
     "q23_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

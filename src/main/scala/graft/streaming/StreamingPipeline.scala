@@ -122,6 +122,27 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Streaming exact dedup: drop documents whose canonical-form
+    * fingerprint (graft.ops.TextAnalysis.fingerprint — lowercase,
+    * whitespace-collapsed md5) was already seen within the watermark —
+    * the streaming twin of the batch exact-dedup operator for
+    * continuously-arriving training data.
+    *
+    * dropDuplicatesWithinWatermark (not dropDuplicates) bounds the
+    * dedup state: plain streaming dropDuplicates keeps EVERY key
+    * forever (unbounded state at corpus scale); the watermarked form
+    * evicts keys once the event-time watermark passes, trading
+    * cross-window duplicate detection for O(watermark-width) state —
+    * the standard streaming-dedup contract. Input needs (doc_id, text,
+    * ts: timestamp).
+    */
+  def streamingDedup(
+      docs: DataFrame, watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("fp", graft.ops.TextAnalysis.fingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Run a streaming query to completion over the (static) input dir
     * using the memory sink — local smoke harness for the streaming
     * plan; on a cluster the sink would be the routed Iceberg tables. */

@@ -116,6 +116,27 @@ class OpsSpec extends AnyFunSuite {
       s"repetition stats must be a narrow map (no shuffle):\n$plan")
   }
 
+  test("corpus filter: fused gates equal joined components; zero-shuffle plan") {
+    val fused = TextAnalysis.corpusFilter(docs)
+    val joined = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("keep").as("keep_quality"))
+      .join(TextAnalysis.repetitionStats(docs)
+        .select(col("doc_id"), col("keep_rep")), "doc_id")
+      .join(TextAnalysis.langId(docs)
+        .select(col("doc_id"),
+          (col("lang_guess") === "en").as("keep_lang")), "doc_id")
+      .select(col("doc_id"), col("keep_quality"), col("keep_rep"),
+        col("keep_lang"),
+        (col("keep_quality") && col("keep_rep") && col("keep_lang"))
+          .as("keep"))
+    assert(fused.exceptAll(joined).count() === 0L)
+    assert(joined.exceptAll(fused).count() === 0L)
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"the composite filter must stay one narrow pass (no joins, no " +
+        s"shuffle):\n$plan")
+  }
+
   test("top ngrams: multiplicity counts, deterministic ties, top-k plan") {
     import spark.implicits._
     // "a b":3 total (twice in doc 1, once in doc 2); ties sort by ngram
@@ -285,6 +306,34 @@ class OpsSpec extends AnyFunSuite {
     val s2 = streamed.orderBy("window_start", "event_type")
     assert(batch.exceptAll(s2).count() === 0L)
     assert(s2.exceptAll(batch).count() === 0L)
+  }
+
+  test("streaming dedup: duplicate fingerprints dropped across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String, Long)]
+    val stream = StreamingPipeline.streamingDedup(
+      src.toDF().toDF("doc_id", "text", "ts_ms")
+        .withColumn("ts", timestamp_millis(col("ts_ms"))))
+    val q = stream.writeStream.format("memory")
+      .queryName("dedup_stream").outputMode("append").start()
+    val t0 = 1700000000000L
+    // batch 1: two distinct docs + an in-batch duplicate (case/space
+    // variant — the canonical fingerprint must catch it)
+    src.addData((1L, "hello world", t0), (2L, "HELLO   world", t0 + 1000),
+      (3L, "something else", t0 + 2000))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate within the watermark + a new doc
+    src.addData((4L, "hello world", t0 + 3000), (5L, "fresh text", t0 + 4000))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_stream").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept.contains(3L) && kept.contains(5L))
+    // exactly one of the "hello world" family survives
+    assert(Set(1L, 2L, 4L).intersect(kept).size === 1)
+    assert(kept.size === 3)
   }
 
   test("streaming parse→route: equals batch, restart resumes from checkpoint") {
