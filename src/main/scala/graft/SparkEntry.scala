@@ -30,6 +30,7 @@ object SparkEntry {
     "q04_enrich_tool_category" -> (P.enrichToolCategory(_, _)),
     "q05_event_windows" -> (P.eventWindows(_, _)),
     "q06_text_checksum" -> (P.textChecksum(_, _)),
+    "q07_asof_rates" -> (P.asofRates(_, _)),
     "q10_tpch_q1" -> (A.tpchQ1(_, _)),
     "q11_orders_by_segment" -> (A.ordersBySegment(_, _)),
     "q12_top_brands" -> (A.topBrands(_, _)),
@@ -41,6 +42,7 @@ object SparkEntry {
     "q25_top_ngrams" -> (T.topNgrams(_, _)),
     "q26_pii_scrub" -> (T.piiScrub(_, _)),
     "q27_corpus_filter" -> (T.corpusFilter(_, _)),
+    "q28_stratified_sample" -> (T.stratifiedSample(_, _)),
     "q30_dedup_exact" -> (T.dedupExact(_, _)),
     "q31_ngram_jaccard" -> (T.ngramJaccard(_, _)),
     "q32_minhash_lsh" -> (T.minhashLsh(_, _)),

@@ -38,6 +38,11 @@ package object functions {
   def render_light_md(text: Column): Column =
     c(RenderLightMarkdown(e(text)))
 
+  /** Latest value at-or-before a timestamp from a sorted change
+    * history (codegen'd binary search). */
+  def asof_lookup(history: Column, ts: Column): Column =
+    c(AsofLookup(e(history), e(ts)))
+
   /** Whole-conversation extraction from one raw export JSON line
     * (codegen'd single-pass scanner; null for corrupt lines). */
   def extract_conversation(line: Column): Column =

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level statistics and cross-corpus checks for training-data
@@ -30,6 +30,31 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(topN)
+
+  /** Deterministic md5-bucket in [0, 4096) of a key column — the
+    * portable sampling hash (same value in DuckDB:
+    * CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 3) AS INT)). */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 3), 16, 10)
+      .cast("int")
+
+  /** Reproducible (stratified) sampling: keep a row iff its key's
+    * md5-bucket falls under rate·4096. `rate` may be any per-row
+    * Column (a constant, or a per-stratum CASE on source/lang — that
+    * IS stratified sampling / corpus mixing).
+    *
+    * Hash sampling, not rand(): a narrow zero-shuffle map that is
+    * deterministic across engines (DuckDB oracle reproduces the exact
+    * sample) AND across task retries — Spark re-executes failed tasks,
+    * and a rand()-based sample silently changes membership on retry,
+    * which at 100 TB means non-reproducible training corpora. The
+    * same-key-same-fate property also keeps duplicated docs together
+    * when keying by fingerprint.
+    */
+  def hashSample(df: DataFrame, key: Column, rate: Column): DataFrame =
+    // explicit floor: DuckDB's CAST(x AS INT) rounds-half-even while
+    // Spark's cast truncates — floor is the portable threshold
+    df.filter(hashBucket(key) < floor(rate * 4096).cast("int"))
 
   /** Benchmark decontamination: flag training documents whose distinct
     * word k-shingle sets overlap an evaluation document's by at least

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators for log/telemetry pipelines — principally
+  * the AS-OF join ("attach the latest dimension state at-or-before
+  * each fact row's timestamp"), which Spark has no native operator for
+  * (a `r.ts <= e.ts` theta join explodes into a nested loop). Two
+  * implementations with opposite scale profiles:
+  *
+  *  - [[asofJoinBroadcast]] — right side is a DIMENSION (config/rate
+  *    change history, bounded size): per-key history collapses into
+  *    one ts-sorted array row, broadcast; the fact side is NEVER
+  *    shuffled and each row does one compiled O(log n) binary search
+  *    (graft.functions.AsofLookup). Immune to key skew.
+  *  - [[asofJoinMerge]] — right side is LARGE but the key is
+  *    high-cardinality (per-user / per-conversation state): union both
+  *    sides tagged, ONE shuffle on the key, and a single window pass
+  *    carries the last change value forward onto fact rows. Classic
+  *    sorted-merge as-of; key cardinality provides the parallelism, so
+  *    do NOT use it for low-cardinality keys (one window partition per
+  *    key = one task per key).
+  *
+  * Both give identical `<=` semantics (a change at exactly the fact's
+  * timestamp IS visible); equality is asserted in OpsSpec. Callers
+  * must dedup the change side to one row per (key, ts) first — with
+  * duplicates the merge variant's pick among equal timestamps is
+  * unspecified.
+  */
+object Temporal {
+
+  /** Broadcast-dimension as-of join. Adds `valCol` (nullable — null
+    * when the key has no change at-or-before the row's ts, or no
+    * changes at all) to `facts`. `changes` needs (key, tsCol, valCol)
+    * with valCol double. */
+  def asofJoinBroadcast(
+      facts: DataFrame, changes: DataFrame, key: String,
+      tsCol: String, valCol: String): DataFrame = {
+    val dim = changes
+      .filter(col(tsCol).isNotNull)
+      .groupBy(key)
+      // struct sorts by field order → ts-ascending history
+      .agg(array_sort(collect_list(struct(col(tsCol).as("ts"),
+        col(valCol).as("v")))).as("_changes"))
+    facts.join(broadcast(dim), Seq(key), "left")
+      .withColumn(valCol,
+        graft.functions.asof_lookup(col("_changes"), col(tsCol)))
+      .drop("_changes")
+  }
+
+  /** Sorted-merge as-of join for high-cardinality keys: one shuffle on
+    * `key`, change rows sort before fact rows at equal ts (side 0 < 1)
+    * so `<=` semantics fall out of last(ignoreNulls) over the ordered
+    * window. */
+  def asofJoinMerge(
+      facts: DataFrame, changes: DataFrame, key: String,
+      tsCol: String, valCol: String): DataFrame = {
+    require(!facts.columns.contains("_side"),
+      "facts must not already have a _side column")
+    val tagged = facts
+      .withColumn("_side", lit(1))
+      .unionByName(
+        changes.select(col(key), col(tsCol), col(valCol).as("_chg"))
+          .withColumn("_side", lit(0)),
+        allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("_side"))
+    tagged
+      .withColumn(valCol, last(col("_chg"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side", "_chg")
+  }
+}

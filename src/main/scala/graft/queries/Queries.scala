@@ -72,6 +72,26 @@ object PipelineQueries {
           .as("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** AS-OF join: attach to every event the latest "rate" in force at
+    * its timestamp — the rate-change dimension is derived
+    * deterministically from the stream itself (every 50th event sets
+    * its type's rate). Uses the broadcast as-of variant
+    * (graft.ops.Temporal): the 10^12-row fact side never shuffles;
+    * the oracle is DuckDB's native ASOF LEFT JOIN. */
+  def asofRates(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_ms", unix_millis(col("ts").cast("timestamp")))
+    val changes = ev
+      .filter(pmod(col("event_id"), lit(50)) === 0)
+      .groupBy(col("event_type"), col("ts_ms"))
+      .agg(max(col("value")).as("rate"))
+    graft.ops.Temporal.asofJoinBroadcast(
+        ev.select("event_id", "ts_ms", "event_type", "value"),
+        changes, key = "event_type", tsCol = "ts_ms", valCol = "rate")
+      .select("event_id", "ts_ms", "event_type", "value", "rate")
+      .orderBy("event_id")
+  }
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -158,6 +178,15 @@ object Oracles {
         |  event_type, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q07_asof_rates" ->
+      """WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms, event_type,
+        |    value FROM events),
+        |r AS (SELECT event_type, epoch_ms(ts) AS ts_ms, max(value) AS rate
+        |  FROM events WHERE event_id % 50 = 0 GROUP BY 1, 2)
+        |SELECT e.event_id, e.ts_ms, e.event_type, e.value, r.rate
+        |FROM e ASOF LEFT JOIN r
+        |  ON e.event_type = r.event_type AND e.ts_ms >= r.ts_ms
+        |ORDER BY e.event_id""".stripMargin,
     "q06_text_checksum" ->
       s"""WITH t AS ($T)
          |SELECT role, count(*) AS n_rows,

@@ -39,6 +39,21 @@ object TrainingDataQueries {
   def topNgrams(s: SparkSession, dir: String): DataFrame =
     CorpusStats.topNgrams(docs(s, dir), k = 2, topN = 20)
 
+  /** Stratified corpus sampling / mixing: per-source keep rates (the
+    * source index mod 4 picks 10% / 25% / 50% / 100%), realized as a
+    * deterministic md5-bucket filter so the exact sample reproduces in
+    * DuckDB and across task retries. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val srcIdx = substring(col("source"), 4, 10).cast("int")
+    val rate = when(pmod(srcIdx, lit(4)) === 0, 0.1)
+      .when(pmod(srcIdx, lit(4)) === 1, 0.25)
+      .when(pmod(srcIdx, lit(4)) === 2, 0.5)
+      .otherwise(1.0)
+    CorpusStats.hashSample(
+        docs(s, dir).select("doc_id", "source"), col("doc_id"), rate)
+      .orderBy("doc_id")
+  }
+
   /** PII scrub over a corpus with a deterministic injected-PII stripe
     * (every 7th doc gains an email + phone) so redaction counts are
     * non-trivial — same pattern as q30's duplicate stripe. */
@@ -395,6 +410,14 @@ object TrainingDataQueries {
         |SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY 1
         |ORDER BY n_occurrences DESC, ngram LIMIT 20""".stripMargin,
     "q26_pii_scrub" -> piiScrubOracle,
+    "q28_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)
+        |        AS INT) <
+        |  CAST(floor((CASE CAST(substr(source, 4) AS INT) % 4
+        |    WHEN 0 THEN 0.1 WHEN 1 THEN 0.25 WHEN 2 THEN 0.5
+        |    ELSE 1.0 END) * 4096) AS INT)
+        |ORDER BY doc_id""".stripMargin,
     "q37_decontamination" -> decontaminationOracle,
     "q20_token_count" ->
       """SELECT doc_id,

@@ -185,6 +185,55 @@ class OpsSpec extends AnyFunSuite {
         s"before the join):\n$plan")
   }
 
+  test("as-of join: <= semantics, broadcast and merge variants agree") {
+    import spark.implicits._
+    import graft.ops.Temporal
+    val facts = Seq((1L, 100L, "a"), (2L, 200L, "a"), (3L, 50L, "a"),
+      (4L, 100L, "b"), (5L, 500L, "c"))
+      .toDF("event_id", "ts_ms", "key")
+    val changes = Seq(("a", 100L, 1.0), ("a", 150L, 2.0), ("b", 400L, 9.0))
+      .toDF("key", "ts_ms", "rate")
+    def rates(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Double]] =
+      df.collect().map { r =>
+        r.getAs[Long]("event_id") ->
+          Option(r.getAs[Any]("rate")).map(_.asInstanceOf[Double])
+      }.toMap
+    val b = Temporal.asofJoinBroadcast(facts, changes, "key", "ts_ms", "rate")
+    val expected = Map(
+      1L -> Some(1.0),  // change at EXACTLY the fact ts is visible (<=)
+      2L -> Some(2.0),  // latest of two past changes
+      3L -> None,       // all changes in the future
+      4L -> None,       // key exists, change in the future
+      5L -> None)       // key has no changes at all
+    assert(rates(b) === expected)
+    val m = Temporal.asofJoinMerge(facts, changes, "key", "ts_ms", "rate")
+    assert(rates(m) === expected)
+    // the broadcast variant must never shuffle the fact side: the only
+    // exchange in the plan belongs to the dimension's tiny aggregation
+    val plan = b.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"),
+      s"fact side must stay unshuffled behind a broadcast join:\n$plan")
+  }
+
+  test("hash sampling: deterministic, engine-portable bucket, rate edges") {
+    import graft.ops.CorpusStats
+    // 500 docs at sf0.001; expected counts pinned from the md5 definition
+    val half = CorpusStats.hashSample(docs, col("doc_id"), lit(0.5))
+    assert(half.count() === 250L)
+    assert(CorpusStats.hashSample(docs, col("doc_id"), lit(0.1)).count()
+      === 67L)
+    // re-evaluation returns the identical membership (retry-stable)
+    val a1 = half.select("doc_id").collect().map(_.getLong(0)).toSet
+    val a2 = CorpusStats.hashSample(docs, col("doc_id"), lit(0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a1 === a2)
+    assert(CorpusStats.hashSample(docs, col("doc_id"), lit(1.0)).count()
+      === docs.count())
+    assert(CorpusStats.hashSample(docs, col("doc_id"), lit(0.0)).count()
+      === 0L)
+  }
+
   test("connected components: cliques, long paths, separate clusters") {
     import spark.implicits._
     // two components: a triangle {1,2,3} and a pair {10,11}
