@@ -24,29 +24,46 @@ import org.apache.spark.sql.functions._
   *    key = one task per key).
   *
   * Both give identical `<=` semantics (a change at exactly the fact's
-  * timestamp IS visible); equality is asserted in OpsSpec. Callers
-  * must dedup the change side to one row per (key, ts) first — with
-  * duplicates the merge variant's pick among equal timestamps is
-  * unspecified.
+  * timestamp IS visible) and an identical null contract — change rows
+  * with a null key, null ts, or null value are IGNORED (a null-key
+  * fact never matches anything; DuckDB's ASOF JOIN agrees); equality
+  * is asserted in OpsSpec. Callers must dedup the change side to one
+  * row per (key, ts) first — with duplicates the merge variant's pick
+  * among equal timestamps is unspecified.
   */
 object Temporal {
+
+  private def cleanChanges(changes: DataFrame, key: String,
+      tsCol: String, valCol: String): DataFrame =
+    changes
+      .filter(col(key).isNotNull && col(tsCol).isNotNull &&
+        col(valCol).isNotNull)
+      // pin the kernel's expected physical layout (AsofLookup reads
+      // long/double slots; the merge window compares the same types)
+      .select(col(key), col(tsCol).cast("long").as(tsCol),
+        col(valCol).cast("double").as(valCol))
+
+  private def requireFree(facts: DataFrame, cols: String*): Unit =
+    cols.foreach(c => require(!facts.columns.contains(c),
+      s"facts must not already have a $c column"))
 
   /** Broadcast-dimension as-of join. Adds `valCol` (nullable — null
     * when the key has no change at-or-before the row's ts, or no
     * changes at all) to `facts`. `changes` needs (key, tsCol, valCol)
-    * with valCol double. */
+    * with valCol castable to double. */
   def asofJoinBroadcast(
       facts: DataFrame, changes: DataFrame, key: String,
       tsCol: String, valCol: String): DataFrame = {
-    val dim = changes
-      .filter(col(tsCol).isNotNull)
+    requireFree(facts, "_changes")
+    val dim = cleanChanges(changes, key, tsCol, valCol)
       .groupBy(key)
       // struct sorts by field order → ts-ascending history
       .agg(array_sort(collect_list(struct(col(tsCol).as("ts"),
         col(valCol).as("v")))).as("_changes"))
     facts.join(broadcast(dim), Seq(key), "left")
       .withColumn(valCol,
-        graft.functions.asof_lookup(col("_changes"), col(tsCol)))
+        graft.functions.asof_lookup(col("_changes"),
+          col(tsCol).cast("long")))
       .drop("_changes")
   }
 
@@ -57,17 +74,21 @@ object Temporal {
   def asofJoinMerge(
       facts: DataFrame, changes: DataFrame, key: String,
       tsCol: String, valCol: String): DataFrame = {
-    require(!facts.columns.contains("_side"),
-      "facts must not already have a _side column")
+    requireFree(facts, "_side", "_chg")
     val tagged = facts
       .withColumn("_side", lit(1))
       .unionByName(
-        changes.select(col(key), col(tsCol), col(valCol).as("_chg"))
+        cleanChanges(changes, key, tsCol, valCol)
+          .withColumnRenamed(valCol, "_chg")
           .withColumn("_side", lit(0)),
         allowMissingColumns = true)
     val w = Window.partitionBy(key).orderBy(col(tsCol), col("_side"))
     tagged
-      .withColumn(valCol, last(col("_chg"), ignoreNulls = true).over(w))
+      .withColumn(valCol,
+        // Window.partitionBy groups null keys together (unlike the
+        // broadcast join) — mask their facts back to null explicitly
+        when(col(key).isNull, lit(null).cast("double"))
+          .otherwise(last(col("_chg"), ignoreNulls = true).over(w)))
       .filter(col("_side") === 1)
       .drop("_side", "_chg")
   }

@@ -51,6 +51,30 @@ object TextAnalysis {
   def langId(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), langGuess(col("text")).as("lang_guess"))
 
+  /** The quality keep-gate — single definition shared by
+    * [[qualityScore]] and [[corpusFilter]]. */
+  private def keepQualityExpr(text: Column): Column = {
+    val nTokens = size(tokens(text)).cast("long")
+    val punct = regexp_count(text, lit("[.,!?;:]")).cast("long")
+    nTokens.between(10, 2000) &&
+      punct.cast("double") / greatest(nTokens, lit(1)) < 0.5
+  }
+
+  /** Rounded (top-frac, dup-frac) repetition signals — single
+    * definition shared by [[repetitionStats]] and [[corpusFilter]].
+    * NULL text counts as an empty document (see repetitionStats). */
+  private def repetitionFracs(text: Column, k: Int): (Column, Column) = {
+    val st = graft.functions.ngram_repetition(coalesce(text, lit("")), k)
+    def frac(f: String): Column =
+      round(st.getField(f).cast("double") /
+        greatest(st.getField("n_ngrams"), lit(1)), 4)
+    (frac("max_count"), frac("dup_count"))
+  }
+
+  /** Repetition keep-gate thresholds (Gopher-style). */
+  private val TopFracMax = 0.10
+  private val DupFracMax = 0.15
+
   /** Quality signals: token count, punctuation density, stopword ratio,
     * mean token length; boolean keep-gate like pretraining filters. */
   def qualityScore(docs: DataFrame): DataFrame = {
@@ -72,9 +96,7 @@ object TextAnalysis {
         greatest(nTokens, lit(1)), 4).as("mean_token_len"),
       round(stopHits.cast("double") / greatest(nTokens, lit(1)), 4)
         .as("stopword_ratio"),
-      (nTokens.between(10, 2000) &&
-        punct.cast("double") / greatest(nTokens, lit(1)) < 0.5)
-        .as("keep"))
+      keepQualityExpr(col("text")).as("keep"))
   }
 
   /** Gopher-style within-document repetition signals over word
@@ -88,17 +110,16 @@ object TextAnalysis {
   def repetitionStats(docs: DataFrame, k: Int = 2): DataFrame = {
     val st = graft.functions.ngram_repetition(
       coalesce(col("text"), lit("")), k)
+    val (topF, dupF) = repetitionFracs(col("text"), k)
     docs
-      .select(col("doc_id"), st.as("st"))
       .select(
         col("doc_id"),
-        col("st.n_ngrams").as("n_ngrams"),
-        round(col("st.max_count").cast("double") /
-          greatest(col("st.n_ngrams"), lit(1)), 4).as("top_ngram_frac"),
-        round(col("st.dup_count").cast("double") /
-          greatest(col("st.n_ngrams"), lit(1)), 4).as("dup_ngram_frac"))
+        st.getField("n_ngrams").as("n_ngrams"),
+        topF.as("top_ngram_frac"),
+        dupF.as("dup_ngram_frac"))
       .withColumn("keep_rep",
-        col("top_ngram_frac") < 0.10 && col("dup_ngram_frac") < 0.15)
+        col("top_ngram_frac") < TopFracMax &&
+          col("dup_ngram_frac") < DupFracMax)
   }
 
   /** Composite pretraining keep-filter: the language, quality, and
@@ -111,17 +132,9 @@ object TextAnalysis {
     * composed from those operators' own oracles, so the composite
     * cannot drift from its components. */
   def corpusFilter(docs: DataFrame): DataFrame = {
-    val nTokens = size(tokens(col("text"))).cast("long")
-    val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("long")
-    val keepQuality = nTokens.between(10, 2000) &&
-      punct.cast("double") / greatest(nTokens, lit(1)) < 0.5
-    val st = graft.functions.ngram_repetition(
-      coalesce(col("text"), lit("")), 2)
-    val topF = round(st.getField("max_count").cast("double") /
-      greatest(st.getField("n_ngrams"), lit(1)), 4)
-    val dupF = round(st.getField("dup_count").cast("double") /
-      greatest(st.getField("n_ngrams"), lit(1)), 4)
-    val keepRep = topF < 0.10 && dupF < 0.15
+    val keepQuality = keepQualityExpr(col("text"))
+    val (topF, dupF) = repetitionFracs(col("text"), 2)
+    val keepRep = topF < TopFracMax && dupF < DupFracMax
     val keepLang = langGuess(col("text")) === "en"
     docs.select(
       col("doc_id"),

@@ -208,6 +208,36 @@ class OpsSpec extends AnyFunSuite {
     assert(rates(b) === expected)
     val m = Temporal.asofJoinMerge(facts, changes, "key", "ts_ms", "rate")
     assert(rates(m) === expected)
+    // null contract: null-key / null-ts / null-value change rows are
+    // ignored by BOTH variants, and a null-key fact matches nothing
+    val dirtyChanges = changes.unionByName(
+      Seq((null.asInstanceOf[String], 10L, 7.0)).toDF("key", "ts_ms", "rate")
+        .unionByName(spark.createDataFrame(
+          java.util.List.of(
+            org.apache.spark.sql.Row("a", null, 8.0),
+            org.apache.spark.sql.Row("a", 120L, null)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("key",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("ts_ms",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("rate",
+              org.apache.spark.sql.types.DoubleType))))))
+    val dirtyFacts = facts.unionByName(
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(6L, 100L, null)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts_ms",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("key",
+            org.apache.spark.sql.types.StringType)))))
+    val expectedDirty = expected + (6L -> None)
+    assert(rates(Temporal.asofJoinBroadcast(
+      dirtyFacts, dirtyChanges, "key", "ts_ms", "rate")) === expectedDirty)
+    assert(rates(Temporal.asofJoinMerge(
+      dirtyFacts, dirtyChanges, "key", "ts_ms", "rate")) === expectedDirty)
     // the broadcast variant must never shuffle the fact side: the only
     // exchange in the plan belongs to the dimension's tiny aggregation
     val plan = b.queryExecution.executedPlan.toString
