@@ -43,6 +43,7 @@ object SparkEntry {
     "q26_pii_scrub" -> (T.piiScrub(_, _)),
     "q27_corpus_filter" -> (T.corpusFilter(_, _)),
     "q28_stratified_sample" -> (T.stratifiedSample(_, _)),
+    "q29_seq_pack" -> (T.seqPack(_, _)),
     "q30_dedup_exact" -> (T.dedupExact(_, _)),
     "q31_ngram_jaccard" -> (T.ngramJaccard(_, _)),
     "q32_minhash_lsh" -> (T.minhashLsh(_, _)),

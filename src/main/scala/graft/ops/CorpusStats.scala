@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level statistics and cross-corpus checks for training-data
@@ -30,6 +31,52 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(topN)
+
+  /** Contiguous sequence packing: assign every document to a
+    * fixed-token-budget training sequence by its running token offset
+    * within its stratum (source), ordered by doc_id — the
+    * corpus → training-sequences step after filtering/mixing.
+    * `seq_id = floor(tokens_before_this_doc / budget)`.
+    *
+    * Scale: the naive form — ONE window cumsum partitioned by source —
+    * is a skew trap (a stratum is a window partition, so one task must
+    * sort and scan the entire stratum; AQE cannot split a window
+    * partition). This is the two-pass DISTRIBUTED PREFIX SUM instead:
+    * docs bucket by doc-id range (bucket order == doc order, since
+    * floor(doc_id/bucketSize) is monotonic); pass 1 reduces the corpus
+    * to one row per (source, bucket) — a bounded table; pass 2 windows
+    * over THAT tiny table to get each bucket's starting offset and
+    * broadcast-joins it back, so the corpus-side window is confined to
+    * a (source, bucket) cell — per-task work bounded by bucketSize no
+    * matter how large the stratum. Equality with the naive single
+    * window is asserted in OpsSpec.
+    */
+  def packSequences(
+      docs: DataFrame, budgetTokens: Long = 2048,
+      bucketSize: Long = 1000): DataFrame = {
+    // q20's BPE-ish token estimate (~4 chars/token), integer-exact
+    val est = ceil(length(col("text")) / 4.0).cast("long")
+    val base = docs
+      .select(col("doc_id"), col("source"), est.as("est_tokens"))
+      .withColumn("bucket", floor(col("doc_id") / bucketSize))
+    val bucketSums = base.groupBy("source", "bucket")
+      .agg(sum("est_tokens").as("bucket_tokens"))
+    val wB = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketSums
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_tokens")).over(wB), lit(0L)))
+      .drop("bucket_tokens")
+    val wD = Window.partitionBy("source", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("tokens_before",
+        col("bucket_offset") +
+          coalesce(sum(col("est_tokens")).over(wD), lit(0L)))
+      .select(col("doc_id"), col("source"), col("est_tokens"),
+        floor(col("tokens_before") / budgetTokens.toDouble).cast("long")
+          .as("seq_id"))
+  }
 
   /** Deterministic md5-bucket in [0, 4096) of a key column — the
     * portable sampling hash (same value in DuckDB:

@@ -54,6 +54,10 @@ object TrainingDataQueries {
       .orderBy("doc_id")
   }
 
+  def seqPack(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.packSequences(docs(s, dir), budgetTokens = 2048,
+      bucketSize = 100).orderBy("doc_id")
+
   /** PII scrub over a corpus with a deterministic injected-PII stripe
     * (every 7th doc gains an email + phone) so redaction counts are
     * non-trivial — same pattern as q30's duplicate stripe. */
@@ -410,6 +414,19 @@ object TrainingDataQueries {
         |SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY 1
         |ORDER BY n_occurrences DESC, ngram LIMIT 20""".stripMargin,
     "q26_pii_scrub" -> piiScrubOracle,
+    "q29_seq_pack" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, est_tokens,
+        |    coalesce(sum(est_tokens) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS tokens_before
+        |  FROM d)
+        |SELECT doc_id, source, est_tokens,
+        |  CAST(floor(tokens_before / 2048.0) AS BIGINT) AS seq_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q28_stratified_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)

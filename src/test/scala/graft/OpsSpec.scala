@@ -264,6 +264,36 @@ class OpsSpec extends AnyFunSuite {
       === 0L)
   }
 
+  test("sequence packing: boundary semantics; two-pass equals naive window") {
+    import spark.implicits._
+    import graft.ops.CorpusStats
+    import org.apache.spark.sql.expressions.Window
+    // est_tokens = ceil(len/4): docs of 40 chars → 10 tokens each;
+    // budget 25 → tokens_before 0,10,20,30,40 → seq 0,0,0,1,1
+    val d = (0L to 4L).map(i => (i, "x" * 40, "s0")).toDF("doc_id", "text", "source")
+    val packed = CorpusStats.packSequences(d, budgetTokens = 25,
+      bucketSize = 2).orderBy("doc_id").collect()
+    assert(packed.map(_.getAs[Long]("seq_id")).toSeq ===
+      Seq(0L, 0L, 0L, 1L, 1L))
+    // two-pass distributed prefix sum == naive per-source window cumsum
+    val twoPass = CorpusStats.packSequences(docs, budgetTokens = 2048,
+      bucketSize = 100)
+    val est = ceil(length(col("text")) / 4.0).cast("long")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs
+      .select(col("doc_id"), col("source"), est.as("est_tokens"))
+      .withColumn("seq_id",
+        floor(coalesce(sum(col("est_tokens")).over(w), lit(0L)) / 2048.0)
+          .cast("long"))
+    assert(twoPass.exceptAll(naive).count() === 0L)
+    assert(naive.exceptAll(twoPass).count() === 0L)
+    // pass-2 offsets come back via a broadcast join, not a shuffle
+    val plan = twoPass.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast back to the corpus side:\n$plan")
+  }
+
   test("connected components: cliques, long paths, separate clusters") {
     import spark.implicits._
     // two components: a triangle {1,2,3} and a pair {10,11}
