@@ -44,21 +44,34 @@ object CorpusStats {
     * partition). This is the two-pass DISTRIBUTED PREFIX SUM instead:
     * docs bucket by doc-id range (bucket order == doc order, since
     * floor(doc_id/bucketSize) is monotonic); pass 1 reduces the corpus
-    * to one row per (source, bucket) — a bounded table; pass 2 windows
-    * over THAT tiny table to get each bucket's starting offset and
-    * broadcast-joins it back, so the corpus-side window is confined to
-    * a (source, bucket) cell — per-task work bounded by bucketSize no
-    * matter how large the stratum. Equality with the naive single
-    * window is asserted in OpsSpec.
+    * to one row per (source, bucket); pass 2 windows over that table
+    * to get each bucket's starting offset and broadcast-joins it back,
+    * so the corpus-side window is confined to a (source, bucket)
+    * cell. The result is bucketSize-invariant (asserted in OpsSpec
+    * against the naive single window).
+    *
+    * bucketSize defaults to AUTO (0): one cheap max(doc_id) agg sizes
+    * buckets so the offsets table stays ≤ 2^16 rows per id-space —
+    * i.e. broadcast stays a few MB and pass 2's per-source window
+    * scans ≤ 65536 rows, REGARDLESS of corpus size. A fixed bucketSize
+    * would instead grow the offsets table (and the broadcast) linearly
+    * with the id space. Null sources/ids are kept in their own
+    * partition (null-safe join), matching the window/oracle semantics.
     */
   def packSequences(
       docs: DataFrame, budgetTokens: Long = 2048,
-      bucketSize: Long = 1000): DataFrame = {
-    // q20's BPE-ish token estimate (~4 chars/token), integer-exact
-    val est = ceil(length(col("text")) / 4.0).cast("long")
+      bucketSize: Long = 0L): DataFrame = {
+    val bs =
+      if (bucketSize > 0) bucketSize
+      else {
+        val row = docs.agg(max(col("doc_id"))).head()
+        val maxId = if (row.isNullAt(0)) 0L else row.getLong(0)
+        math.max(1L, (maxId + (1L << 16)) >> 16)
+      }
     val base = docs
-      .select(col("doc_id"), col("source"), est.as("est_tokens"))
-      .withColumn("bucket", floor(col("doc_id") / bucketSize))
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.estBpeTokens(col("text")).as("est_tokens"))
+      .withColumn("bucket", floor(col("doc_id") / bs))
     val bucketSums = base.groupBy("source", "bucket")
       .agg(sum("est_tokens").as("bucket_tokens"))
     val wB = Window.partitionBy("source").orderBy("bucket")
@@ -66,10 +79,15 @@ object CorpusStats {
     val offsets = bucketSums
       .withColumn("bucket_offset",
         coalesce(sum(col("bucket_tokens")).over(wB), lit(0L)))
-      .drop("bucket_tokens")
+      .select(col("source").as("o_source"), col("bucket").as("o_bucket"),
+        col("bucket_offset"))
     val wD = Window.partitionBy("source", "bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    base.join(broadcast(offsets), Seq("source", "bucket"))
+    base.join(broadcast(offsets),
+        // null-safe: a null source (or id) forms its own partition in
+        // the window/oracle semantics; a plain equi-join would DROP it
+        base("source") <=> col("o_source") &&
+          base("bucket") <=> col("o_bucket"))
       .withColumn("tokens_before",
         col("bucket_offset") +
           coalesce(sum(col("est_tokens")).over(wD), lit(0L)))

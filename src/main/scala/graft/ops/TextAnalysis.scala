@@ -16,13 +16,17 @@ object TextAnalysis {
   /** Whitespace tokens of trimmed text. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** BPE-ish token-budget estimate (~4 chars/token on natural text) —
+    * the single definition shared by q20 and sequence packing (q29). */
+  def estBpeTokens(text: Column): Column =
+    ceil(length(text) / 4.0).cast("long")
+
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"),
       length(col("text")).cast("long").as("n_chars_meas"),
-      // BPE-ish budget estimate: ~4 chars/token on natural text
-      ceil(length(col("text")) / 4.0).cast("long").as("est_bpe_tokens"))
+      estBpeTokens(col("text")).as("est_bpe_tokens"))
 
   /** n-gram-free heuristic language ID:
     *  - CJK codepoints present → "cjk"

@@ -55,8 +55,8 @@ object TrainingDataQueries {
   }
 
   def seqPack(s: SparkSession, dir: String): DataFrame =
-    CorpusStats.packSequences(docs(s, dir), budgetTokens = 2048,
-      bucketSize = 100).orderBy("doc_id")
+    CorpusStats.packSequences(docs(s, dir), budgetTokens = 2048)
+      .orderBy("doc_id")
 
   /** PII scrub over a corpus with a deterministic injected-PII stripe
     * (every 7th doc gains an email + phone) so redaction counts are

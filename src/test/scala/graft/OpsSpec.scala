@@ -276,20 +276,32 @@ class OpsSpec extends AnyFunSuite {
     assert(packed.map(_.getAs[Long]("seq_id")).toSeq ===
       Seq(0L, 0L, 0L, 1L, 1L))
     // two-pass distributed prefix sum == naive per-source window cumsum
-    val twoPass = CorpusStats.packSequences(docs, budgetTokens = 2048,
-      bucketSize = 100)
-    val est = ceil(length(col("text")) / 4.0).cast("long")
+    // (corpus includes a null-source doc: it must form its own stratum,
+    // not be dropped by the offsets join)
+    val corpus = docs.unionByName(spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(90001L, "w " * 30, null, null, null)),
+      docs.schema))
+    def run(bucketSize: Long) = CorpusStats.packSequences(corpus,
+      budgetTokens = 2048, bucketSize = bucketSize)
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val naive = docs
-      .select(col("doc_id"), col("source"), est.as("est_tokens"))
+    val naive = corpus
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.estBpeTokens(col("text")).as("est_tokens"))
       .withColumn("seq_id",
         floor(coalesce(sum(col("est_tokens")).over(w), lit(0L)) / 2048.0)
           .cast("long"))
-    assert(twoPass.exceptAll(naive).count() === 0L)
-    assert(naive.exceptAll(twoPass).count() === 0L)
+    // result is bucketSize-invariant: explicit and auto-derived agree
+    Seq(100L, 0L).foreach { bs =>
+      val twoPass = run(bs)
+      assert(twoPass.exceptAll(naive).count() === 0L,
+        s"bucketSize=$bs diverges from naive")
+      assert(naive.exceptAll(twoPass).count() === 0L,
+        s"bucketSize=$bs misses rows vs naive")
+    }
     // pass-2 offsets come back via a broadcast join, not a shuffle
-    val plan = twoPass.queryExecution.executedPlan.toString
+    val plan = run(0L).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"bucket offsets must broadcast back to the corpus side:\n$plan")
   }
