@@ -77,6 +77,68 @@ object Similarity {
     ranked(pairs, k).orderBy(col("query_id"), col("rank"))
   }
 
+  /** TRAINED IVF: the production form of [[ivfTopK]] — instead of
+    * assuming a pre-existing cell column, the coarse quantizer is a
+    * k-means model (Spark MLlib, deterministic seed): centroids train
+    * distributed, every vector assigns to its nearest centroid (that
+    * assignment is the partition-pruning key a real deployment writes
+    * with), and each query probes its nProbe nearest cells —
+    * recall/cost dial: nProbe = nCells degrades gracefully to exact
+    * search (asserted equal to [[bruteForceTopK]] in OpsSpec), small
+    * nProbe touches ~nProbe/nCells of the corpus.
+    *
+    * Scale: training cost is independent of corpus size when fed a
+    * sample (a coarse quantizer needs only cluster geometry); the
+    * centroid table is nCells rows — broadcast everywhere; assignment
+    * and probing are narrow maps + one equi-join on cell. Not a
+    * `queries()` entry: k-means iterations aren't reasonably
+    * expressible as a DuckDB oracle — the nProbe=nCells == brute-force
+    * equality and measured-recall asserts stand in.
+    */
+  def ivfTrainedTopK(
+      embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
+      nCells: Int = 8, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings
+      .withColumn("fv", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(vecs)
+    val assigned = model.transform(vecs).drop("fv")
+    // centroids as float arrays: the VecDot/VecNorm2 kernels read
+    // float slots (same physical type as the embedding column)
+    val centDf = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+    // nProbe nearest cells per query by euclidean distance to centroid
+    // (k-means' own metric): |q|² is rank-constant, so argmin over
+    // |c|² - 2·q·c suffices
+    val q0 = withNorm(assigned.filter(col("vec_id") < nQueries),
+      "embedding", "nq")
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("nq"))
+    val wP = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist2"), col("cell"))
+    val probes = q0.join(broadcast(centDf))
+      .withColumn("dist2",
+        graft.functions.vec_norm2(col("centroid")) -
+          lit(2.0) * graft.functions.vec_dot(col("qe"), col("centroid")))
+      .withColumn("probe_rank", row_number().over(wP))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("qe"), col("nq"), col("cell"))
+    val c = withNorm(assigned, "embedding", "nc")
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"), col("nc"), col("cell"))
+    val pairs = c.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosPrecomputed("qe", "ce", "nq", "nc"))
+    ranked(pairs, k).orderBy(col("query_id"), col("rank"))
+  }
+
   /** Random-hyperplane LSH: nPlanes sign bits → bucket; candidates
     * share a bucket; exact cosine re-rank within buckets. May return
     * fewer than k neighbors for sparse buckets (standard ANN recall

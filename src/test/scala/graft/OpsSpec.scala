@@ -388,6 +388,26 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.keySet === brute.keySet)
   }
 
+  test("trained IVF: nProbe=nCells degrades to exact; partial probe recall") {
+    val brute = Similarity.bruteForceTopK(embs, k = 5, nQueries = 10)
+    // probing every cell is exhaustive search — identical result set
+    // regardless of what centroids k-means learned
+    val full = Similarity.ivfTrainedTopK(embs, k = 5, nQueries = 10,
+      nCells = 8, nProbe = 8)
+    assert(full.exceptAll(brute).count() === 0L)
+    assert(brute.exceptAll(full).count() === 0L)
+    // partial probe: measured recall@5 against the exact answer
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probe2 = pairs(Similarity.ivfTrainedTopK(embs, k = 5,
+      nQueries = 10, nCells = 8, nProbe = 2))
+    val recall = probe2.intersect(pairs(brute)).size.toDouble /
+      pairs(brute).size
+    assert(recall >= 0.5,
+      s"nProbe=2/8 recall@5 fell to $recall — probing is broken")
+  }
+
   test("ANN LSH returns ranked candidates from shared buckets") {
     val res = Similarity.lshTopK(embs, nPlanes = 4, k = 5, nQueries = 3)
       .collect()
