@@ -143,6 +143,41 @@ object StreamingPipeline {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-stream INTERVAL join (attribution): pair each right-side
+    * event with same-key left-side events that happened within maxLag
+    * BEFORE it (l.ts ∈ [r.ts - maxLag, r.ts]) — e.g. purchases joined
+    * to the clicks that preceded them within an hour.
+    *
+    * Both sides are watermarked and the join condition bounds event
+    * time in BOTH directions, which is what lets Structured Streaming
+    * evict join state: a left row is dropped from state once the
+    * right-side watermark passes l.ts + maxLag, so state is
+    * O(rate × (maxLag + watermark)) — without the time bound a
+    * stream-stream inner join must buffer both streams forever.
+    * Output columns: key, l_id, r_id, lag_ms. The streamed result
+    * equals the equivalent batch range join (asserted in OpsSpec).
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      maxLag: String = "1 hour", watermark: String = "2 hours")
+      : DataFrame = {
+    val l = left
+      .select(col(key).as("l_key"), col("id").as("l_id"),
+        col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right
+      .select(col(key).as("r_key"), col("id").as("r_id"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+        col("l_key") === col("r_key") &&
+          col("l_ts") <= col("r_ts") &&
+          col("l_ts") >= col("r_ts") - expr(s"interval $maxLag"))
+      .select(col("l_key").as(key), col("l_id"), col("r_id"),
+        (unix_millis(col("r_ts")) - unix_millis(col("l_ts")))
+          .as("lag_ms"))
+  }
+
   /** Run a streaming query to completion over the (static) input dir
     * using the memory sink — local smoke harness for the streaming
     * plan; on a cluster the sink would be the routed Iceberg tables. */

@@ -477,6 +477,54 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.size === 3)
   }
 
+  test("streaming interval join: streamed equals batch range join") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val hour = 3600L * 1000
+    // clicks (left) and purchases (right) per user; purchases attribute
+    // to clicks within the preceding hour
+    val clicks = Seq(
+      (1L, 10L, t0), (1L, 11L, t0 + hour / 2), // both within p100's hour
+      (2L, 20L, t0),                           // too old for p200
+      (3L, 30L, t0 + hour))                    // after p300 → no match
+    val purchases = Seq(
+      (1L, 100L, t0 + hour),         // matches clicks 10 (edge) and 11
+      (2L, 200L, t0 + 2 * hour),     // click 20 is 2h old → no match
+      (3L, 300L, t0 + hour / 2))     // before click 30 → no match
+    def df(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("user_id", "id", "ts_ms")
+        .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms")
+    val expected = StreamingPipeline.intervalJoin(
+      df(clicks), df(purchases), "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(expected === Set(
+      (1L, 10L, 100L, hour), (1L, 11L, 100L, hour / 2)))
+    val srcL = MemoryStream[(Long, Long, Long)]
+    val srcR = MemoryStream[(Long, Long, Long)]
+    def sdf(src: MemoryStream[(Long, Long, Long)]) =
+      src.toDF().toDF("user_id", "id", "ts_ms")
+        .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms")
+    val q = StreamingPipeline.intervalJoin(sdf(srcL), sdf(srcR), "user_id")
+      .writeStream.format("memory").queryName("interval_join")
+      .outputMode("append").start()
+    // deliver across separate micro-batches to exercise join state
+    srcL.addData(clicks.take(2): _*)
+    q.processAllAvailable()
+    srcR.addData(purchases.head)
+    srcL.addData(clicks.drop(2): _*)
+    q.processAllAvailable()
+    srcR.addData(purchases.tail: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("interval_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed === expected)
+  }
+
   test("streaming parse→route: equals batch, restart resumes from checkpoint") {
     val work = java.nio.file.Files.createTempDirectory("graft-spr")
     val rawDir = s"$work/raw"
