@@ -9,9 +9,9 @@ class QueriesSmokeSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   /** Keys intentionally without a DuckDB oracle (non-SQL-expressible);
-    * driver records a weaker rows-only check for these. */
-  private val oracleExempt: Set[String] =
-    Set("q33_simhash_pairs", "q42_ann_lsh")
+    * driver records a weaker rows-only check for these. Empty since
+    * round 2: every registered query is oracle-checked. */
+  private val oracleExempt: Set[String] = Set.empty
 
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -22,6 +22,27 @@ class QueriesSmokeSpec extends AnyFunSuite {
       val df = fn(spark, sfDir)
       assert(df.count() > 0, s"$name returned no rows")
     }
+  }
+
+  test("no query plans a nested-loop or cartesian join (scale guard)") {
+    // the sweeping version of the per-operator plan assertions: any
+    // future query that sneaks a theta join / missing equi-key past
+    // review fails here, not at 100 TB. q40 is the ONE intentional
+    // exception: brute-force ANN evaluates every (query, candidate)
+    // pair by definition — its BroadcastNestedLoopJoin over the tiny
+    // broadcast query side IS the operator (the exact-search baseline
+    // the approximate paths are measured against).
+    val intentionalAllPairs = Set("q40_ann_brute")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => intentionalAllPairs(q._1)).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val bad = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
+          .filter(plan.contains)
+        if (bad.nonEmpty) Some(s"$name: ${bad.mkString(", ")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"scale-killer join shapes found:\n${offenders.mkString("\n")}")
   }
 
   test("every query has an oracle or an explicit exemption") {
