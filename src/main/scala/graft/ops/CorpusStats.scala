@@ -50,10 +50,13 @@ object CorpusStats {
     * cell. The result is bucketSize-invariant (asserted in OpsSpec
     * against the naive single window).
     *
-    * bucketSize defaults to AUTO (0): one cheap max(doc_id) agg sizes
-    * buckets so the offsets table stays ≤ 2^16 rows per id-space —
-    * i.e. broadcast stays a few MB and pass 2's per-source window
-    * scans ≤ 65536 rows, REGARDLESS of corpus size. A fixed bucketSize
+    * bucketSize defaults to AUTO (0): one cheap agg reads max(doc_id)
+    * and the source cardinality, then sizes buckets so the offsets
+    * table — one row per OCCUPIED (source, bucket) pair, worst case
+    * nSources × nBuckets when sources interleave across the id space
+    * (exactly what corpus mixing produces) — stays ≤ ~2^16 rows: the
+    * broadcast is a few MB and pass 2's per-source window scans a
+    * bounded row count, REGARDLESS of corpus size. A fixed bucketSize
     * would instead grow the offsets table (and the broadcast) linearly
     * with the id space. Null sources/ids are kept in their own
     * partition (null-safe join), matching the window/oracle semantics.
@@ -64,9 +67,13 @@ object CorpusStats {
     val bs =
       if (bucketSize > 0) bucketSize
       else {
-        val row = docs.agg(max(col("doc_id"))).head()
+        val row = docs
+          .agg(max(col("doc_id")), countDistinct(col("source"))).head()
         val maxId = if (row.isNullAt(0)) 0L else row.getLong(0)
-        math.max(1L, (maxId + (1L << 16)) >> 16)
+        val nSources = math.max(row.getLong(1), 1L)
+        // ≤ 2^16 offset rows in the worst (fully interleaved) case
+        val nBuckets = math.max(1L, (1L << 16) / nSources)
+        math.max(1L, (maxId + nBuckets) / nBuckets)
       }
     val base = docs
       .select(col("doc_id"), col("source"),

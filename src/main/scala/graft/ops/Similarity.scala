@@ -87,27 +87,37 @@ object Similarity {
     * search (asserted equal to [[bruteForceTopK]] in OpsSpec), small
     * nProbe touches ~nProbe/nCells of the corpus.
     *
-    * Scale: training cost is independent of corpus size when fed a
-    * sample (a coarse quantizer needs only cluster geometry); the
-    * centroid table is nCells rows — broadcast everywhere; assignment
-    * and probing are narrow maps + one equi-join on cell. Not a
-    * `queries()` entry: k-means iterations aren't reasonably
-    * expressible as a DuckDB oracle — the nProbe=nCells == brute-force
-    * equality and measured-recall asserts stand in.
+    * Scale: k-means (maxIter passes + k-means|| init) must NOT scan
+    * the full corpus — a coarse quantizer needs only cluster geometry,
+    * so training runs on a deterministic hash sample (trainFraction;
+    * md5-bucket, retry-stable) and its cost is bounded by the sample,
+    * not the corpus. The centroid table is nCells rows — broadcast
+    * everywhere; assignment (model.transform) IS a full-corpus narrow
+    * map, so the assigned table is persisted — both the query and the
+    * candidate side consume it, and without the persist the transform
+    * would re-run per action. Not a `queries()` entry: k-means
+    * iterations aren't reasonably expressible as a DuckDB oracle — the
+    * nProbe=nCells == brute-force equality and measured-recall asserts
+    * stand in.
     */
   def ivfTrainedTopK(
       embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
-      nCells: Int = 8, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+      nCells: Int = 8, nProbe: Int = 2, seed: Long = 42L,
+      trainFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = embeddings.sparkSession
     import spark.implicits._
     val vecs = embeddings
       .withColumn("fv", array_to_vector(col("embedding")))
+    val trainSet =
+      if (trainFraction >= 1.0) vecs
+      else CorpusStats.hashSample(vecs, col("vec_id"), lit(trainFraction))
     val model = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(vecs)
+      .fit(trainSet)
     val assigned = model.transform(vecs).drop("fv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // centroids as float arrays: the VecDot/VecNorm2 kernels read
     // float slots (same physical type as the embedding column)
     val centDf = model.clusterCenters.zipWithIndex

@@ -391,9 +391,10 @@ class OpsSpec extends AnyFunSuite {
   test("trained IVF: nProbe=nCells degrades to exact; partial probe recall") {
     val brute = Similarity.bruteForceTopK(embs, k = 5, nQueries = 10)
     // probing every cell is exhaustive search — identical result set
-    // regardless of what centroids k-means learned
+    // regardless of what centroids k-means learned (so this also
+    // validates the sampled-training path)
     val full = Similarity.ivfTrainedTopK(embs, k = 5, nQueries = 10,
-      nCells = 8, nProbe = 8)
+      nCells = 8, nProbe = 8, trainFraction = 0.5)
     assert(full.exceptAll(brute).count() === 0L)
     assert(brute.exceptAll(full).count() === 0L)
     // partial probe: measured recall@5 against the exact answer
