@@ -31,6 +31,8 @@ object SparkEntry {
     "q05_event_windows" -> (P.eventWindows(_, _)),
     "q06_text_checksum" -> (P.textChecksum(_, _)),
     "q07_asof_rates" -> (P.asofRates(_, _)),
+    "q08_routed_rollup" -> (P.routedRollup(_, _)),
+    "q09_role_pivot" -> (P.rolePivot(_, _)),
     "q10_tpch_q1" -> (A.tpchQ1(_, _)),
     "q11_orders_by_segment" -> (A.ordersBySegment(_, _)),
     "q12_top_brands" -> (A.topBrands(_, _)),

@@ -72,6 +72,38 @@ object PipelineQueries {
           .as("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** ROLLUP over the routed dimensions: per-(role, tool) counts plus
+    * per-role subtotals and the grand total in ONE expanded aggregate
+    * (Spark plans rollup as a single Expand + hash aggregate — no
+    * per-level re-scan of the input). */
+  def routedRollup(s: SparkSession, dir: String): DataFrame =
+    TranscriptGen.fromEvents(s, dir)
+      .withColumn("tool", coalesce(col("tool"), lit("none")))
+      .rollup(col("role"), col("tool"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("role"), lit("ALL")).as("role"),
+        coalesce(col("tool"), lit("ALL")).as("tool"),
+        col("n_rows"))
+      .orderBy(col("role"), col("tool"))
+
+  /** Pivot: per-tool-sink turn counts pivoted by role. The IN-list is
+    * fixed so the output schema is static (an open pivot needs a
+    * distinct-values pre-pass); missing cells coalesce to 0. The group
+    * key is aliased tool_sink because "tool" is also a role value. */
+  def rolePivot(s: SparkSession, dir: String): DataFrame = {
+    val roles = Seq("assistant", "system", "tool", "user")
+    val p = TranscriptGen.fromEvents(s, dir)
+      .select(coalesce(col("tool"), lit("none")).as("tool_sink"),
+        col("role"))
+      .groupBy(col("tool_sink"))
+      .pivot("role", roles)
+      .agg(count(lit(1)))
+    roles.foldLeft(p)((df, r) =>
+      df.withColumn(r, coalesce(col(r), lit(0L))))
+      .orderBy(col("tool_sink"))
+  }
+
   /** AS-OF join: attach to every event the latest "rate" in force at
     * its timestamp — the rate-change dimension is derived
     * deterministically from the stream itself (every 50th event sets
@@ -178,6 +210,26 @@ object Oracles {
         |  event_type, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q08_routed_rollup" ->
+      s"""WITH t AS ($T),
+         |b AS (SELECT role, coalesce(tool, 'none') AS tool FROM t)
+         |SELECT coalesce(role, 'ALL') AS role,
+         |  coalesce(tool, 'ALL') AS tool, count(*) AS n_rows
+         |FROM b GROUP BY ROLLUP(role, tool)
+         |ORDER BY role, tool""".stripMargin,
+    "q09_role_pivot" ->
+      s"""WITH t AS ($T),
+         |b AS (SELECT coalesce(tool, 'none') AS tool_sink, role FROM t)
+         |SELECT tool_sink,
+         |  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS assistant,
+         |  CAST(sum(CASE WHEN role = 'system' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS system,
+         |  CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tool,
+         |  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS user
+         |FROM b GROUP BY tool_sink ORDER BY tool_sink""".stripMargin,
     "q07_asof_rates" ->
       """WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms, event_type,
         |    value FROM events),
