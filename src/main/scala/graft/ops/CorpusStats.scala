@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Corpus-level statistics and cross-corpus checks for training-data
-  * pipelines: global n-gram frequency tables and benchmark
+/** Corpus-level operators for training-data pipelines: global n-gram
+  * frequency tables, reproducible hash sampling / corpus mixing,
+  * sequence packing into fixed token budgets, and benchmark
   * decontamination (n-gram overlap of a training corpus against a
   * held-out evaluation set).
   */
