@@ -75,7 +75,13 @@ object PipelineQueries {
   /** ROLLUP over the routed dimensions: per-(role, tool) counts plus
     * per-role subtotals and the grand total in ONE expanded aggregate
     * (Spark plans rollup as a single Expand + hash aggregate — no
-    * per-level re-scan of the input). */
+    * per-level re-scan of the input).
+    *
+    * Known cross-engine edge (unreachable on driver data, every sf has
+    * rows): on EMPTY input Spark's rollup returns 0 rows while
+    * DuckDB's GROUP BY ROLLUP returns the SQL-standard grand-total row
+    * ('ALL','ALL',0) — the oracle contract here assumes a non-empty
+    * transcript table. */
   def routedRollup(s: SparkSession, dir: String): DataFrame =
     TranscriptGen.fromEvents(s, dir)
       .withColumn("tool", coalesce(col("tool"), lit("none")))
