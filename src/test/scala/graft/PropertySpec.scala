@@ -84,6 +84,50 @@ object PropertySpec extends Properties("graft") {
     Prop(SizeExpr.formatBytes(1536L) == "1.5KiB"),
     Prop(SizeExpr.formatBytes(5L * 1024 * 1024 * 1024 * 1024) == "5.0TiB"))
 
+  // NgramRepetition kernel vs a naive Scala recomputation: counting
+  // via sorted-groupBy must equal the one-pass hash count for any text
+  property("ngram repetition matches naive recount") = {
+    val tokenText: Gen[String] = Gen.listOf(
+      Gen.oneOf("a", "b", "ab", "xyz", "", " ", "\t", "long-token"))
+      .map(_.mkString(" "))
+    forAll(tokenText, Gen.choose(1, 4)) { (text, k) =>
+      val row = graft.functions.NgramStats.repetition(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), k)
+      // naive: SQL-trim (spaces only), split \s+ limit -1, group
+      val trimmed = {
+        var a = 0; var b = text.length
+        while (a < b && text.charAt(a) == ' ') a += 1
+        while (b > a && text.charAt(b - 1) == ' ') b -= 1
+        text.substring(a, b)
+      }
+      val words = trimmed.split("\\s+", -1)
+      val grams = words.sliding(k).filter(_.length == k)
+        .map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      val n = grams.size.toLong
+      val mx = if (counts.isEmpty) 0L else counts.values.max.toLong
+      val dup = counts.values.filter(_ > 1).map(_.toLong).sum
+      row.getLong(0) == n && row.getLong(1) == mx && row.getLong(2) == dup
+    }
+  }
+
+  // AsofLookup binary search vs linear scan over any sorted history
+  property("asof lookup matches linear scan") = {
+    val history: Gen[List[(Long, Double)]] =
+      Gen.listOf(Gen.zip(Gen.choose(0L, 1000L), Gen.choose(-10d, 10d)))
+        .map(_.sortBy(_._1))
+    forAll(history, Gen.choose(-100L, 1100L)) { (h, ts) =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        h.map { case (t, v) =>
+          org.apache.spark.sql.catalyst.InternalRow(t, v)
+        }.toArray[Any])
+      val got = Option(graft.functions.AsofLookup.lookup(arr, ts))
+        .map(_.doubleValue)
+      val want = h.filter(_._1 <= ts).lastOption.map(_._2)
+      got == want
+    }
+  }
+
   property("ts heuristic split at 1e11") = Prop.all(
     forAll(Gen.choose(0L, 99999999999L)) { v =>
       Exporter.tsToSeconds(v.toDouble) == v.toDouble
