@@ -59,7 +59,11 @@ object CorpusStats {
     * broadcast is a few MB and pass 2's per-source window scans a
     * bounded row count, REGARDLESS of corpus size. A fixed bucketSize
     * would instead grow the offsets table (and the broadcast) linearly
-    * with the id space. Null sources/ids are kept in their own
+    * with the id space. The auto path runs its sizing agg EAGERLY at
+    * plan-construction time (a column-pruned scan of (doc_id, source)
+    * only) — callers that already know the id space / source count
+    * (table statistics, a prior pass) should pass bucketSize
+    * explicitly to skip it. Null sources/ids are kept in their own
     * partition (null-safe join), matching the window/oracle semantics.
     */
   def packSequences(

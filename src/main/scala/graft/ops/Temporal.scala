@@ -25,11 +25,13 @@ import org.apache.spark.sql.functions._
   *
   * Both give identical `<=` semantics (a change at exactly the fact's
   * timestamp IS visible) and an identical null contract — change rows
-  * with a null key, null ts, or null value are IGNORED (a null-key
-  * fact never matches anything; DuckDB's ASOF JOIN agrees); equality
-  * is asserted in OpsSpec. Callers must dedup the change side to one
-  * row per (key, ts) first — with duplicates the merge variant's pick
-  * among equal timestamps is unspecified.
+  * with a null key, null ts, or null VALUE are IGNORED (a null-key
+  * fact never matches anything; note a plain DuckDB ASOF JOIN would
+  * match a null-valued change, so a mirroring oracle must drop
+  * all-null change groups explicitly — q07's does via HAVING);
+  * equality is asserted in OpsSpec. Callers must dedup the change
+  * side to one row per (key, ts) first — with duplicates the merge
+  * variant's pick among equal timestamps is unspecified.
   */
 object Temporal {
 
@@ -54,7 +56,9 @@ object Temporal {
   def asofJoinBroadcast(
       facts: DataFrame, changes: DataFrame, key: String,
       tsCol: String, valCol: String): DataFrame = {
-    requireFree(facts, "_changes")
+    // valCol too: a pre-existing facts column of that name would be
+    // silently overwritten by the withColumn below
+    requireFree(facts, "_changes", valCol)
     val dim = cleanChanges(changes, key, tsCol, valCol)
       .groupBy(key)
       // struct sorts by field order → ts-ascending history
@@ -74,7 +78,7 @@ object Temporal {
   def asofJoinMerge(
       facts: DataFrame, changes: DataFrame, key: String,
       tsCol: String, valCol: String): DataFrame = {
-    requireFree(facts, "_side", "_chg")
+    requireFree(facts, "_side", "_chg", valCol)
     val tagged = facts
       .withColumn("_side", lit(1))
       .unionByName(

@@ -239,8 +239,11 @@ object Oracles {
     "q07_asof_rates" ->
       """WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms, event_type,
         |    value FROM events),
+        |-- HAVING mirrors Temporal.cleanChanges: an all-null change
+        |-- group is IGNORED, not matched as a null rate
         |r AS (SELECT event_type, epoch_ms(ts) AS ts_ms, max(value) AS rate
-        |  FROM events WHERE event_id % 50 = 0 GROUP BY 1, 2)
+        |  FROM events WHERE event_id % 50 = 0 GROUP BY 1, 2
+        |  HAVING max(value) IS NOT NULL)
         |SELECT e.event_id, e.ts_ms, e.event_type, e.value, r.rate
         |FROM e ASOF LEFT JOIN r
         |  ON e.event_type = r.event_type AND e.ts_ms >= r.ts_ms
