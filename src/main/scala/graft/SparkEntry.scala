@@ -36,6 +36,7 @@ object SparkEntry {
     "q10_tpch_q1" -> (A.tpchQ1(_, _)),
     "q11_orders_by_segment" -> (A.ordersBySegment(_, _)),
     "q12_top_brands" -> (A.topBrands(_, _)),
+    "q13_price_percentiles" -> (A.pricePercentiles(_, _)),
     "q20_token_count" -> (T.tokenCount(_, _)),
     "q21_lang_id" -> (T.langId(_, _)),
     "q22_quality" -> (T.quality(_, _)),

@@ -170,6 +170,26 @@ object AnalyticsQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Exact grouped percentiles (R-7 linear interpolation — the same
+    * definition as DuckDB quantile_cont, so bit-parity holds modulo
+    * round(…, 4)). Exact percentile sorts each group; at 100 TB the
+    * same query ships as approx_percentile (t-digest sketch, partial-
+    * agg friendly) with a documented error bound — this is the exact
+    * small-scale reference for that sketch. */
+  def pricePercentiles(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(expr(
+        "percentile(CAST(l_extendedprice AS DOUBLE), " +
+          "array(0.25D, 0.5D, 0.9D, 0.99D))").as("p"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("p"), 1), 4).as("p25"),
+        round(element_at(col("p"), 2), 4).as("p50"),
+        round(element_at(col("p"), 3), 4).as("p90"),
+        round(element_at(col("p"), 4), 4).as("p99"))
+      .orderBy(col("l_returnflag"))
+
   def topBrands(s: SparkSession, dir: String): DataFrame = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
     val part = s.read.parquet(s"$dir/part.parquet")
@@ -216,6 +236,17 @@ object Oracles {
         |  event_type, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q13_price_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 4)
+        |    AS p25,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4)
+        |    AS p50,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4)
+        |    AS p90,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 4)
+        |    AS p99
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q08_routed_rollup" ->
       s"""WITH t AS ($T),
          |b AS (SELECT role, coalesce(tool, 'none') AS tool FROM t)
