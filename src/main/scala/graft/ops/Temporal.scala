@@ -46,8 +46,11 @@ object Temporal {
         col(valCol).cast("double").as(valCol))
 
   private def requireFree(facts: DataFrame, cols: String*): Unit =
-    cols.foreach(c => require(!facts.columns.contains(c),
-      s"facts must not already have a $c column"))
+    // case-insensitive: Spark's default resolver is, so withColumn
+    // would replace a case-differing column the exact match misses
+    cols.foreach(c =>
+      require(!facts.columns.exists(_.equalsIgnoreCase(c)),
+        s"facts must not already have a $c column"))
 
   /** Broadcast-dimension as-of join. Adds `valCol` (nullable — null
     * when the key has no change at-or-before the row's ts, or no

@@ -173,9 +173,10 @@ object AnalyticsQueries {
   /** Exact grouped percentiles (R-7 linear interpolation — the same
     * definition as DuckDB quantile_cont, so bit-parity holds modulo
     * round(…, 4)). Exact percentile sorts each group; at 100 TB the
-    * same query ships as approx_percentile (t-digest sketch, partial-
-    * agg friendly) with a documented error bound — this is the exact
-    * small-scale reference for that sketch. */
+    * same query ships as approx_percentile (Greenwald-Khanna
+    * QuantileSummaries sketch, partial-agg friendly, rank-error bound
+    * set by its accuracy parameter) — this is the exact small-scale
+    * reference for that sketch. */
   def pricePercentiles(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
       .groupBy(col("l_returnflag"))
