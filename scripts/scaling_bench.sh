@@ -24,6 +24,7 @@ run_level() {
   local c=$1 mem=$2 xmn=$3
   LANG=C.UTF-8 LC_ALL=C.UTF-8 \
   SPARK_GRAFT_CPUS=$c SPARK_GRAFT_CONVS=$CONVS \
+  SPARK_GRAFT_STAGE_BREAKDOWN=1 \
   SPARK_GRAFT_SKIP_QUERIES=1 SPARK_GRAFT_SKIP_GENERIC=1 SPARK_GRAFT_REPEAT=2 SPARK_GRAFT_SALT=0 \
   /opt/spark/bin/spark-submit --master "local[$c]" \
     --driver-memory "$mem" \

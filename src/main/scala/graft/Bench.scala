@@ -13,8 +13,10 @@ import graft.route.Router
   * {"metric":"total","value":SEC,"unit":"sec","queries":{...},
   *  "pipeline":{...},"pipeline_generic":{...},"sf":...}
   *
-  *  - queries: per-query wall seconds for every SparkEntry query over
-  *    SPARK_GRAFT_SF_DIR (forced with .count()).
+  *  - queries: per-query {"min":s,"max":s,"runs":n} over
+  *    SPARK_GRAFT_SF_DIR (forced with .count()): SPARK_GRAFT_QUERY_REPEAT
+  *    (default 2) interleaved cold rounds, min reported as the
+  *    estimate, max exposing the spread; min = -1 marks a failed run.
   *  - pipeline: the north-rule end-to-end parse→route→aggregate job
   *    over a synthesized raw-transcript JSONL corpus (generation is
   *    untimed): fast-path single-pass parse (zero-shuffle parse+order)
@@ -36,7 +38,10 @@ import graft.route.Router
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default = all cores, matching what scripts/ and the driver run —
+    // a fixed small default made casual repro numbers incomparable
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     // ~5.5M turns: large enough that fixed job overhead (<6 s) is noise
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_CONVS", "480000").toInt
     val shm = java.nio.file.Files.isDirectory(
@@ -59,19 +64,39 @@ object Bench {
                  else b).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Per-query repeat-min, INTERLEAVED (full sorted sweep per round,
+    // not per-query back-to-back repeats): single shots on this
+    // shared VM swing ±30%, which made round-over-round per-query
+    // deltas unjudgeable; interleaving decorrelates a noisy window
+    // from any one query, and min-of-rounds is the standard
+    // noise-robust estimator. Every invocation is COLD: the cache
+    // manager is cleared first, because queries that persist
+    // intermediates (q31/q32/q36) would otherwise hit run-1's cache
+    // through canonical-plan matching and round 2 would measure a
+    // cache read, not the query.
     val skipQueries = sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")
-    val results =
-      if (skipQueries) Seq.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1).map {
-        case (name, fn) =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() }
-          catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - t0) / 1e9
+    val qRepeats = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPEAT", "2").toInt
+    val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+    val times = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    if (!skipQueries)
+      for (_ <- 1 to qRepeats; name <- names) {
+        spark.catalog.clearCache()
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = times(name) :+ (if (ok) dt else -1.0)
       }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = (if (skipQueries) Seq.empty else names).map { name =>
+      val ts = times(name)
+      val mn = if (ts.contains(-1.0)) -1.0 else ts.min
+      "\"" + name +
+        f"""":{"min":$mn%.3f,"max":${ts.max}%.3f,"runs":${ts.size}}"""
+    }.mkString("{", ",", "}")
+    val total = (if (skipQueries) Seq.empty else names)
+      .map(n => times(n).min).sum
 
     // ---- end-to-end pipeline throughput (untimed corpus generation) --
     // tmpfs when available: the sandbox disk tops out at ~380 MB/s,
@@ -95,20 +120,34 @@ object Bench {
     // write; aggregates read the routed parquet back (caching the parse
     // costs more than it saves — measured 44 s materialize vs 15 s
     // recompute — and production aggregates run on sink tables).
+    // SPARK_GRAFT_STAGE_BREAKDOWN additionally times a parse-ONLY pass
+    // (scan+parse+count, no write) per repeat, so scaling runs can
+    // attribute an efficiency gap to parse vs route(write) vs agg.
+    // The extra pass is timed separately BEFORE the pipeline timer
+    // starts — sec/turns_per_sec stay comparable with non-breakdown
+    // runs; route_sec ≈ parse_route_sec - parse_only_sec.
+    val stageBreakdown = sys.env.contains("SPARK_GRAFT_STAGE_BREAKDOWN")
     def runPipeline(generic: Boolean, nRepeats: Int): String = {
       var turns = 0L
       var nThreads = 0L
       var bestElapsed = Double.MaxValue
       var bestWrite = Double.MaxValue
+      var bestParseOnly = Double.MaxValue
       for (_ <- 1 to nRepeats) {
-        val t0 = System.nanoTime()
-        val ordered =
+        def parsed =
           if (generic)
             TurnOrdering.withTurnIdx(ChatGptParser.normalize(
               ChatGptParser.readRawJsonl(spark, rawPath)))
           else
             graft.parse.FastTranscriptParser.parse(spark, rawPath)
-        val sinkData = Router.writeRoutedSinks(ordered, work.toString,
+        if (stageBreakdown) {
+          val tp0 = System.nanoTime()
+          parsed.select(count(lit(1))).collect()
+          bestParseOnly =
+            math.min(bestParseOnly, (System.nanoTime() - tp0) / 1e9)
+        }
+        val t0 = System.nanoTime()
+        val sinkData = Router.writeRoutedSinks(parsed, work.toString,
           saltBuckets = saltBuckets)
         val tWrite = (System.nanoTime() - t0) / 1e9
         val routedTable = spark.read.parquet(sinkData)
@@ -121,8 +160,13 @@ object Bench {
         turns = routed.map(_.getLong(2)).sum
         if (elapsed < bestElapsed) { bestElapsed = elapsed; bestWrite = tWrite }
       }
+      val parseOnly =
+        if (stageBreakdown)
+          f""""parse_only_sec":$bestParseOnly%.3f,"route_sec":${
+            bestWrite - bestParseOnly}%.3f,"""
+        else ""
       f"""{"turns":$turns,"threads":$nThreads,"sec":$bestElapsed%.3f,""" +
-        f""""parse_route_sec":$bestWrite%.3f,""" +
+        f""""parse_route_sec":$bestWrite%.3f,""" + parseOnly +
         f""""agg_sec":${bestElapsed - bestWrite}%.3f,""" +
         f""""turns_per_sec":${turns / bestElapsed}%.1f,""" +
         f""""repeats":$nRepeats,"cpus":$cpus}"""

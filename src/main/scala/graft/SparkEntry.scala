@@ -37,6 +37,9 @@ object SparkEntry {
     "q11_orders_by_segment" -> (A.ordersBySegment(_, _)),
     "q12_top_brands" -> (A.topBrands(_, _)),
     "q13_price_percentiles" -> (A.pricePercentiles(_, _)),
+    "q14_price_percentiles_approx" -> (A.pricePercentilesApprox(_, _)),
+    "q15_sessions" -> (P.sessions(_, _)),
+    "q16_asof_rates_merge" -> (P.asofRatesMerge(_, _)),
     "q20_token_count" -> (T.tokenCount(_, _)),
     "q21_lang_id" -> (T.langId(_, _)),
     "q22_quality" -> (T.quality(_, _)),

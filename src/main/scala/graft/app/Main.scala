@@ -133,18 +133,33 @@ object Main {
     val manifestPath = s"$providerDir/manifest.json"
     val indexRoot = s"$providerDir/thread_index"
 
-    // ONE pass over the raw JSON: parse → routed snapshot write. Every
-    // downstream stage (stats, index, JSONL, lineage, summary) reads
-    // the COLUMNAR routed table back instead of re-parsing raw JSON or
-    // caching the whole corpus in executor memory (a full-corpus
-    // .cache() at the 10^12-turn target is most of the cluster's RAM;
-    // parquet re-reads are pruned and cheap). The snapshot commit also
-    // means a crashed run leaves the previous routed tree readable and
-    // a --resume can never truncate unchanged threads (round-1 bug).
+    // ONE pass over the raw JSON for the parse → routed snapshot write
+    // itself. Every downstream stage (stats, index, JSONL, lineage,
+    // summary) reads the COLUMNAR routed table back instead of
+    // re-parsing raw JSON or caching the whole corpus in executor
+    // memory (a full-corpus .cache() at the 10^12-turn target is most
+    // of the cluster's RAM; parquet re-reads are pruned and cheap). The
+    // snapshot commit also means a crashed run leaves the previous
+    // routed tree readable and a --resume can never truncate unchanged
+    // threads (round-1 bug).
+    //
+    // Adaptive-salting hot detection is the one exception to the single
+    // scan, and only on FIRST runs: a resumed run derives the hot set
+    // for free from the previous thread index (per-conversation counts
+    // already on disk), while a first run pays one extra counting scan
+    // of the input, column-pruned to conversation_id (turn counts don't
+    // exist anywhere before the first parse; set --hot-threshold 0 to
+    // trade that scan for hot-conversation write skew).
     val hotThreshold = opt(args, "hot-threshold").map(_.toLong)
       .getOrElse(10000L) // ~ the reference's own max-thread-size model
+    val prevIndex =
+      if (flag(args, "resume") && Lineage.threadIndexExists(spark, indexRoot))
+        Some(Lineage.readThreadIndex(spark, indexRoot))
+      else None
+    val hotSet = prevIndex.map(_.filter(col("count") >= hotThreshold)
+      .select("conversation_id"))
     val routedData = Router.writeRoutedSinks(msgs, providerDir,
-      hotThreshold = hotThreshold)
+      hotThreshold = hotThreshold, hotSet = hotSet)
     // `tool` itself is a regular column in the routed files; only
     // (role, tool_sink) are partition directories
     val routed = spark.read.parquet(routedData)
@@ -154,14 +169,14 @@ object Main {
     // skipped for the per-thread JSONL rewrite only. No broadcast
     // hint — on a first resume after large drift `changed` is
     // corpus-sized; AQE picks broadcast when it is actually small.
-    val (toProcess, skipped) =
-      if (flag(args, "resume") && Lineage.threadIndexExists(spark, indexRoot)) {
-        val prev = Lineage.readThreadIndex(spark, indexRoot)
+    val (toProcess, skipped) = prevIndex match {
+      case Some(prev) =>
         val changed = Lineage.changedThreads(stats, prev)
           .select("conversation_id")
         val n = stats.count() - changed.count()
         (routed.join(changed, Seq("conversation_id")), n)
-      } else (routed, 0L)
+      case None => (routed, 0L)
+    }
 
     val typed = toProcess
       .select(Schemas.messageColumns.map(col): _*)

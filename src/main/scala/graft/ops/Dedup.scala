@@ -66,11 +66,16 @@ object Dedup {
     val sh = all.join(rare, Seq("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.withColumnRenamed("doc_id", "doc_a")
-    val b = sh.withColumnRenamed("doc_id", "doc_b")
-    val inter = a.join(b,
-        a("shingle") === b("shingle") && a("doc_a") < b("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    // explicit side aliases: both join inputs share one lineage (the
+    // persisted `sh`), and column-reference equality across two
+    // withColumnRenamed views of the same plan makes the resolver fall
+    // back to its "trivially true equals predicate" disambiguation
+    // heuristic — correct today, but one refactor away from a silent
+    // cross-join. Qualified names pin each side unambiguously.
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
@@ -280,11 +285,20 @@ object Dedup {
         s"${pairs.schema("doc_a").dataType}; map string ids to longs " +
         "(e.g. xxhash64 or a dictionary) first")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Both edge directions from ONE scan of the pair plan: a
+    // union(select(a,b), select(b,a)) embeds two copies of the upstream
+    // pair pipeline (for q36 that is the full q31 shingle join) and
+    // executes it twice on first materialization — explode of a 2-array
+    // of (src,dst) structs reads each pair row once and emits both
+    // directions. The persisted `edges` is then the only materialization
+    // the loop ever touches.
     val edges = pairs
-      .select(col("doc_a").cast("long").as("src"),
-        col("doc_b").cast("long").as("dst"))
-      .unionByName(pairs.select(col("doc_b").cast("long").as("src"),
-        col("doc_a").cast("long").as("dst")))
+      .select(explode(array(
+        struct(col("doc_a").cast("long").as("src"),
+          col("doc_b").cast("long").as("dst")),
+        struct(col("doc_b").cast("long").as("src"),
+          col("doc_a").cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(lvl)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
@@ -322,8 +336,22 @@ object Dedup {
           "(component diameter > maxIter); raise maxIter or use a " +
           "diameter-halving variant (large-star/small-star) for " +
           "long-chain graphs")
-    edges.unpersist() // final labels are materialized; edges only back recompute
-    labels
+    // Hand back a result that leaves NOTHING in the session's cache
+    // manager: the convergence loop already fully materialized `labels`,
+    // so an eager localCheckpoint just snapshots those rows with
+    // truncated lineage, after which the persisted round table and the
+    // edge table can be dropped. Checkpoint blocks are released by the
+    // ContextCleaner when the returned frame is garbage-collected —
+    // unlike persist(), repeated invocations in a long-lived session
+    // (bench/driver loops run q36 repeatedly) cannot accumulate cached
+    // tables. Note localCheckpoint is executor-local (not fault-tolerant
+    // storage); on a real cluster callers doing further heavy work atop
+    // the labels should write them to the table store instead — the
+    // canonical dedup flow does exactly that.
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    edges.unpersist()
+    out
   }
 
   /** APPROXIMATE near-dup pairs via sign-LSH banding + exact cosine

@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * The Spark-side design is real and tested — schema, partitioning,
   * batched executor processing (the JVM analogue of `mapInPandas`:
   * partition iterators processed in fixed-size batches so a native
-  * decoder can amortize per-batch setup). The actual codec is STUBBED
-  * (this container has no image/audio libraries): [[Codec.Fake]] is a
-  * deterministic stand-in; [[Codec.Real]] marks the integration point.
+  * decoder can amortize per-batch setup). [[Codec.Real]] decodes
+  * images (javax.imageio) and audio headers (javax.sound.sampled)
+  * with JDK-only codecs; video and audio-feature extraction delegate
+  * to the deterministic [[Codec.Fake]] (no JDK video codec exists —
+  * that delegation is the documented ffmpeg/JNI integration point).
   *
   * Scale notes: media bytes dominate row size, so every stage here
   * projects metadata columns WITHOUT the blob when possible (column
@@ -82,12 +84,118 @@ object Multimodal {
         }
     }
 
-    /** Integration point for a real decoder (libjpeg/ffmpeg et al. via
-      * JNI or a sidecar). Not available in this container. */
+    /** Real decoder built on JDK-only codecs — no external libraries:
+      *
+      *  - image: `javax.imageio` — metadata from a HEADER-ONLY
+      *    ImageReader probe (no pixel decode; at blob scale decoding
+      *    pixels to read width/height would dominate the stage), pixel
+      *    features from a full decode + grid-averaged luminance.
+      *  - audio: `javax.sound.sampled` header parse (WAV/AIFF/AU ship
+      *    with the JDK) → duration from frame count / frame rate.
+      *  - video: NO JDK video codec exists — video rows and audio
+      *    FEATURE extraction honestly delegate to [[Fake]] (a real
+      *    deployment plugs ffmpeg/JNI in right here; the batch shape is
+      *    what this contract fixes). Do not treat delegated values as
+      *    measurements.
+      *
+      * Undecodable blobs are per-record isolated, never task-fatal
+      * (same warn-skip stance as the parser): width/height/duration -1
+      * marks "decoder could not read this blob", and features fall back
+      * to [[Fake]]'s content-hash features so the row keeps flowing.
+      */
     object Real extends Codec {
-      override def decodeMeta(batch: Seq[MediaRecord]): Seq[MediaMeta] = ???
+
+      private def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val rd = readers.next()
+            try {
+              rd.setInput(iis)
+              Some((rd.getWidth(0), rd.getHeight(0)))
+            } finally rd.dispose()
+          }
+        } catch { case _: Exception => None }
+        finally iis.close()
+      }
+
+      private def audioDurationMs(bytes: Array[Byte]): Option[Long] =
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val frames = in.getFrameLength
+            val rate = in.getFormat.getFrameRate
+            if (frames < 0 || rate <= 0) None
+            else Some((frames * 1000.0 / rate).round)
+          } finally in.close()
+        } catch { case _: Exception => None }
+
+      override def decodeMeta(batch: Seq[MediaRecord]): Seq[MediaMeta] =
+        batch.map { r =>
+          r.kind match {
+            case "image" =>
+              val (w, h) = imageDims(r.content).getOrElse((-1, -1))
+              MediaMeta(r.media_id, r.kind, r.content.length.toLong,
+                w, h, 0L)
+            case "audio" =>
+              MediaMeta(r.media_id, r.kind, r.content.length.toLong,
+                0, 0, audioDurationMs(r.content).getOrElse(-1L))
+            case _ => // video: no JDK codec — delegated stub
+              Fake.decodeMeta(Seq(r)).head
+          }
+        }
+
+      /** Grid-averaged luminance features for images: the decoded frame
+        * is divided into a ceil(sqrt(dim))² cell grid; feature i is the
+        * mean ITU-R BT.601 luma of cell i scaled to [-1, 1] (cells past
+        * dim are dropped; rows beyond the grid are folded by pixel
+        * coverage). Deterministic, resolution-independent, and the
+        * standard cheap baseline for near-dup image bucketing. */
       override def extractFeatures(
-          batch: Seq[MediaRecord], dim: Int): Seq[MediaFeature] = ???
+          batch: Seq[MediaRecord], dim: Int): Seq[MediaFeature] =
+        batch.map { r =>
+          val decoded =
+            if (r.kind != "image") None
+            else
+              try Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.content)))
+              catch { case _: Exception => None }
+          decoded match {
+            case None => Fake.extractFeatures(Seq(r), dim).head
+            case Some(img) =>
+              val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+              val sums = new Array[Double](g * g)
+              val counts = new Array[Long](g * g)
+              val w = img.getWidth
+              val h = img.getHeight
+              var y = 0
+              while (y < h) {
+                val cy = math.min(y * g / h, g - 1)
+                var x = 0
+                while (x < w) {
+                  val cx = math.min(x * g / w, g - 1)
+                  val rgb = img.getRGB(x, y)
+                  val lum = 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  val c = cy * g + cx
+                  sums(c) += lum
+                  counts(c) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              val f = Array.tabulate(dim) { i =>
+                if (i < g * g && counts(i) > 0)
+                  (sums(i) / counts(i) / 127.5 - 1.0).toFloat
+                else 0.0f
+              }
+              MediaFeature(r.media_id, f)
+          }
+        }
     }
   }
 

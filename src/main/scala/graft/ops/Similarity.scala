@@ -146,7 +146,14 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosPrecomputed("qe", "ce", "nq", "nc"))
-    ranked(pairs, k).orderBy(col("query_id"), col("rank"))
+    // the top-k result is nQueries × k rows — eagerly snapshot it
+    // (lineage-truncating, ContextCleaner-reclaimed) so `assigned` can
+    // be unpersisted HERE instead of leaking a full-corpus cached table
+    // into the session for every invocation
+    val out = ranked(pairs, k).orderBy(col("query_id"), col("rank"))
+      .localCheckpoint(true)
+    assigned.unpersist()
+    out
   }
 
   /** Random-hyperplane LSH: nPlanes sign bits → bucket; candidates

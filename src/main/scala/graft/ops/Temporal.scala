@@ -82,14 +82,28 @@ object Temporal {
       facts: DataFrame, changes: DataFrame, key: String,
       tsCol: String, valCol: String): DataFrame = {
     requireFree(facts, "_side", "_chg", valCol)
+    // cleanChanges truncates change timestamps to long; re-cast them to
+    // the FACT side's ts type so the union resolves for any fact ts
+    // type (timestamp/double/long) instead of relying on implicit
+    // coercion that can fail or widen the fact column
+    val factTsType = facts.schema(facts.columns.indexWhere(
+      _.equalsIgnoreCase(tsCol))).dataType
     val tagged = facts
       .withColumn("_side", lit(1))
       .unionByName(
         cleanChanges(changes, key, tsCol, valCol)
+          .withColumn(tsCol, col(tsCol).cast(factTsType))
           .withColumnRenamed(valCol, "_chg")
           .withColumn("_side", lit(0)),
         allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col(tsCol), col("_side"))
+    // order by the LONG-truncated ts, matching asofJoinBroadcast's
+    // cast("long") at lookup time — without this, a fractional fact ts
+    // (100.3) compared against a truncated change ts (100.7 → 100)
+    // makes the two variants disagree at sub-unit boundaries; with it
+    // both variants compare identical truncated values, so the
+    // documented equivalence holds for every input ts type
+    val w = Window.partitionBy(key)
+      .orderBy(col(tsCol).cast("long"), col("_side"))
     tagged
       .withColumn(valCol,
         // Window.partitionBy groups null keys together (unlike the
@@ -98,5 +112,42 @@ object Temporal {
           .otherwise(last(col("_chg"), ignoreNulls = true).over(w)))
       .filter(col("_side") === 1)
       .drop("_side", "_chg")
+  }
+
+  /** Batch gap-based sessionization: group each key's events into
+    * sessions separated by idle gaps > gapMs (a gap of EXACTLY gapMs
+    * continues the session — the same contract as the streaming
+    * [[graft.streaming.StreamingPipeline.sessionizeEventTime]], whose
+    * OpsSpec equality assertion runs against this).
+    *
+    * Shape: the classic lag → session-start flag → running sum →
+    * aggregate, ONE shuffle on the key and two window passes over it
+    * (Spark plans both windows and the final aggregate on the same
+    * hash partitioning — no re-exchange). Key cardinality provides the
+    * parallelism (one window partition per key), so like
+    * [[asofJoinMerge]] this is a HIGH-cardinality-key operator:
+    * per-user/per-conversation sessions scale; a single global
+    * event stream does not (one task).
+    *
+    * Output: (key, session_seq [1-based per key], n_events,
+    * first_ts_ms, last_ts_ms).
+    */
+  def gapSessions(
+      events: DataFrame, key: String, tsCol: String,
+      gapMs: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol))
+    events
+      .select(col(key), col(tsCol).cast("long").as(tsCol))
+      .filter(col(key).isNotNull && col(tsCol).isNotNull)
+      .withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("_new_s",
+        when(col("_prev").isNull ||
+          col(tsCol) - col("_prev") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("_new_s")).over(w))
+      .groupBy(col(key), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("first_ts_ms"),
+        max(col(tsCol)).as("last_ts_ms"))
   }
 }

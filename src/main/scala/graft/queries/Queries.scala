@@ -130,6 +130,41 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** Gap-based per-user sessionization over the event stream (30-min
+    * idle gap) — the batch twin of the streaming event-time
+    * sessionizer; ONE shuffle on user_id (graft.ops.Temporal
+    * .gapSessions). session_seq ordering note: equal-ts ties within a
+    * user are order-ambiguous under lag(), but tie rows always land in
+    * the SAME session (gap 0 ≤ gapMs), so session boundaries and all
+    * aggregates are deterministic cross-engine. */
+  def sessions(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Temporal.gapSessions(
+        s.read.parquet(s"$dir/events.parquet")
+          .select(col("user_id"),
+            unix_millis(col("ts").cast("timestamp")).as("ts_ms")),
+        key = "user_id", tsCol = "ts_ms", gapMs = 30 * 60 * 1000L)
+      .orderBy(col("user_id"), col("session_seq"))
+
+  /** Sorted-merge AS-OF join on a HIGH-cardinality key (per-user rate
+    * history): the q07 twin through graft.ops.Temporal.asofJoinMerge —
+    * one shuffle on user_id, no broadcast — for when the change side
+    * is itself corpus-sized (per-user state history at 10^8 users
+    * cannot be a broadcast dimension). Same `<=`/null contract as q07;
+    * the oracle is again DuckDB's native ASOF LEFT JOIN. */
+  def asofRatesMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_ms", unix_millis(col("ts").cast("timestamp")))
+    val changes = ev
+      .filter(pmod(col("event_id"), lit(20)) === 0)
+      .groupBy(col("user_id"), col("ts_ms"))
+      .agg(max(col("value")).as("rate"))
+    graft.ops.Temporal.asofJoinMerge(
+        ev.select("event_id", "ts_ms", "user_id", "value"),
+        changes, key = "user_id", tsCol = "ts_ms", valCol = "rate")
+      .select("event_id", "ts_ms", "user_id", "value", "rate")
+      .orderBy("event_id")
+  }
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -191,6 +226,52 @@ object AnalyticsQueries {
         round(element_at(col("p"), 4), 4).as("p99"))
       .orderBy(col("l_returnflag"))
 
+  /** The 100-TB percentile path EXECUTED, not narrated: the same groups
+    * as [[pricePercentiles]] through `approx_percentile` (Greenwald-
+    * Khanna QuantileSummaries — partial-agg friendly: each task folds
+    * its partition into a bounded sketch and only sketches shuffle,
+    * vs the exact form's per-group value multiset buffering), plus an
+    * in-query verification of the sketch's contract: for accuracy
+    * parameter `a`, the returned value's exact rank must lie within
+    * n/a of the target rank. Output is the verified verdict per group
+    * (deterministic — TRUE whenever the sketch honors its bound — so
+    * the DuckDB oracle can pin it exactly even though sketch
+    * internals are engine-specific); the exact ranks come from one
+    * broadcast join of the 3-row sketch output back against the scan.
+    * A ±1-row slack absorbs rank-rounding conventions at interval
+    * endpoints. OpsSpec additionally asserts the approx VALUES land
+    * within the exact [[pricePercentiles]] neighborhood. */
+  def pricePercentilesApprox(
+      s: SparkSession, dir: String, accuracy: Int = 1000): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("double").as("v"))
+    val ps = Seq(("p25", 0.25, 1), ("p50", 0.5, 2), ("p90", 0.9, 3),
+      ("p99", 0.99, 4))
+    val eps = 1.0 / accuracy
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(v, " +
+          s"array(0.25D, 0.5D, 0.9D, 0.99D), $accuracy)").as("ap"),
+        count(lit(1)).as("n_rows"))
+    val joined = li.join(broadcast(approx), Seq("l_returnflag"))
+    val rankAggs = first(col("n_rows")).as("n_rows") +: ps.flatMap {
+      case (nm, _, i) => Seq(
+        count(when(col("v") <= element_at(col("ap"), i), 1)).as(s"le_$nm"),
+        count(when(col("v") < element_at(col("ap"), i), 1)).as(s"lt_$nm"))
+    }
+    joined.groupBy(col("l_returnflag"))
+      .agg(rankAggs.head, rankAggs.tail: _*)
+      .select(col("l_returnflag") +: col("n_rows") +: ps.map {
+        case (nm, p, _) =>
+          // returned value's rank interval [lt+1, le] must intersect
+          // the target interval [(p-eps)n, (p+eps)n]
+          ((col(s"le_$nm") >= col("n_rows") * lit(p - eps) - lit(1)) &&
+            (col(s"lt_$nm") + lit(1) <=
+              col("n_rows") * lit(p + eps) + lit(1))).as(s"ok_$nm")
+      }: _*)
+      .orderBy(col("l_returnflag"))
+  }
+
   def topBrands(s: SparkSession, dir: String): DataFrame = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
     val part = s.read.parquet(s"$dir/part.parquet")
@@ -248,6 +329,16 @@ object Oracles {
         |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 4)
         |    AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // pins the CONTRACT, not sketch internals: the Spark side computes
+    // each approx value's exact rank and emits whether it is within the
+    // configured bound — deterministically TRUE for a correct sketch —
+    // so the oracle asserts group keys, group sizes, and all-TRUE
+    // verdicts; a sketch violating its rank-error bound flips a column
+    // to FALSE and fails the hash compare
+    "q14_price_percentiles_approx" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  true AS ok_p25, true AS ok_p50, true AS ok_p90, true AS ok_p99
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q08_routed_rollup" ->
       s"""WITH t AS ($T),
          |b AS (SELECT role, coalesce(tool, 'none') AS tool FROM t)
@@ -285,6 +376,35 @@ object Oracles {
          |SELECT role, count(*) AS n_rows,
          |  min(md5(text)) AS md5_min, max(md5(text)) AS md5_max
          |FROM t GROUP BY 1 ORDER BY role""".stripMargin,
+    // DuckDB sum() OVER → HUGEINT and count(*) windows differ — CAST
+    // pins session_seq/n_events to BIGINT like Spark's longs
+    "q15_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+        |    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |l AS (SELECT user_id, ts_ms,
+        |    lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+        |      AS prev_ts FROM e),
+        |s AS (SELECT user_id, ts_ms,
+        |    CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 1800000
+        |      THEN 1 ELSE 0 END AS new_s FROM l),
+        |c AS (SELECT user_id, ts_ms,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM s)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(ts_ms) AS first_ts_ms, max(ts_ms) AS last_ts_ms
+        |FROM c GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+    "q16_asof_rates_merge" ->
+      """WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms, user_id,
+        |    value FROM events),
+        |-- HAVING mirrors Temporal.cleanChanges: an all-null change
+        |-- group is IGNORED, not matched as a null rate
+        |r AS (SELECT user_id, epoch_ms(ts) AS ts_ms, max(value) AS rate
+        |  FROM events WHERE event_id % 20 = 0 GROUP BY 1, 2
+        |  HAVING max(value) IS NOT NULL)
+        |SELECT e.event_id, e.ts_ms, e.user_id, e.value, r.rate
+        |FROM e ASOF LEFT JOIN r
+        |  ON e.user_id = r.user_id AND e.ts_ms >= r.ts_ms
+        |ORDER BY e.event_id""".stripMargin,
     "q10_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

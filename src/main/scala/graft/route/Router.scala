@@ -30,19 +30,27 @@ object Router {
     * otherwise); saltBuckets = 0 skips the exchange entirely.
     *
     * hotThreshold > 0 switches to ADAPTIVE salting (SURVEY §4.2.3):
-    * a first-pass `groupBy(conv).count` finds conversations above the
-    * threshold; only those are salted by message_id (a mega-
-    * conversation then spreads over saltBuckets tasks instead of
+    * conversations above the threshold are salted by message_id (a
+    * mega-conversation then spreads over saltBuckets tasks instead of
     * serializing one), while every normal conversation keeps
     * whole-conversation locality (salt = hash(conv)), so its rows land
     * in one task's files and range scans stay clustered. The hot set is
     * broadcast — by definition it is small (count ≥ threshold caps its
     * size at totalRows / threshold).
+    *
+    * Where the hot set comes from matters for scan count: pass
+    * `hotSet` (a conversation_id DataFrame from cheap prior knowledge —
+    * the previous run's thread index on resume) and detection costs
+    * nothing; without it, detection is a `groupBy(conv).count` OVER THE
+    * INPUT, i.e. one extra counting scan of the un-materialized parse
+    * plan (first runs only, column-pruned to conversation_id — see the
+    * parseMode comment).
     */
   def saltedForRouting(
       msgs: DataFrame,
       saltBuckets: Int,
-      hotThreshold: Long = 0L): DataFrame = {
+      hotThreshold: Long = 0L,
+      hotSet: Option[DataFrame] = None): DataFrame = {
     val withSink =
       msgs.withColumn("tool_sink", coalesce(col("tool"), lit("none")))
     if (saltBuckets <= 0) withSink
@@ -50,10 +58,12 @@ object Router {
       withSink.withColumn("__salt",
         pmod(xxhash64(col("message_id")), lit(saltBuckets)))
     else {
-      val hot = msgs.groupBy(col("conversation_id"))
-        .agg(count(lit(1)).as("__cnt"))
-        .filter(col("__cnt") >= hotThreshold)
-        .select(col("conversation_id"), lit(true).as("__hot"))
+      val hot = hotSet
+        .map(_.select(col("conversation_id"), lit(true).as("__hot")))
+        .getOrElse(msgs.groupBy(col("conversation_id"))
+          .agg(count(lit(1)).as("__cnt"))
+          .filter(col("__cnt") >= hotThreshold)
+          .select(col("conversation_id"), lit(true).as("__hot")))
       withSink.join(broadcast(hot), Seq("conversation_id"), "left")
         .withColumn("__salt",
           when(col("__hot"),
@@ -75,8 +85,9 @@ object Router {
       msgs: DataFrame,
       outDir: String,
       saltBuckets: Int = 8,
-      hotThreshold: Long = 0L): String = {
-    val salted = saltedForRouting(msgs, saltBuckets, hotThreshold)
+      hotThreshold: Long = 0L,
+      hotSet: Option[DataFrame] = None): String = {
+    val salted = saltedForRouting(msgs, saltBuckets, hotThreshold, hotSet)
     val distributed =
       if (salted.columns.contains("__salt"))
         salted.repartition(col("role"), col("tool_sink"), col("__salt"))

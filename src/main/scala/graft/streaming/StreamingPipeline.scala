@@ -55,7 +55,11 @@ object StreamingPipeline {
 
   /** Per-user session tracking with explicit state:
     * mapGroupsWithState with processing-time timeout — emits a running
-    * session summary per trigger, closing idle sessions. */
+    * session summary per trigger, closing idle sessions. NOTE: closure
+    * depends on wall-clock trigger cadence, so output is NOT
+    * reproducible across runs/replay — this form is for live
+    * "currently idle" monitoring; deterministic sessionization is
+    * [[sessionizeEventTime]]. */
   def sessionize(
       events: Dataset[(Long, Long)] /* (user_id, ts_ms) */,
       idleTimeoutMs: Long = 30 * 60 * 1000L): Dataset[SessionUpdate] = {
@@ -84,6 +88,90 @@ object StreamingPipeline {
               closed = false)
           }
         })
+  }
+
+  // State and output deliberately use scala-library types only
+  // (tuples of Long / Seq[Long], no user case classes): the streaming
+  // state-store serializer is janino-compiled on the micro-batch
+  // execution thread, where a user class loaded through a layered
+  // classloader (sbt test) makes method resolution fail with "no
+  // applicable method for zero actual parameters" — candidate
+  // signatures reference a differently-loaded Seq. Tuple accessors
+  // return java.lang.Object, so no cross-loader signature appears in
+  // generated code. Batch-driven stateful ops (sessionize above) never
+  // hit this path; streaming ones must.
+  private type OpenSessions = (Seq[Long], Seq[Long], Seq[Long])
+
+  /** EVENT-TIME sessionization: gap-based sessions closed by the
+    * watermark, not the wall clock — [[sessionize]]'s processing-time
+    * timeouts make session closure depend on trigger cadence (results
+    * differ run-to-run and under replay); here every decision is a
+    * function of event times alone, so replaying the same events
+    * through ANY micro-batch split yields the same closed sessions
+    * (asserted streamed == batch in OpsSpec, like intervalJoin).
+    *
+    * Out-of-order safety: an open session is never closed inline by a
+    * later-arriving event — state holds the set of open sessions per
+    * user (merged on insert whenever two sit within gapMs), and a
+    * session is emitted only once the WATERMARK passes its last event
+    * + gap (EventTimeTimeout), i.e. once the engine guarantees no
+    * older event can still arrive. State is bounded by the watermark:
+    * open sessions older than last+gap < watermark always drain on the
+    * next timeout.
+    *
+    * Input needs (user_id: long, ts: timestamp); gap semantics match
+    * [[graft.queries.PipelineQueries]] q15's batch sessionization:
+    * a gap of EXACTLY gapMs continues the session, > gapMs starts a
+    * new one. Output columns: (user_id, n_events, first_ts_ms,
+    * last_ts_ms), one row per CLOSED session.
+    */
+  def sessionizeEventTime(
+      events: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "2 hours"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[OpenSessions]) => {
+          val wm = state.getCurrentWatermarkMs()
+          val incoming = rows.map(r => SessionState(1L, r._2, r._2)).toVector
+          val existing = state.getOption.map { case (ns, firsts, lasts) =>
+            ns.indices
+              .map(i => SessionState(ns(i), firsts(i), lasts(i))).toVector
+          }.getOrElse(Vector.empty)
+          // merge scan over first_ts-sorted sessions: adjacent sessions
+          // within gapMs collapse (counts add, spans union)
+          val merged = (existing ++ incoming).sortBy(s => (s.firstMs, s.lastMs))
+            .foldLeft(Vector.empty[SessionState]) { (acc, s) =>
+              acc.lastOption match {
+                case Some(p) if s.firstMs <= p.lastMs + gapMs =>
+                  acc.init :+ SessionState(p.n + s.n, p.firstMs,
+                    math.max(p.lastMs, s.lastMs))
+                case _ => acc :+ s
+              }
+            }
+          val (closed, open) = merged.partition(_.lastMs + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(
+              (open.map(_.n), open.map(_.firstMs), open.map(_.lastMs)))
+            // earliest possible close; must sit strictly past the
+            // current watermark or setTimeoutTimestamp throws
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.lastMs).min + gapMs, wm + 1))
+          }
+          closed.iterator.map(s => (userId, s.n, s.firstMs, s.lastMs))
+        })
+      .toDF("user_id", "n_events", "first_ts_ms", "last_ts_ms")
   }
 
   /** Streaming form of the parse→route pipeline: incremental text-file

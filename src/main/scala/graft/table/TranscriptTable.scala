@@ -54,6 +54,15 @@ class SnapshotParquetTable(val root: String, retainSnapshots: Int = 2)
     new Path(root).getFileSystem(
       spark.sessionState.newHadoopConf(): Configuration)
 
+  // strict numeric match: a stray non-numeric snap-* entry (e.g. a
+  // leftover snap-tmp from manual debugging) must be IGNORED, not throw
+  // NumberFormatException and brick every subsequent commit
+  private val snapRe = """snap-(\d+)""".r
+  private def snapId(name: String): Option[Long] = name match {
+    case snapRe(id) => Some(id.toLong)
+    case _ => None
+  }
+
   private def pointer = new Path(root, "_current.json")
 
   override def currentSnapshot(spark: SparkSession): Option[Snapshot] = {
@@ -80,8 +89,7 @@ class SnapshotParquetTable(val root: String, retainSnapshots: Int = 2)
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) 0L
     else f.listStatus(rootPath).toSeq
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("snap-") => s.stripPrefix("snap-").toLong }
+      .flatMap(s => snapId(s.getPath.getName))
       .maxOption.map(_ + 1).getOrElse(0L)
   }
 
@@ -123,12 +131,12 @@ class SnapshotParquetTable(val root: String, retainSnapshots: Int = 2)
     val f = fs(spark)
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) return 0
-    val snaps = f.listStatus(rootPath).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("snap-"))
-      .sortBy(_.getName.stripPrefix("snap-").toLong)
+    val snaps = f.listStatus(rootPath).toSeq
+      .flatMap(s => snapId(s.getPath.getName).map(id => (id, s.getPath)))
+      .sortBy(_._1)
     val current = currentSnapshot(spark).map(_.id)
     val toDelete = snaps.dropRight(keep).filterNot(p =>
-      current.contains(p.getName.stripPrefix("snap-").toLong))
+      current.contains(p._1)).map(_._2)
     toDelete.foreach(p => f.delete(p, true))
     toDelete.size
   }

@@ -566,6 +566,149 @@ class OpsSpec extends AnyFunSuite {
     assert(s === b)
   }
 
+  test("multimodal Codec.Real: PNG meta + grid features, WAV duration, corrupt isolation") {
+    import spark.implicits._
+    import graft.ops.Multimodal.{Codec, MediaRecord}
+    // 64×32 PNG, left half black / right half white
+    val img = new java.awt.image.BufferedImage(64, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 64)
+      img.setRGB(x, y, if (x < 32) 0x000000 else 0xffffff)
+    val pngOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pngOut)
+    val png = pngOut.toByteArray
+    // 0.5 s of silence, 8 kHz 16-bit mono WAV
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](4000 * 2)),
+      fmt, 4000L)
+    val wavOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+    val media = Seq(
+      MediaRecord(1L, "image", png, "image/png"),
+      MediaRecord(2L, "audio", wavOut.toByteArray, "audio/wav"),
+      MediaRecord(3L, "image", "notanimage".getBytes, "image/png"))
+      .toDS()
+    val meta = graft.ops.Multimodal.decodeMeta(media, codec = Codec.Real)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(meta(1L).width === 64 && meta(1L).height === 32)
+    assert(meta(2L).duration_ms === 500L)
+    assert(meta(3L).width === -1 && meta(3L).height === -1) // isolated, not fatal
+    val feats = graft.ops.Multimodal.extractFeatures(
+      media, dim = 4, codec = Codec.Real)
+      .collect().map(f => f.media_id -> f.feature).toMap
+    // 2×2 luminance grid: black cells → -1, white cells → +1
+    assert(feats(1L).zip(Array(-1f, 1f, -1f, 1f))
+      .forall { case (a, b) => math.abs(a - b) < 1e-3 })
+    // undecodable image falls back to the deterministic Fake features
+    assert(feats(3L).toSeq ===
+      Codec.Fake.extractFeatures(
+        Seq(MediaRecord(3L, "image", "notanimage".getBytes, "image/png")), 4)
+        .head.feature.toSeq)
+  }
+
+  test("approx percentile (q14): rank-error verdicts all true within sketch bound") {
+    // the q14 query itself computes each approx value's EXACT rank via
+    // a verification join and emits whether |rank/n - p| ≤ 1/accuracy —
+    // all-true here (and vs the DuckDB oracle) IS the rank-error assert
+    // against the exact q13 distribution
+    val rows = graft.queries.AnalyticsQueries
+      .pricePercentilesApprox(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (2 to 5).foreach(i => assert(r.getBoolean(i),
+        s"rank-error bound violated for group ${r.getString(0)} col $i"))
+    }
+  }
+
+  test("asof merge: exactly one exchange, hash-partitioned on the key") {
+    import spark.implicits._
+    val facts = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"),
+        unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
+        col("user_id"), col("value"))
+    val changes = Seq((1L, 0L, 2.5), (2L, 1000L, 3.5))
+      .toDF("user_id", "ts_ms", "rate")
+    val out = graft.ops.Temporal.asofJoinMerge(
+      facts, changes, "user_id", "ts_ms", "rate")
+    val plan = out.queryExecution.executedPlan.toString
+    val nEx = "Exchange".r.findAllMatchIn(plan).size
+    assert(nEx === 1, s"sorted-merge as-of must shuffle ONCE on the key:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"), plan)
+  }
+
+  test("cache hygiene: connectedComponents and ivfTrainedTopK leave no cached tables") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+    assert(labels.collect().length === 5)
+    val ivf = Similarity.ivfTrainedTopK(embs, k = 3, nQueries = 3,
+      nCells = 4, nProbe = 2)
+    assert(ivf.collect().nonEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // the two eager localCheckpoint snapshots of the RETURNED results
+    // are the only persistent blocks allowed to remain (freed by the
+    // ContextCleaner when the results are GC'd); the internal edge /
+    // round-label / assignment caches must all be gone
+    assert(leaked.size <= 2,
+      s"internal caches leaked: ${leaked.size} persistent RDDs remain")
+  }
+
+  test("streaming event-time sessionization: streamed == batch under any batch split") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 60000L
+    val t0 = 1700000000000L
+    // user 1: two sessions (4.5-min gap); user 2: ONE session — its gap
+    // is EXACTLY gapMs, which must continue the session in both the
+    // streaming merge and the batch lag() definition
+    val evts = Seq(
+      (1L, t0), (1L, t0 + 30000L), (1L, t0 + 300000L),
+      (2L, t0 + 10000L), (2L, t0 + 70000L))
+    val flushA = (99L, t0 + 100000000L)
+    val flushB = (99L, t0 + 200000000L)
+    def run(batches: Seq[Seq[(Long, Long)]]): Set[(Long, Long, Long, Long)] = {
+      val src = MemoryStream[(Long, Long)]
+      val stream = StreamingPipeline.sessionizeEventTime(
+        src.toDF().toDF("user_id", "ts_ms")
+          .withColumn("ts", timestamp_millis(col("ts_ms"))),
+        gapMs = gap, watermark = "10 minutes")
+      val qn = "sess_et_" + math.abs(scala.util.Random.nextLong())
+      val q = stream.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+      // two flush batches: the first advances the watermark, the second
+      // gives the engine a batch in which the event-time timeouts fire
+      Seq(flushA, flushB).foreach { f =>
+        src.addData(f); q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(qn).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 != 99L).toSet
+    }
+    val expected = graft.ops.Temporal.gapSessions(
+        evts.toDF("user_id", "ts_ms"), "user_id", "ts_ms", gap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(expected.count(_._1 == 2L) === 1, "exact-gap event must not split")
+    // one batch; three batches; OUT-OF-ORDER split (later session's
+    // event arrives before the first session finishes) — all equal
+    val oneShot = run(Seq(evts))
+    val split = run(Seq(evts.take(2), evts.slice(2, 4), evts.drop(4)))
+    val ooo = run(Seq(
+      Seq(evts(2), evts(3)), Seq(evts(0), evts(4)), Seq(evts(1))))
+    assert(oneShot === expected)
+    assert(split === expected)
+    assert(ooo === expected)
+  }
+
   test("streaming: mapGroupsWithState sessionization") {
     import spark.implicits._
     val updates = StreamingPipeline.sessionize(

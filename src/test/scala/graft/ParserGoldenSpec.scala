@@ -101,4 +101,40 @@ class ParserGoldenSpec extends AnyFunSuite {
     assert(msgs.head().getAs[Long]("ts") === 1500L)
     java.nio.file.Files.delete(tmp)
   }
+
+  test("UTF-8 BOM JSONL parses identically through readRawAuto (S2, parser.py:64)") {
+    val line = """{"conversation_id": "c1", "mapping": {"n1": {"id": "n1", "parent": null, "message": {"id": "m1", "author": {"role": "user"}, "create_time": 1.5, "content": {"content_type": "text", "parts": ["hi"]}}}}}"""
+    val tmp = java.nio.file.Files.createTempFile("graft-bom", ".jsonl")
+    java.nio.file.Files.write(tmp,
+      Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val msgs = ChatGptParser.normalize(
+      ChatGptParser.readRawAuto(spark, tmp.toString))
+    val row = msgs.select("conversation_id", "role", "ts", "text").collect()
+    assert(row.length === 1, "BOM line must parse, not quarantine")
+    assert(row.head.getString(0) === "c1" && row.head.getString(1) === "user")
+    assert(row.head.getLong(2) === 1500L && row.head.getString(3) === "hi")
+    java.nio.file.Files.delete(tmp)
+  }
+
+  test("UTF-8 BOM raw transcript JSONL parses identically through the fast path") {
+    import spark.implicits._
+    val lines = graft.gen.TranscriptGen.renderRawJsonl(
+      graft.gen.TranscriptGen.synthesize(spark, 2)).collect()
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val dir = java.nio.file.Files.createTempDirectory("graft-bom-fast")
+    java.nio.file.Files.write(dir.resolve("plain.jsonl"),
+      lines.mkString("", "\n", "\n").getBytes(utf8))
+    val dirBom = java.nio.file.Files.createTempDirectory("graft-bom-fast2")
+    java.nio.file.Files.write(dirBom.resolve("bom.jsonl"),
+      Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        lines.mkString("", "\n", "\n").getBytes(utf8))
+    val plain = graft.parse.FastTranscriptParser
+      .parse(spark, dir.toString)
+      .orderBy("conversation_id", "turn_idx").collect()
+    val bom = graft.parse.FastTranscriptParser
+      .parse(spark, dirBom.toString)
+      .orderBy("conversation_id", "turn_idx").collect()
+    assert(plain.length > 0 && plain.toSeq === bom.toSeq)
+  }
 }

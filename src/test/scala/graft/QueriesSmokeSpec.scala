@@ -45,6 +45,27 @@ class QueriesSmokeSpec extends AnyFunSuite {
       s"scale-killer join shapes found:\n${offenders.mkString("\n")}")
   }
 
+  test("narrow operators stay within their pinned exchange budget") {
+    // the shuffle-count twin of the join-shape guard: these operators
+    // are single-pass narrow maps whose ONLY exchange is the output
+    // orderBy — a future edit that sneaks a groupBy/join/window into
+    // one of them fails here, not at 100 TB. (Counting "Exchange"
+    // occurrences in the executed plan string; AQE reuse nodes don't
+    // print as Exchange.)
+    val budget = Map(
+      "q20_token_count" -> 1, "q21_lang_id" -> 1, "q22_quality" -> 1,
+      "q23_fingerprint" -> 1, "q24_repetition" -> 1,
+      "q26_pii_scrub" -> 1, "q27_corpus_filter" -> 1)
+    val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val n = "Exchange".r.findAllMatchIn(plan).size
+      if (n > max) Some(s"$name: $n exchanges (budget $max)") else None
+    }
+    assert(over.isEmpty,
+      s"shuffle crept into a narrow operator:\n${over.mkString("\n")}")
+  }
+
   test("every query has an oracle or an explicit exemption") {
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- oracleExempt
