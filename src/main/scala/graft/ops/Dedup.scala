@@ -22,6 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Persist `df` unless an identical plan is already in the session
+    * cache (public `Dataset.storageLevel` consults the CacheManager by
+    * normalized plan). Queries share sub-plans — q36's edge list is
+    * built from q31's pair pipeline, whose shingle table is persisted
+    * inside ngramJaccardPairs — so a second blind persist of the same
+    * plan raises CacheManager's "already cached" warning and, worse,
+    * registers a duplicate cache entry candidate. Reusing the existing
+    * entry keeps cache bookkeeping exact and the logs clean. */
+  private[ops] def persistOnce(df: DataFrame): DataFrame = {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+  }
+
   /** Distinct word k-shingles per doc (k=3). Codegen'd expression
     * (graft.functions.WordShingles) — the HOF equivalent measured ~8 s
     * per evaluation over 5000 docs, and join plans evaluate this on
@@ -63,8 +77,7 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
       .select("shingle")
-    val sh = all.join(rare, Seq("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = persistOnce(all.join(rare, Seq("shingle")))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // explicit side aliases: both join inputs share one lineage (the
     // persisted `sh`), and column-reference equality across two
@@ -124,8 +137,7 @@ object Dedup {
       docs: DataFrame, numHashes: Int = 8,
       minEstSim: Double = 0.25): DataFrame = {
     require(numHashes % 2 == 0, "r=2 banding needs even numHashes")
-    val sig = minhashSignaturesWide(docs, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = persistOnce(minhashSignaturesWide(docs, numHashes))
     val nBands = numHashes / 2
     val bandStructs = array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
