@@ -62,22 +62,28 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, k: Int = 3, minJaccard: Double = 0.1,
       maxDocFreq: Int = 100): DataFrame = {
-    // df-filter as partial-agg groupBy + join-back — deliberately NOT a
-    // count window over the shingle partition: a hot stop-shingle
-    // (exactly what this filter exists to drop) would form one window
-    // group that a single task must buffer, and AQE cannot split a
-    // window partition, whereas the hash aggregate combines map-side
-    // and the join is AQE-skew-splittable. The filtered table is
-    // persisted because the sizes agg and both self-join sides scan it
-    // (lifetime note: the cache backs the RETURNED lazy DataFrame, so
-    // it cannot be released here; MEMORY_AND_DISK lets Spark's LRU
-    // evict it under pressure).
+    // df-filter as partial-agg groupBy + ANTI-join against the HOT set
+    // (df > maxDocFreq) — not a count window over the shingle partition
+    // (a hot stop-shingle would form one window group a single task
+    // must buffer, and AQE cannot split a window partition), and not a
+    // join-back against the rare set: rare is nearly ALL distinct
+    // shingles, so that join shuffles the full shingle table a second
+    // time to keep ~everything. The hot side is bounded by
+    // total_shingle_rows / maxDocFreq distinct values and in real
+    // corpora is a handful of stop-phrases, so AQE plans a broadcast
+    // anti-join and the big table never exchanges for the filter; if an
+    // adversarial corpus makes it large, AQE falls back to a
+    // sort-merge anti — the old join-back's cost, never worse. The
+    // filtered table is persisted because the sizes agg and both
+    // self-join sides scan it (lifetime note: the cache backs the
+    // RETURNED lazy DataFrame, so it cannot be released here;
+    // MEMORY_AND_DISK lets Spark's LRU evict it under pressure).
     val all = shingles(docs, k)
-    val rare = all.groupBy("shingle")
+    val hot = all.groupBy("shingle")
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
+      .filter(col("df") > maxDocFreq)
       .select("shingle")
-    val sh = persistOnce(all.join(rare, Seq("shingle")))
+    val sh = persistOnce(all.join(hot, Seq("shingle"), "left_anti"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // explicit side aliases: both join inputs share one lineage (the
     // persisted `sh`), and column-reference equality across two
