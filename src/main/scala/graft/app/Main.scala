@@ -21,6 +21,7 @@ import graft.route.Router
   *                         [--resume]
   *   graft.app.Main export --parsed-root DIR --outdir DIR [--tz TZ]
   *                         [--formatting light|none] [--split SPEC]
+  *                         [--validate-schema]
   *   graft.app.Main chain  --input FILE --outdir DIR [export opts]
   */
 object Main {
@@ -239,7 +240,18 @@ object Main {
     // (a separate parts.count() re-executed the whole render+pack
     // pipeline — round-1 double render)
     val nParts = Exporter.writeParts(parts, s"$outdir/md")
-    println(s"""{"mode":"export","parts":$nParts}""")
+
+    // opt-in runtime JSON-Schema validation of the JSONL records being
+    // exported (reference: schema_validation.py is likewise opt-in);
+    // one extra narrow text scan, only when requested
+    val validated = if (flag(args, "validate-schema")) {
+      val lines = spark.read.text(s"$root/*/thread-*/parsed.jsonl")
+        .filter(col("value").contains("\"record_type\": \"message\""))
+      val r = graft.parse.SchemaContract.summarize(
+        graft.parse.SchemaContract.validateJsonl(lines)).head()
+      s""","schema_records":${r.getLong(0)},"schema_invalid":${r.getLong(1)}"""
+    } else ""
+    println(s"""{"mode":"export","parts":$nParts$validated}""")
     0
   }
 }

@@ -28,9 +28,11 @@ import graft.model.Schemas
   *  - null-ts messages DROPPED — count-critical (adapter.py:220-222)
   *  - text = "\n".join(parts) (adapter.py:225)
   *
-  * The BFS linearization (adapter.py:100-141) is intentionally NOT
-  * implemented: the adapter's final sort by (ts, message_id) makes BFS
-  * order unobservable in output (see SURVEY.md §2 A5).
+  * The BFS linearization (adapter.py:100-141) is deliberately NOT on
+  * this path: the adapter's final sort by (ts, message_id) makes BFS
+  * order unobservable in normalized output (see SURVEY.md §2 A5). It
+  * exists as its own operator — [[Linearize.linearized]] — for callers
+  * that want branch-aware thread order.
   */
 object ChatGptParser {
 
@@ -126,6 +128,9 @@ object ChatGptParser {
         coalesce(col("create_time").cast(StringType),
           col("update_time").cast(StringType), lit("")))), 1, 12),
     lit("unknown"))
+
+  /** The conversation-id coalesce chain, shared with [[Linearize]]. */
+  private[parse] def conversationIdCol: Column = conversationId
 
   /** Normalize raw conversations into the message contract.
     *

@@ -44,6 +44,15 @@ class MainAppSpec extends AnyFunSuite {
     val wantMd = java.nio.file.Files.readString(java.nio.file.Paths.get(
       TestSpark.resource("/golden/sample_multi_export.md")))
     assert(md === wantMd)
+    // opt-in runtime JSON-Schema validation (P2): every emitted message
+    // record validates against the message contract
+    val outStream = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outStream, true, "UTF-8")) {
+      assert(Main.run(Array("export", "--parsed-root", out.toString,
+        "--outdir", out.toString, "--validate-schema")) === 0)
+    }
+    assert(outStream.toString("UTF-8")
+      .contains(""""schema_records":16,"schema_invalid":0"""))
   }
 
   test("parse --resume skips unchanged threads, routed sinks stay complete") {
