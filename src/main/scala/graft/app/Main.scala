@@ -18,7 +18,7 @@ import graft.route.Router
   *
   * Usage:
   *   graft.app.Main parse  --input FILE --outdir DIR [--provider P]
-  *                         [--resume]
+  *                         [--resume] [--locale en|ja]
   *   graft.app.Main export --parsed-root DIR --outdir DIR [--tz TZ]
   *                         [--formatting light|none] [--split SPEC]
   *                         [--validate-schema]
@@ -36,14 +36,16 @@ object Main {
           System.err.println(e.getMessage)
           2
         case e: java.nio.file.NoSuchFileException =>
-          System.err.println(s"[LP-IO-404] path not found: ${e.getMessage}")
+          System.err.println(
+            I18n.msg("cli.error.path", "detail" -> e.getMessage))
           2
         case e: SecurityException =>
-          System.err.println(s"[LP-IO-403] permission: ${e.getMessage}")
+          System.err.println(
+            I18n.msg("cli.error.permission", "detail" -> e.getMessage))
           3
         case e: Throwable =>
-          System.err.println(s"[LP-UNEXPECTED] ${e.getClass.getName}: " +
-            s"${e.getMessage}")
+          System.err.println(I18n.msg("cli.error.unexpected",
+            "detail" -> s"${e.getClass.getName}: ${e.getMessage}"))
           99
       }
     if (code != 0) sys.exit(code)
@@ -55,7 +57,8 @@ object Main {
     }
 
   private def req(args: Array[String], name: String): String =
-    opt(args, name).getOrElse(throw new UsageError(s"--$name required"))
+    opt(args, name).getOrElse(throw new UsageError(
+      I18n.msg("cli.opt.required", "name" -> name)))
 
   private def flag(args: Array[String], name: String): Boolean =
     args.contains(s"--$name")
@@ -76,8 +79,11 @@ object Main {
   }
 
   def run(args: Array[String]): Int = {
+    // locale before any message can fire (reference: cli.py set_locale
+    // on entry; --locale > LLP_LOCALE > en)
+    I18n.setLocale(opt(args, "locale"))
     if (args.isEmpty) {
-      System.err.println("usage: graft.app.Main parse|export|chain ...")
+      System.err.println(I18n.msg("cli.usage"))
       return 2
     }
     val spark = session()
@@ -91,7 +97,7 @@ object Main {
         else exportMode(spark,
           args ++ Array("--parsed-root", opt(args, "outdir").get))
       case other =>
-        System.err.println(s"unknown mode: $other")
+        System.err.println(I18n.msg("cli.unknown_mode", "mode" -> other))
         2
     }
   }
@@ -113,7 +119,8 @@ object Main {
     val outdir = req(args, "outdir")
     val provider = opt(args, "provider").getOrElse("openai")
     if (!fsExists(spark, input)) {
-      System.err.println(s"[LP-IO-404] input not found: $input")
+      System.err.println(
+        I18n.msg("cli.parse.input_missing", "path" -> input))
       return 2
     }
 
@@ -201,6 +208,9 @@ object Main {
     println(s"""{"mode":"parse","threads":${summary.getLong(0)},""" +
       s""""messages":${summary.getLong(1)},"skipped_threads":$skipped,""" +
       s""""corrupt_lines":$corrupt}""")
+    // human summary on stderr, localized; stdout JSON stays stable
+    System.err.println(I18n.msg("cli.parse.done",
+      "threads" -> summary.getLong(0), "messages" -> summary.getLong(1)))
     0
   }
 
@@ -210,7 +220,8 @@ object Main {
     val outdir = opt(args, "export-outdir")
       .getOrElse(req(args, "outdir"))
     if (!fsExists(spark, root)) {
-      System.err.println(s"[LP-IO-404] parsed root missing: $root")
+      System.err.println(
+        I18n.msg("cli.export.root_missing", "path" -> root))
       return 4
     }
     val tz = opt(args, "tz").getOrElse("UTC")
@@ -252,6 +263,7 @@ object Main {
       s""","schema_records":${r.getLong(0)},"schema_invalid":${r.getLong(1)}"""
     } else ""
     println(s"""{"mode":"export","parts":$nParts$validated}""")
+    System.err.println(I18n.msg("cli.export.done", "parts" -> nParts))
     0
   }
 }

@@ -109,21 +109,21 @@ object Lineage {
       schemaVersion: String = "1.3",
       corruptLines: Long = 0L,
       hadoopConf: org.apache.hadoop.conf.Configuration = null): Unit = {
-    val partJson = partitions.sortBy(_.partition_id).map { p =>
-      PyJson.obj(
-        "partition_id" -> p.partition_id.toString,
-        "row_count" -> p.row_count.toString,
-        "ts_min" -> p.ts_min.map(_.toString).getOrElse("null"),
-        "ts_max" -> p.ts_max.map(_.toString).getOrElse("null"))
-    }.mkString("[", ", ", "]")
-    val json = PyJson.obj(
-      "schema_version" -> PyJson.str(schemaVersion),
-      "provider" -> PyJson.str(provider),
-      "index" -> PyJson.obj(
-        "path" -> PyJson.str(indexPath),
-        "threads" -> threadCount.toString),
-      "corrupt_lines" -> corruptLines.toString,
-      "partitions" -> partJson)
+    // json_safe + dumps in one step (Options unwrap, None → null) —
+    // ListMap pins the reference's key order
+    import scala.collection.immutable.ListMap
+    val json = PyJson.safe(ListMap(
+      "schema_version" -> schemaVersion,
+      "provider" -> provider,
+      "index" -> ListMap(
+        "path" -> indexPath,
+        "threads" -> threadCount),
+      "corrupt_lines" -> corruptLines,
+      "partitions" -> partitions.sortBy(_.partition_id).map(p => ListMap(
+        "partition_id" -> p.partition_id,
+        "row_count" -> p.row_count,
+        "ts_min" -> p.ts_min,
+        "ts_max" -> p.ts_max))))
     val p = new org.apache.hadoop.fs.Path(path)
     // pass the SESSION conf (spark.hadoop.* — S3 creds, defaultFS)
     // from callers with a session; bare defaults only as a fallback

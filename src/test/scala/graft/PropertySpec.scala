@@ -76,6 +76,49 @@ object PropertySpec extends Properties("graft") {
     }
 
   // E16 format_bytes (reference utils.py:34-39) — reference-computed pairs
+  // Pinned by EXECUTING the reference json_safe + json.dumps on the
+  // same values (utils.py:14-26): Decimals → floats with Python repr
+  // formatting, unbounded ints stay ints, nested containers recurse,
+  // non-JSON values stringify.
+  property("PyJson.safe matches executed reference json_safe+dumps") = {
+    import scala.collection.immutable.ListMap
+    Prop.all(
+      Prop(PyJson.safe(ListMap("a" -> new java.math.BigDecimal("1.5")))
+        == """{"a": 1.5}"""),
+      Prop(PyJson.safe(ListMap("a" -> new java.math.BigDecimal("2")))
+        == """{"a": 2.0}"""),
+      Prop(PyJson.safe(ListMap("a" -> new java.math.BigDecimal("1E+16")))
+        == """{"a": 1e+16}"""),
+      Prop(PyJson.safe(ListMap("a" -> Seq(1, "x", None,
+          ListMap("b" -> BigDecimal("0.25"), "c" -> false))))
+        == """{"a": [1, "x", null, {"b": 0.25, "c": false}]}"""),
+      Prop(PyJson.safe(ListMap("u" -> "こんにちは"))
+        == "{\"u\": \"\\u3053\\u3093\\u306b\\u3061\\u306f\"}"),
+      Prop(PyJson.safe(ListMap("n" -> BigInt("12345678901234567890")))
+        == """{"n": 12345678901234567890}"""),
+      Prop(PyJson.safe(ListMap("f" -> 0.1)) == """{"f": 0.1}"""),
+      Prop(PyJson.safe(ListMap("f" -> -2.5e-7)) == """{"f": -2.5e-07}"""),
+      // non-JSON value stringifies (the reference turns tuples/sets
+      // into str(obj) the same way)
+      Prop(PyJson.safe(ListMap("e" -> (1, 2))) == """{"e": "(1,2)"}"""))
+  }
+
+  property("pyFloatRepr matches Python repr(float) forms") = Prop.all(
+    Prop(PyJson.pyFloatRepr(0.0) == "0.0"),
+    Prop(PyJson.pyFloatRepr(-0.0) == "-0.0"),
+    Prop(PyJson.pyFloatRepr(1e7) == "10000000.0"),
+    Prop(PyJson.pyFloatRepr(1234.5678) == "1234.5678"),
+    Prop(PyJson.pyFloatRepr(1e-4) == "0.0001"),
+    Prop(PyJson.pyFloatRepr(9.999e-5) == "9.999e-05"),
+    Prop(PyJson.pyFloatRepr(1e16) == "1e+16"),
+    Prop(PyJson.pyFloatRepr(9999999999999998.0) == "9999999999999998.0"),
+    Prop(PyJson.pyFloatRepr(-1.25e22) == "-1.25e+22"))
+
+  property("pyFloatRepr round-trips every double") = forAll {
+    (d: Double) =>
+      d.isNaN || PyJson.pyFloatRepr(d).toDouble == d
+  }
+
   property("formatBytes matches reference format_bytes") = Prop.all(
     Prop(SizeExpr.formatBytes(0L) == "0.0B"),
     Prop(SizeExpr.formatBytes(1023L) == "1023.0B"),
