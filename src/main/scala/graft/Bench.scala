@@ -140,25 +140,41 @@ object Bench {
               ChatGptParser.readRawJsonl(spark, rawPath)))
           else
             graft.parse.FastTranscriptParser.parse(spark, rawPath)
+        var repeatParseOnly = 0.0
         if (stageBreakdown) {
           val tp0 = System.nanoTime()
           parsed.select(count(lit(1))).collect()
-          bestParseOnly =
-            math.min(bestParseOnly, (System.nanoTime() - tp0) / 1e9)
+          repeatParseOnly = (System.nanoTime() - tp0) / 1e9
         }
         val t0 = System.nanoTime()
         val sinkData = Router.writeRoutedSinks(parsed, work.toString,
           saltBuckets = saltBuckets)
         val tWrite = (System.nanoTime() - t0) / 1e9
         val routedTable = spark.read.parquet(sinkData)
+        // ONE grouped agg carries the per-sink counts AND the corpus
+        // checksum: global count = Σ group counts, global checksum =
+        // min over group mins (min is a semilattice), derived from the
+        // ~10 collected rows — the former third scan+job for the
+        // global agg was pure fixed overhead that capped agg-stage
+        // scaling (r3 breakdown: agg 4.5 s @8 → 3.0 s @32, worst of
+        // the three stages precisely because of per-job constants)
         val routed = routedTable
-          .groupBy(col("role"), col("tool_sink")).count().collect()
+          .groupBy(col("role"), col("tool_sink"))
+          .agg(count(lit(1)).as("n"),
+            min(md5(col("text").cast("binary"))).as("min_md5"))
+          .collect()
+        require(routed.map(r => Option(r.getString(3)).getOrElse(""))
+          .min.nonEmpty)
         nThreads = Aggregates.threadStats(routedTable).count()
-        routedTable.agg(
-          count(lit(1)), min(md5(col("text").cast("binary")))).collect()
         val elapsed = (System.nanoTime() - t0) / 1e9
         turns = routed.map(_.getLong(2)).sum
-        if (elapsed < bestElapsed) { bestElapsed = elapsed; bestWrite = tWrite }
+        // stage numbers all come from the WINNING repeat — mixing the
+        // min parse-only of one repeat with the min pipeline of
+        // another produced a negative route_sec under VM noise
+        if (elapsed < bestElapsed) {
+          bestElapsed = elapsed; bestWrite = tWrite
+          bestParseOnly = repeatParseOnly
+        }
       }
       val parseOnly =
         if (stageBreakdown)

@@ -58,6 +58,8 @@ object SparkEntry {
     "q35_embedding_neardup_lsh" -> (T.embeddingNearDupLsh(_, _)),
     "q36_dedup_clusters" -> (T.dedupClusters(_, _)),
     "q37_decontamination" -> (T.decontamination(_, _)),
+    "q38_incremental_dedup" -> (T.incrementalDedup(_, _)),
+    "q39_temperature_mix" -> (T.temperatureMixQ(_, _)),
     "q40_ann_brute" -> (T.annBruteForce(_, _)),
     "q41_ann_ivf" -> (T.annIvf(_, _)),
     "q42_ann_lsh" -> (T.annLsh(_, _)))

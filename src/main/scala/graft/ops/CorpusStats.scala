@@ -133,6 +133,51 @@ object CorpusStats {
     // Spark's cast truncates — floor is the portable threshold
     df.filter(hashBucket(key) < floor(rate * 4096).cast("int"))
 
+  /** Temperature-based corpus mixing (the pretraining-mixture
+    * rebalancer): resample a multi-source corpus so each source's
+    * share follows `n_s^alpha / Σ n_t^alpha` — alpha < 1 flattens the
+    * mixture (upweights rare sources relative to their raw share),
+    * alpha = 1 keeps natural proportions. The corpus is scaled to
+    * `targetFraction` of its original row count; per-source keep
+    * rates are capped at 1 (a rare source cannot be oversampled
+    * without replacement — callers wanting epochs > 1 on rare sources
+    * duplicate upstream).
+    *
+    * Membership is decided by the deterministic md5-bucket of doc_id
+    * ([[hashSample]]): reproducible across engines and task retries.
+    * Rates are rounded to 1e-6 before the bucket threshold so the
+    * float pipeline (pow/sum/divide) cannot flip a boundary between
+    * engines.
+    *
+    * Scale: ONE partial-agg groupBy of (source) — a bounded table —
+    * then an unpartitioned window over those few rows for the
+    * normalizer (bounded by source cardinality, NOT corpus size), a
+    * broadcast join of the per-source rates back, and a narrow filter.
+    * The corpus itself never shuffles. No cartesian/BNLJ (the rates
+    * join is an equi-join on source), so the registry plan guard
+    * holds.
+    */
+  def temperatureMix(
+      docs: DataFrame, alpha: Double = 0.5,
+      targetFraction: Double = 0.5): DataFrame = {
+    val counts = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_s"))
+    // normalizer over the bounded per-source table; unpartitioned
+    // window is safe here BECAUSE the input is one row per source
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = counts
+      .withColumn("z", sum(pow(col("n_s"), alpha)).over(wAll))
+      .withColumn("n_total", sum(col("n_s")).over(wAll))
+      .select(col("source"),
+        round(least(lit(1.0),
+          pow(col("n_s"), alpha) / col("z") * targetFraction *
+            col("n_total") / col("n_s")), 6).as("keep_rate"))
+    hashSample(
+      docs.join(broadcast(rates), Seq("source")),
+      col("doc_id"), col("keep_rate"))
+  }
+
   /** Benchmark decontamination: flag training documents whose distinct
     * word k-shingle sets overlap an evaluation document's by at least
     * minOverlapFrac (fraction of the TRAINING doc's shingles that also

@@ -50,6 +50,38 @@ object Dedup {
     docs.groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical"))
 
+  /** Incremental (cross-run) exact dedup: which docs of a NEW batch
+    * should be ingested, given the fingerprint set of everything
+    * already in the corpus — the steady-state shape of dedup in a
+    * production training-data pipeline, where re-deduplicating 100 TB
+    * per arriving batch is not an option.
+    *
+    * Keeps the batch's FIRST occurrence per fingerprint (min doc_id,
+    * deterministic) and anti-joins the historical fingerprints.
+    *
+    * Scale: everything is keyed on the 16-byte fingerprint — text
+    * never shuffles. The within-batch distinct is a partial-agg
+    * groupBy of the (small) batch; the anti-join's big side is the
+    * history fingerprint table, which a production deployment stores
+    * bucketed/sorted by fp so the probe is co-located; AQE broadcasts
+    * the batch side when it is small enough, which makes the common
+    * case (small batch vs huge history) a broadcast ANTI with zero
+    * history shuffle... but note Spark broadcasts only the LEFT side
+    * of a left-anti when the left is small via a plan rewrite — in
+    * practice the SMJ anti on a bucketed history table reads
+    * pre-partitioned and shuffles ONLY the batch. History should be
+    * maintained incrementally by unioning each run's accepted
+    * fingerprints (one bounded write per batch).
+    */
+  def incrementalNew(batch: DataFrame, historyFps: DataFrame): DataFrame = {
+    val withFp = batch.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("fp"))
+    withFp
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .join(historyFps.select("fp"), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+  }
+
   /** All-pairs word-shingle Jaccard ≥ minJaccard. Exact (no sketch):
     * inverted-index self-join on shingle.
     *

@@ -106,6 +106,36 @@ object TrainingDataQueries {
       .orderBy("text_hash")
   }
 
+  /** Incremental-dedup demo: history = every doc_id % 3 == 0 doc
+    * (distilled to fingerprints, as a production pipeline stores it);
+    * the arriving batch = the other docs, plus a re-keyed stripe of
+    * history texts (doc_id % 9 == 0, +300000 — cross-run duplicates)
+    * and a re-keyed stripe of its own texts (doc_id % 14 == 0,
+    * +400000 — within-batch duplicates). Output: what to ingest. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val history = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val b0 = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = b0
+      .unionByName(history.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .withColumn("doc_id", col("doc_id") + 300000L))
+      .unionByName(b0.filter(pmod(col("doc_id"), lit(14)) === 0)
+        .withColumn("doc_id", col("doc_id") + 400000L))
+    Dedup.incrementalNew(batch,
+        history.select(md5(col("text").cast("binary")).as("fp")))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature mixing at alpha = 0.5, half the corpus: rare sources
+    * gain share, hot sources shed it; membership is the deterministic
+    * md5 bucket, so DuckDB reproduces the exact sample. */
+  def temperatureMixQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.temperatureMix(
+        docs(s, dir).select("doc_id", "source"),
+        alpha = 0.5, targetFraction = 0.5)
+      .select("doc_id", "source", "keep_rate")
+      .orderBy("doc_id")
+
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), k = 3, minJaccard = 0.1)
       .orderBy("doc_a", "doc_b")
@@ -436,6 +466,35 @@ object TrainingDataQueries {
         |    ELSE 1.0 END) * 4096) AS INT)
         |ORDER BY doc_id""".stripMargin,
     "q37_decontamination" -> decontaminationOracle,
+    "q38_incremental_dedup" ->
+      """WITH hist AS (SELECT md5(text) AS fp FROM documents
+        |    WHERE doc_id % 3 = 0),
+        |b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |batch AS (
+        |  SELECT doc_id, text FROM b0
+        |  UNION ALL SELECT doc_id + 300000, text FROM documents
+        |    WHERE doc_id % 3 = 0 AND doc_id % 9 = 0
+        |  UNION ALL SELECT doc_id + 400000, text FROM b0
+        |    WHERE doc_id % 14 = 0),
+        |firsts AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id
+        |  FROM batch GROUP BY 1)
+        |SELECT doc_id, fp FROM firsts
+        |WHERE fp NOT IN (SELECT fp FROM hist)
+        |ORDER BY doc_id""".stripMargin,
+    "q39_temperature_mix" ->
+      """WITH counts AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_s
+        |    FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(pow(n_s, 0.5)) AS z, sum(n_s) AS n
+        |    FROM counts),
+        |rates AS (SELECT source,
+        |    round(least(1.0, pow(n_s, 0.5) / (SELECT z FROM tot) * 0.5 *
+        |      (SELECT n FROM tot) / n_s), 6) AS keep_rate
+        |  FROM counts)
+        |SELECT d.doc_id, d.source, r.keep_rate
+        |FROM documents d JOIN rates r USING (source)
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 3)
+        |    AS INT) < floor(keep_rate * 4096)
+        |ORDER BY d.doc_id""".stripMargin,
     "q20_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -37,6 +37,49 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.head.getDouble(2) === 1.0)
   }
 
+  test("incremental dedup: history dups and batch dups excluded, firsts kept") {
+    import spark.implicits._
+    val history = Seq("old one", "old two")
+      .toDF("text").select(md5(col("text").cast("binary")).as("fp"))
+    val batch = Seq(
+      (10L, "fresh a"), (11L, "old one"), // cross-run duplicate
+      (12L, "fresh b"), (13L, "fresh a"), // within-batch duplicate
+      (14L, "fresh c")).toDF("doc_id", "text")
+    val got = Dedup.incrementalNew(batch, history)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(10L, 12L, 14L))
+    // fingerprints are the md5 of the text, so history can be extended
+    // by unioning the accepted rows — the steady-state loop
+    val accepted = got.map(_.getString(1)).toSet
+    assert(accepted ===
+      batch.filter(col("doc_id").isin(10L, 12L, 14L))
+        .select(md5(col("text").cast("binary"))).as[String].collect().toSet)
+  }
+
+  test("temperature mix: alpha<1 flattens shares; alpha=1 is plain sampling") {
+    import spark.implicits._
+    // 9:1 source imbalance
+    val d = (0L until 1000L).map(i =>
+      (i, if (i % 10 == 0) "rare" else "hot")).toDF("doc_id", "source")
+    val mixed = CorpusStats.temperatureMix(d, alpha = 0.5,
+      targetFraction = 0.5)
+    val bys = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rareShareBefore = 0.1
+    val rareShareAfter =
+      bys("rare").toDouble / (bys("rare") + bys("hot"))
+    assert(rareShareAfter > rareShareBefore,
+      s"alpha=0.5 must upweight the rare source, got $rareShareAfter")
+    // total stays close to targetFraction (hash-bucket granularity)
+    val kept = bys.values.sum.toDouble / 1000
+    assert(kept > 0.4 && kept < 0.6, s"kept=$kept")
+    // alpha=1: keep_rate identical per source == global rate
+    val flat = CorpusStats.temperatureMix(d, alpha = 1.0,
+      targetFraction = 0.5)
+    val rates = flat.select("keep_rate").distinct().as[Double].collect()
+    assert(rates.toSeq === Seq(0.5))
+  }
+
   test("minhash LSH: identical docs are candidates with est_sim 1.0") {
     import spark.implicits._
     val d = Seq(
