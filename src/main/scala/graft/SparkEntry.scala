@@ -40,6 +40,7 @@ object SparkEntry {
     "q14_price_percentiles_approx" -> (A.pricePercentilesApprox(_, _)),
     "q15_sessions" -> (P.sessions(_, _)),
     "q16_asof_rates_merge" -> (P.asofRatesMerge(_, _)),
+    "q17_grok_parse" -> (P.grokParse(_, _)),
     "q20_token_count" -> (T.tokenCount(_, _)),
     "q21_lang_id" -> (T.langId(_, _)),
     "q22_quality" -> (T.quality(_, _)),

@@ -34,6 +34,18 @@ object PipelineQueries {
       .orderBy(col("conv_id"), col("turn_idx"))
   }
 
+  /** Grok text-log round trip (north-star: regex parse of role
+    * markers / tool-call blocks / turn boundaries from raw text):
+    * render per-conversation text documents, parse them back with the
+    * pure-Catalyst grok parser. The oracle computes the EXPECTED rows
+    * directly from events, so this passes only if the parser exactly
+    * inverts the renderer — role, optional tool block, epoch-ms ts and
+    * body text all round-trip byte-equal. */
+  def grokParse(s: SparkSession, dir: String): DataFrame =
+    graft.parse.GrokParser.parse(
+        graft.parse.GrokParser.render(TranscriptGen.fromEvents(s, dir)))
+      .orderBy(col("conv_id"), col("turn_idx"))
+
   /** Router parity: per-(role, tool) routed-row counts. */
   def routeCounts(s: SparkSession, dir: String): DataFrame =
     Aggregates.routedCounts(TranscriptGen.fromEvents(s, dir))
@@ -294,6 +306,15 @@ object Oracles {
          |SELECT conv_id,
          |  CAST(row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
          |  role, text, tool, epoch_ms(ts) AS ts_ms
+         |FROM t ORDER BY conv_id, turn_idx""".stripMargin,
+    // q17's oracle is the EXPECTED parse output computed directly from
+    // events — the Spark side renders per-conversation grok text and
+    // re-parses it, so a green row proves parse ∘ render == identity
+    "q17_grok_parse" ->
+      s"""WITH t AS ($T)
+         |SELECT conv_id,
+         |  CAST(row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         |  role, tool, epoch_ms(ts) AS ts_ms, text
          |FROM t ORDER BY conv_id, turn_idx""".stripMargin,
     "q02_route_counts" ->
       s"""WITH t AS ($T)
