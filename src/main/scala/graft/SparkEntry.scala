@@ -41,6 +41,7 @@ object SparkEntry {
     "q15_sessions" -> (P.sessions(_, _)),
     "q16_asof_rates_merge" -> (P.asofRatesMerge(_, _)),
     "q17_grok_parse" -> (P.grokParse(_, _)),
+    "q18_unicode_nfc" -> (T.unicodeNfc(_, _)),
     "q20_token_count" -> (T.tokenCount(_, _)),
     "q21_lang_id" -> (T.langId(_, _)),
     "q22_quality" -> (T.quality(_, _)),

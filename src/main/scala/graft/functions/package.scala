@@ -34,6 +34,11 @@ package object functions {
   /** Σ x² of an array<float> column (codegen'd). */
   def vec_norm2(a: Column): Column = c(VecNorm2(e(a)))
 
+  /** Unicode normalization NFC/NFD/NFKC/NFKD (codegen'd; no-alloc
+    * passthrough when the input is already normalized). */
+  def unicode_normalize(col: Column, form: String = "NFC"): Column =
+    c(UnicodeNormalize(e(col), form))
+
   /** Reference "light" Markdown formatting (codegen'd). */
   def render_light_md(text: Column): Column =
     c(RenderLightMarkdown(e(text)))

@@ -136,6 +136,30 @@ object TrainingDataQueries {
       .select("doc_id", "source", "keep_rate")
       .orderBy("doc_id")
 
+  /** Unicode canonicalization before fingerprinting: every 11th doc
+    * gains a decomposed-form suffix (e + combining acute, A +
+    * combining ring — NOT byte-equal to their precomposed forms), and
+    * the query emits the NFC fingerprint plus whether normalization
+    * changed the text. DuckDB's nfc_normalize evaluates the identical
+    * function, so the custom codegen'd expression is bit-exact
+    * oracle-checked. */
+  def unicodeNfc(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val withStripe = d.withColumn("text",
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        // DECOMPOSED codepoints written as escapes so no editor or
+        // toolchain can silently precompose them: e + U+0301 combining
+        // acute, A + U+030A combining ring
+        concat(col("text"), lit(" cafe\u0301 A\u030A")))
+        .otherwise(col("text")))
+    val nfc = graft.functions.unicode_normalize(col("text"), "NFC")
+    withStripe
+      .select(col("doc_id"),
+        md5(nfc.cast("binary")).as("nfc_md5"),
+        (nfc =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+  }
+
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), k = 3, minJaccard = 0.1)
       .orderBy("doc_a", "doc_b")
@@ -466,6 +490,15 @@ object TrainingDataQueries {
         |    ELSE 1.0 END) * 4096) AS INT)
         |ORDER BY doc_id""".stripMargin,
     "q37_decontamination" -> decontaminationOracle,
+    "q18_unicode_nfc" ->
+      """WITH c AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN text || ' cafe' || chr(769) || ' A' || chr(778)
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+        |  nfc_normalize(text) <> text AS changed
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q38_incremental_dedup" ->
       """WITH hist AS (SELECT md5(text) AS fp FROM documents
         |    WHERE doc_id % 3 = 0),

@@ -37,6 +37,32 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.head.getDouble(2) === 1.0)
   }
 
+  test("unicode normalize: forms, passthrough, codegen'd plan") {
+    import spark.implicits._
+    val deco = "cafe\u0301"   // e + combining acute
+    val pre = "caf\u00e9"     // precomposed e-acute
+    val full = "\uFF21\uFF22" // full-width AB (compatibility)
+    val d = Seq((1L, deco), (2L, pre), (3L, full), (4L, null))
+      .toDF("id", "s")
+    val got = d.select(
+      graft.functions.unicode_normalize(col("s"), "NFC").as("nfc"),
+      graft.functions.unicode_normalize(col("s"), "NFD").as("nfd"),
+      graft.functions.unicode_normalize(col("s"), "NFKC").as("nfkc"))
+      .collect()
+    assert(got(0).getString(0) === pre)   // NFC composes
+    assert(got(1).getString(1) === deco)  // NFD decomposes
+    assert(got(0).getString(1) === deco)
+    assert(got(2).getString(0) === full)  // NFC keeps compatibility chars
+    assert(got(2).getString(2) === "AB")  // NFKC folds them
+    assert(got(3).isNullAt(0))            // null-safe
+    val plan = d.select(graft.functions.unicode_normalize(col("s")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+    intercept[IllegalArgumentException] {
+      graft.functions.unicode_normalize(col("s"), "NOPE")
+    }
+  }
+
   test("incremental dedup: history dups and batch dups excluded, firsts kept") {
     import spark.implicits._
     val history = Seq("old one", "old two")
