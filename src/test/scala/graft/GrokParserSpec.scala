@@ -55,4 +55,52 @@ class GrokParserSpec extends AnyFunSuite {
     val plan = GrokParser.parse(raw).queryExecution.executedPlan
     assert(plan.collect { case e: Exchange => e }.isEmpty)
   }
+
+  test("round-trip property: randomized transcripts survive render∘parse") {
+    // deterministic pseudo-random corpus over a hostile alphabet —
+    // unicode, quotes, backslashes, blank lines (the wire format's one
+    // reserved sequence, a line starting "### ", excluded by
+    // construction and documented as such)
+    val alphabet = Vector("word", "émoji→", "a\"b\\c", "", "line1\nline2",
+      "tab\tsep", "日本語テキスト", "x ## y", "#hash", " ## # ")
+    val rows = (0 until 500).map { i =>
+      val role = Vector("user", "assistant", "system", "tool")(i % 4)
+      val tool = if (i % 5 == 0) "browser" else null
+      val text = alphabet(i % alphabet.size) +
+        (if (i % 3 == 0) "\n" + alphabet((i * 7) % alphabet.size) else "")
+      (s"c${i % 17}", role, tool, ts(1000L * (i / 17)), text, i.toLong)
+    }.toDF("conv_id", "role", "tool", "ts", "text", "event_id")
+    val expected = rows
+      .withColumn("turn_idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
+          .orderBy(col("ts"), col("event_id"))) - 1)
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        unix_millis(col("ts")).as("ts_ms"), col("text"))
+    val got = GrokParser.parse(GrokParser.render(rows))
+    assert(got.unionByName(expected).distinct().count()
+      === expected.count(),
+      "parse(render(x)) must equal the expected transcript rows")
+    assert(got.count() === expected.count())
+  }
+
+  test("streaming parse: stateless narrow op runs unchanged on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val src = MemoryStream[(String, String)]
+    src.addData(("c1", "### user 1\nhello\n### assistant [tool: python] 2\nworld"))
+    val q = GrokParser.parse(src.toDF().toDF("conv_id", "raw"))
+      .writeStream.format("memory").queryName("grok_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("grok_stream")
+        .orderBy("turn_idx").collect()
+        .map(r => (r.getInt(1), r.getString(2), r.getString(3),
+          r.getLong(4), r.getString(5)))
+      assert(got.toSeq === Seq(
+        (0, "user", null, 1L, "hello"),
+        (1, "assistant", "python", 2L, "world")))
+    } finally q.stop()
+  }
 }

@@ -55,7 +55,21 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val budget = Map(
       "q20_token_count" -> 1, "q21_lang_id" -> 1, "q22_quality" -> 1,
       "q23_fingerprint" -> 1, "q24_repetition" -> 1,
-      "q26_pii_scrub" -> 1, "q27_corpus_filter" -> 1)
+      "q26_pii_scrub" -> 1, "q27_corpus_filter" -> 1,
+      // narrow map + output sort only
+      "q18_unicode_nfc" -> 1,
+      // Catalyst pushes the history anti-join below the 3-branch union
+      // AND below the fp aggregation (dup texts drop before any
+      // shuffle): 3 BroadcastExchange of the SAME history build side
+      // (ReuseExchange dedupes at runtime) + fp hash agg + output sort
+      "q38_incremental_dedup" -> 5,
+      // bounded source agg + its single-partition window (both bounded
+      // by source cardinality, not corpus size) + broadcast rate join
+      // + output sort
+      "q39_temperature_mix" -> 4,
+      // render groupBy (1) + output sort (1); the parse itself is
+      // narrow (GrokParserSpec pins zero exchanges for parse alone)
+      "q17_grok_parse" -> 2)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
