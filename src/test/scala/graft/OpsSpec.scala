@@ -61,6 +61,13 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.functions.unicode_normalize(col("s"), "NOPE")
     }
+    // SQL surface
+    graft.functions.UnicodeNormalize.register(spark)
+    d.createOrReplaceTempView("un_t")
+    val sqlGot = spark.sql(
+      "SELECT unicode_normalize(s), unicode_normalize(s, 'NFKC') " +
+        "FROM un_t WHERE id = 3").head()
+    assert(sqlGot.getString(0) === full && sqlGot.getString(1) === "AB")
   }
 
   test("incremental dedup: history dups and batch dups excluded, firsts kept") {
