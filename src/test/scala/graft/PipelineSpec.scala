@@ -214,5 +214,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(snaps.map(_.split('/').last).toSeq ===
       Seq("snap-00002", "snap-00003"))
     assert(table.read(spark).count() === 1L)
+    // time travel: retained snapshots readable by id (VERSION AS OF);
+    // expired ones fail loud with the retained list
+    assert(table.snapshots(spark).map(_.id) === Seq(2L, 3L))
+    assert(table.readAt(spark, 2L).count() === 3L)
+    assert(table.readAt(spark, 3L).count() === 1L)
+    val gone = intercept[java.util.NoSuchElementException] {
+      table.readAt(spark, 0L)
+    }
+    assert(gone.getMessage.contains("retained: 2, 3"))
   }
 }
