@@ -219,9 +219,13 @@ object Dedup {
     require(64 % nChunks == 0, "chunk width must divide 64")
     val width = 64 / nChunks
     val mask = (1L << width) - 1
-    val withSig = docs.select(col("doc_id"),
+    // persisted: both self-join sides scan the chunk table, and the
+    // signature pass (one md5 per token) is THE cost of this operator —
+    // without the cache it executes twice. One 16-byte-ish row per doc,
+    // same lifetime contract as the MinHash signature cache.
+    val withSig = persistOnce(docs.select(col("doc_id"),
       graft.functions.simhash64(split(trim(col("text")), "\\s+"))
-        .as("sig"))
+        .as("sig")))
     val chunks = withSig.select(col("doc_id"), col("sig"),
       explode(array((0 until nChunks).map(i =>
         struct(lit(i).as("chunk"),
