@@ -42,6 +42,7 @@ object SparkEntry {
     "q16_asof_rates_merge" -> (P.asofRatesMerge(_, _)),
     "q17_grok_parse" -> (P.grokParse(_, _)),
     "q18_unicode_nfc" -> (T.unicodeNfc(_, _)),
+    "q19_unigram_logprob" -> (T.unigramLogProbQ(_, _)),
     "q20_token_count" -> (T.tokenCount(_, _)),
     "q21_lang_id" -> (T.langId(_, _)),
     "q22_quality" -> (T.quality(_, _)),

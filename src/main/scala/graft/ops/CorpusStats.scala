@@ -108,6 +108,43 @@ object CorpusStats {
           .as("seq_id"))
   }
 
+  /** Unigram log-probability scoring — the statistical-LM quality
+    * filter shape (CCNet-style): train token frequencies on the
+    * corpus, score each document by the mean negative log-probability
+    * of its tokens. High scores = improbable token streams (gibberish,
+    * boilerplate explosions); the standard companion to the
+    * heuristic gates in [[TextAnalysis.corpusFilter]].
+    *
+    * Scale: the frequency table is ONE partial-agg groupBy of
+    * (token) — vocabulary-sized, orders of magnitude smaller than the
+    * corpus; its total-count normalizer is an unpartitioned window
+    * over that bounded table. Scoring re-explodes the corpus (a
+    * narrow codegen'd map — deliberately NOT cached: at 10^12 turns
+    * the token stream is far bigger than cluster memory and
+    * recomputing a narrow explode is cheaper than spilling it) and
+    * hash-joins the frequency table; hot stop-words are partial-agg'd
+    * map-side in training and AQE-skew-split in scoring. Scores round
+    * to 1e-6 so double summation order cannot flip a bit vs the
+    * oracle.
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val freqs = tokens.groupBy("tok")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("n_total", sum(col("tf")).over(wAll))
+    // trained on the same corpus → every token is in-vocabulary, the
+    // join is a plain inner equi-join (no OOV smoothing branch)
+    tokens.join(freqs, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(
+        round(avg(-log(col("tf") / col("n_total"))), 6)
+          .as("avg_neg_logp"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Deterministic md5-bucket in [0, 4096) of a key column — the
     * portable sampling hash (same value in DuckDB:
     * CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 3) AS INT)). */

@@ -160,6 +160,12 @@ object TrainingDataQueries {
       .orderBy("doc_id")
   }
 
+  /** LM-style quality scoring: mean unigram negative log-prob per
+    * doc, frequencies trained on the corpus itself. */
+  def unigramLogProbQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.unigramLogProb(docs(s, dir).select("doc_id", "text"))
+      .orderBy("doc_id")
+
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), k = 3, minJaccard = 0.1)
       .orderBy("doc_a", "doc_b")
@@ -490,6 +496,18 @@ object TrainingDataQueries {
         |    ELSE 1.0 END) * 4096) AS INT)
         |ORDER BY doc_id""".stripMargin,
     "q37_decontamination" -> decontaminationOracle,
+    "q19_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |freqs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(tf) AS n FROM freqs)
+        |SELECT doc_id,
+        |  round(avg(-ln(tf / (SELECT n FROM tot))), 6) AS avg_neg_logp,
+        |  count(*) AS n_tokens
+        |FROM toks JOIN freqs USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q18_unicode_nfc" ->
       """WITH c AS (SELECT doc_id,
         |    CASE WHEN doc_id % 11 = 0

@@ -89,6 +89,26 @@ class OpsSpec extends AnyFunSuite {
         .select(md5(col("text").cast("binary"))).as[String].collect().toSet)
   }
 
+  test("unigram logprob: hand-computed probabilities; rare tokens score higher") {
+    import spark.implicits._
+    // corpus tokens: a a a b  → p(a)=3/4, p(b)=1/4
+    val d = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val got = CorpusStats.unigramLogProb(d).orderBy("doc_id").collect()
+    assert(got(0).getDouble(1) ===
+      BigDecimal(-math.log(0.75)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(1).getDouble(1) ===
+      BigDecimal(-math.log(0.25)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(0).getLong(2) === 3L && got(1).getLong(2) === 1L)
+    // gibberish (all-unique tokens) scores above natural repetition
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and the cat sat again"),
+      (2L, "zq wv xj kp fh bn dm")).toDF("doc_id", "text")
+    val s = CorpusStats.unigramLogProb(corpus).orderBy("doc_id").collect()
+    assert(s(1).getDouble(1) > s(0).getDouble(1))
+  }
+
   test("temperature mix: alpha<1 flattens shares; alpha=1 is plain sampling") {
     import spark.implicits._
     // 9:1 source imbalance
