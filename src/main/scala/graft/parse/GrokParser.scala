@@ -61,9 +61,14 @@ object GrokParser {
     * end to end; malformed headers yield null role/ts rather than
     * failing the scan (warn-skip downstream, like the JSON path). */
   def parse(raw: DataFrame): DataFrame = {
-    // leading "\n" makes every boundary — including the first — the
-    // uniform "\n### " separator; element 0 is the (empty) preamble
-    val segs = split(concat(lit("\n"), col("raw")), "\n### ")
+    // CRLF logs are the common case for text exports: normalize line
+    // endings first (one codegen'd pass) or the trailing \r defeats
+    // both the boundary split and the header's (\d+)$ anchor.
+    // Leading "\n" then makes every boundary — including the first —
+    // the uniform "\n### " separator; element 0 is the (empty)
+    // preamble.
+    val normalized = regexp_replace(col("raw"), "\r\n", "\n")
+    val segs = split(concat(lit("\n"), normalized), "\n### ")
     val seg = col("seg")
     val headerLine = substring_index(seg, "\n", 1)
     val body = seg.substr(length(headerLine) + lit(2), length(seg))

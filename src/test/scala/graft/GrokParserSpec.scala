@@ -56,6 +56,20 @@ class GrokParserSpec extends AnyFunSuite {
     assert(plan.collect { case e: Exchange => e }.isEmpty)
   }
 
+  test("CRLF logs parse identically to LF logs") {
+    val lf = "### user 1\nhello\n### assistant [tool: python] 2\nworld"
+    val crlf = lf.replace("\n", "\r\n")
+    val both = Seq(("lf", lf), ("crlf", crlf)).toDF("conv_id", "raw")
+    val got = GrokParser.parse(both).orderBy("conv_id", "turn_idx")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getString(5)))
+    val expect = (cid: String) => Seq(
+      (cid, 0, "user", null, 1L, "hello"),
+      (cid, 1, "assistant", "python", 2L, "world"))
+    assert(got.toSeq === expect("crlf") ++ expect("lf"))
+  }
+
   test("round-trip property: randomized transcripts survive render∘parse") {
     // deterministic pseudo-random corpus over a hostile alphabet —
     // unicode, quotes, backslashes, blank lines (the wire format's one
