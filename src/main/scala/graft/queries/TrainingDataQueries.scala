@@ -160,6 +160,18 @@ object TrainingDataQueries {
       .orderBy("doc_id")
   }
 
+  /** One-pass column profile of the documents table, with an injected
+    * null stripe (every 13th doc's lang nulled) so null counting is
+    * non-trivial. */
+  def profileQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("lang",
+      when(pmod(col("doc_id"), lit(13)) === 0, lit(null: String))
+        .otherwise(col("lang")))
+    CorpusStats.profile(d,
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .orderBy("column")
+  }
+
   /** LM-style quality scoring: mean unigram negative log-prob per
     * doc, frequencies trained on the corpus itself. */
   def unigramLogProbQ(s: SparkSession, dir: String): DataFrame =
@@ -496,6 +508,21 @@ object TrainingDataQueries {
         |    ELSE 1.0 END) * 4096) AS INT)
         |ORDER BY doc_id""".stripMargin,
     "q37_decontamination" -> decontaminationOracle,
+    "q43_profile" -> {
+      val profCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val branches = profCols.map(c =>
+        s"""SELECT '$c' AS "column",
+           |  (SELECT n_rows FROM n) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  min(CAST($c AS VARCHAR)) AS min_str,
+           |  max(CAST($c AS VARCHAR)) AS max_str FROM d""".stripMargin)
+      s"""WITH d AS (SELECT doc_id, text,
+         |    CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+         |    source, n_chars FROM documents),
+         |n AS (SELECT count(*) AS n_rows FROM d)
+         |${branches.mkString("\nUNION ALL\n")}
+         |ORDER BY "column"""".stripMargin
+    },
     "q19_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(string_split_regex(trim(text), '\s+')) AS tok

@@ -89,6 +89,22 @@ class OpsSpec extends AnyFunSuite {
         .select(md5(col("text").cast("binary"))).as[String].collect().toSet)
   }
 
+  test("profile: nulls/distinct/minmax per column; input scanned once") {
+    import spark.implicits._
+    val d = Seq((1L, "a", null), (2L, "b", "x"), (3L, "a", "x"))
+      .toDF("id", "s", "t")
+    val p = CorpusStats.profile(d, Seq("id", "s", "t"))
+    val by = p.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(by("id") === ((0L, 3L, "1", "3")))
+    assert(by("s") === ((0L, 2L, "a", "b")))
+    assert(by("t") === ((1L, 1L, "x", "x")))
+    // one scan: exactly one relation/file source in the plan
+    val plan = p.queryExecution.optimizedPlan.toString
+    assert("LocalRelation|Relation".r.findAllMatchIn(plan).size <= 1,
+      s"profile must not multi-scan the input:\n$plan")
+  }
+
   test("unigram logprob: hand-computed probabilities; rare tokens score higher") {
     import spark.implicits._
     // corpus tokens: a a a b  → p(a)=3/4, p(b)=1/4
