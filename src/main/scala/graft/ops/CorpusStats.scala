@@ -152,9 +152,13 @@ object CorpusStats {
     * heuristic gates in [[TextAnalysis.corpusFilter]].
     *
     * Scale: the frequency table is ONE partial-agg groupBy of
-    * (token) — vocabulary-sized, orders of magnitude smaller than the
-    * corpus; its total-count normalizer is an unpartitioned window
-    * over that bounded table. Scoring re-explodes the corpus (a
+    * (token). "Vocabulary-sized" is NOT small at web scale — the
+    * whitespace vocabulary over 100 TB of text is billions of distinct
+    * tokens — so the total-count normalizer must never funnel that
+    * table through one task: it is computed as a single-row scalar
+    * aggregate (partial sums combine map-side, one row reaches the
+    * driver) and inlined as a literal on the frequency table.
+    * Scoring re-explodes the corpus (a
     * narrow codegen'd map — deliberately NOT cached: at 10^12 turns
     * the token stream is far bigger than cluster memory and
     * recomputing a narrow explode is cheaper than spilling it) and
@@ -166,11 +170,27 @@ object CorpusStats {
   def unigramLogProb(docs: DataFrame): DataFrame = {
     val tokens = docs.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("tok"))
-    val wAll = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val freqs = tokens.groupBy("tok")
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .withColumn("n_total", sum(col("tf")).over(wAll))
+    // persist the vocabulary table: the scalar-total agg and the
+    // scoring join both read it, and without the persist each reader
+    // would re-explode + re-shuffle the whole corpus
+    val tf = Dedup.persistOnce(tokens.groupBy("tok")
+      .agg(count(lit(1)).cast("double").as("tf")))
+    // corpus-wide token total: a single-row scalar aggregate evaluated
+    // eagerly and inlined as a LITERAL. Partial sums combine map-side
+    // and exactly one row crosses to the driver — the same shape AQE
+    // itself uses for runtime stats, and the accepted single-row-agg
+    // pattern (packSequences' bucket sizing, q14's sketch). NEVER a
+    // partition-less window over the frequency table (that moves the
+    // whole vocabulary to one task), and deliberately not a 1-row
+    // crossJoin either (Catalyst plans that — and its constant-keyed
+    // variant, after folding — as a Cross BroadcastNestedLoopJoin,
+    // which the registry-wide join-shape guard rightly forbids).
+    val totalRow = tf.agg(sum(col("tf"))).head()
+    // null sum == empty corpus: the scoring join below is empty too,
+    // so the literal's value is never observed — NaN keeps it honest
+    val nTotal =
+      lit(if (totalRow.isNullAt(0)) Double.NaN else totalRow.getDouble(0))
+    val freqs = tf.withColumn("n_total", nTotal)
     // trained on the same corpus → every token is in-vocabulary, the
     // join is a plain inner equi-join (no OOV smoothing branch)
     tokens.join(freqs, Seq("tok"))

@@ -69,7 +69,12 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q39_temperature_mix" -> 4,
       // render groupBy (1) + output sort (1); the parse itself is
       // narrow (GrokParserSpec pins zero exchanges for parse alone)
-      "q17_grok_parse" -> 2)
+      "q17_grok_parse" -> 2,
+      // vocabulary groupBy + 1-row scalar-total agg + scoring join
+      // side + doc groupBy + output sort — and NO partition-less
+      // window attaching n_total (the r3 scale-killer, now also
+      // guarded registry-wide below)
+      "q19_unigram_logprob" -> 5)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
@@ -78,6 +83,26 @@ class QueriesSmokeSpec extends AnyFunSuite {
     }
     assert(over.isEmpty,
       s"shuffle crept into a narrow operator:\n${over.mkString("\n")}")
+  }
+
+  test("no query plans a partition-less window over corpus input") {
+    // the q19 lesson made permanent: Window.partitionBy() with no keys
+    // funnels its ENTIRE input through one task — fine on a bounded
+    // table (one row per source), fatal on anything corpus-derived.
+    // q39 is the one justified use: its window input is the per-source
+    // aggregate, bounded by source cardinality, not corpus size.
+    val boundedInput = Set("q39_temperature_mix")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => boundedInput(q._1)).flatMap { case (name, fn) =>
+        val n = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }.size
+        if (n > 0) Some(s"$name: $n partition-less Window node(s)")
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"single-task window funnels found:\n${offenders.mkString("\n")}")
   }
 
   test("every query has an oracle or an explicit exemption") {
