@@ -317,16 +317,25 @@ object Dedup {
     * Scale: O(diameter) rounds of one equi-join + agg each, all
     * hash-partitioned on node id — dedup graphs are near-cliques of
     * duplicates (tiny diameter), so 3-4 rounds in practice. For
-    * adversarial long-path graphs the large-star/small-star algorithm
-    * halves diameter per round; not needed for dedup cliques. Each
-    * round's result is persisted and the previous unpersisted, so
-    * lineage stays O(1) deep (no exponential plan growth).
+    * adversarial long-path graphs (drifting boilerplate chains) pass
+    * `diameterSafe = true` to run the alternating large-star/small-star
+    * algorithm instead (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"): each round rewires nodes toward their
+    * neighborhood minimum, contracting path length geometrically, so a
+    * 1,000-node path converges in ~a dozen rounds where min-label
+    * propagation needs 1,000. Same output contract, same per-round
+    * shuffle shape (groupBy + equi-join on node id); the default stays
+    * min-label because on near-clique dedup graphs it converges in
+    * fewer, cheaper rounds. Each round's result is persisted and the
+    * previous unpersisted, so lineage stays O(1) deep (no exponential
+    * plan growth).
     *
     * Output: (doc_id, cluster_id = min doc_id reachable) for every doc
     * that appears in at least one pair; singletons are their own
     * implicit cluster and are not emitted.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+      diameterSafe: Boolean = false): DataFrame = {
     // fail fast on non-numeric ids: cast("long") would silently null
     // string ids and collapse every node into one garbage cluster
     val numeric = Set[org.apache.spark.sql.types.DataType](
@@ -338,6 +347,7 @@ object Dedup {
       s"connectedComponents needs integral doc ids, got " +
         s"${pairs.schema("doc_a").dataType}; map string ids to longs " +
         "(e.g. xxhash64 or a dictionary) first")
+    if (diameterSafe) return alternatingStarCC(pairs, maxIter)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Both edge directions from ONE scan of the pair plan: a
     // union(select(a,b), select(b,a)) embeds two copies of the upstream
@@ -368,13 +378,21 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(edges("src").as("nid"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"),
+      val nextRaw = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"),
           "left")
         .select(labels("doc_id").as("doc_id"),
           least(labels("cluster_id"),
             coalesce(col("nbr_min"), labels("cluster_id")))
             .as("cluster_id"))
-        .persist(lvl)
+      // persist bounds DATA lineage but the LOGICAL plan still embeds
+      // both parents, doubling per round — past ~30 rounds even
+      // rendering the plan string OOMs the driver. A localCheckpoint
+      // every 8th round truncates the plan (≤2^8 nodes between cuts)
+      // while leaving the common ≤10-round dedup-clique case on the
+      // cheap persist path.
+      val next =
+        if ((i + 1) % 8 == 0) nextRaw.localCheckpoint(true)
+        else nextRaw.persist(lvl)
       val s = labelSum(next)
       labels.unpersist()
       labels = next
@@ -387,9 +405,9 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
-          "(component diameter > maxIter); raise maxIter or use a " +
-          "diameter-halving variant (large-star/small-star) for " +
-          "long-chain graphs")
+          "(component diameter > maxIter); raise maxIter or pass " +
+          "diameterSafe = true for the large-star/small-star variant " +
+          "that handles long-chain graphs")
     // Hand back a result that leaves NOTHING in the session's cache
     // manager: the convergence loop already fully materialized `labels`,
     // so an eager localCheckpoint just snapshots those rows with
@@ -404,6 +422,110 @@ object Dedup {
     // canonical dedup flow does exactly that.
     val out = labels.localCheckpoint(true)
     labels.unpersist()
+    edges.unpersist()
+    out
+  }
+
+  /** Alternating large-star/small-star connected components — the
+    * diameter-safe path behind `connectedComponents(diameterSafe =
+    * true)`. Each round every node is rewired to the minimum of its
+    * closed neighborhood: large-star hangs every neighbor LARGER than
+    * a node directly off that neighborhood minimum, small-star does
+    * the same for the smaller neighbors, and alternating the two
+    * contracts any path geometrically until the edge set is a union of
+    * stars centered on each component's minimum id. Per round: one
+    * groupBy(node) min + one equi-join back on node id + distinct —
+    * the same hash-partitioned shuffle shape as a min-label round, but
+    * O(log^2 n) rounds worst-case instead of O(diameter). The edge set
+    * never grows past one directed edge per (node, target) pair
+    * (distinct each round), and rounds persist/unpersist pairwise so
+    * lineage stays O(1).
+    *
+    * Fixpoint witness: (edge count, sum of per-edge hashes) — star
+    * rewiring is not label-monotone, so the label-sum witness of the
+    * propagation variant does not apply; set equality (checked via the
+    * hash pair) is the paper's own termination condition.
+    */
+  private def alternatingStarCC(pairs: DataFrame,
+      maxIter: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // canonical (big → small) directed form, self-loops dropped; the
+    // explode-of-2-structs trick is unnecessary here (no q31-style
+    // double-materialization: `orient` below symmetrizes per round)
+    var edges = pairs
+      .select(greatest(col("doc_a").cast("long"), col("doc_b").cast("long"))
+          .as("u"),
+        least(col("doc_a").cast("long"), col("doc_b").cast("long"))
+          .as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(lvl)
+    // both directions of each edge, for neighborhood computation
+    def sym(e: DataFrame): DataFrame = e
+      .select(explode(array(
+        struct(col("u").as("a"), col("v").as("b")),
+        struct(col("v").as("a"), col("u").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    // large-star: per node a, m = min({a} ∪ N(a)); emit (b, m) for
+    // every neighbor b > a — output is already (big → small) oriented
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = s.groupBy("a").agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      s.join(m, "a").filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star on (big → small) edges: per node a with smaller
+    // neighbors Γ⁻(a), m = min(Γ⁻(a)); emit (a, m) and (b, m) for
+    // every b ∈ Γ⁻(a), b ≠ m
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min(col("v")).as("m"))
+      val rewired = e.join(m, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val centers = m.select(col("u"), col("m").as("v"))
+      rewired.union(centers).distinct()
+    }
+    def witness(e: DataFrame): (Long, Option[java.math.BigDecimal]) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), Option(r.getDecimal(1)))
+    }
+    var w = witness(edges)
+    var i = 0
+    var converged = w._1 == 0L
+    while (!converged && i < maxIter) {
+      // a fixpoint of BOTH phases is required: checking only the
+      // round composition could accept a 2-cycle that is not yet a
+      // star set. e1 is persisted (witness + small-star both read it);
+      // e2 is localCheckpoint'd so the round output's LOGICAL plan is
+      // O(1) — each phase embeds its input plan several times, so a
+      // persist-only loop would grow the plan 4× per round and OOM the
+      // driver rendering it long before maxIter.
+      val e1 = largeStar(edges).persist(lvl)
+      val w1 = witness(e1)
+      val e2 = smallStar(e1).localCheckpoint(true)
+      val w2 = witness(e2)
+      edges.unpersist(); e1.unpersist()
+      edges = e2
+      converged = w1 == w && w2 == w1
+      w = w2
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"alternatingStarCC did not converge in $maxIter rounds — " +
+          "this is O(log^2 n) rounds by construction, so hitting the " +
+          "bound means maxIter is set far too low for the graph size")
+    // at the fixpoint the edge set is exactly {(v, min) | v in
+    // component, v ≠ min}: read labels straight off it, adding the
+    // centers' self-labels
+    val labels = edges.select(col("u").as("doc_id"),
+        col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"),
+        col("v").as("cluster_id")))
+      .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
+    val out = labels.localCheckpoint(true)
     edges.unpersist()
     out
   }

@@ -441,6 +441,62 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components diameterSafe: 1000-node path the default cannot cluster") {
+    import spark.implicits._
+    // min-label propagation needs O(diameter) rounds: on a path it
+    // must fail LOUD at maxIter (30 nodes / 5 rounds keeps this cheap)
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(
+        (1L to 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b"),
+        maxIter = 5).count()
+    }
+    // the alternating large-star/small-star variant contracts a
+    // 1,000-node path geometrically — ~1,000 propagation rounds
+    // collapse to ~a dozen star rounds, well inside the same bound
+    val path = (1L to 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(path, maxIter = 50,
+        diameterSafe = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === (1L to 1000L).map(_ -> 1L).toMap)
+  }
+
+  test("connected components diameterSafe: equals union-find oracle on a random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random multi-component graph (fixed seed),
+    // checked against a driver-side union-find oracle AND against the
+    // default propagation variant — both algorithms, one contract
+    val rnd = new scala.util.Random(42)
+    val nNodes = 400
+    val edges = Seq.fill(300) {
+      val a = rnd.nextInt(nNodes).toLong
+      val b = rnd.nextInt(nNodes).toLong
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    // union-find oracle
+    val parent = Array.tabulate(nNodes)(identity)
+    def find(x: Int): Int = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val touched = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val expected = touched
+      .map(n => n -> touched.filter(m => find(m.toInt) == find(n.toInt))
+        .min).toMap
+    val pairsDf = edges.toDF("doc_a", "doc_b")
+    val star = Dedup.connectedComponents(pairsDf, diameterSafe = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === expected)
+    val prop = Dedup.connectedComponents(pairsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prop === expected)
+  }
+
   test("embedding near-dup: blocked equi-join — no nested-loop, matches all-pairs") {
     val res = Dedup.embeddingNearDups(embs, minCosine = 0.3)
     val plan = res.queryExecution.executedPlan.toString
