@@ -76,24 +76,47 @@ object Bench {
     // cache read, not the query.
     val skipQueries = sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")
     val qRepeats = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPEAT", "2").toInt
+    // noisy-query stabilization: after the base rounds, queries whose
+    // max/min spread exceeds 2× get further INTERLEAVED rounds (up to
+    // SPARK_GRAFT_QUERY_MAX_REPEAT total) — at runs=2 the heavy
+    // queries' round-over-round deltas were unjudgeable on this
+    // shared VM (r3: q17 1.4–8.7, q32 4.7–13.8), while padding every
+    // light query to 4+ rounds would double bench wall-time for
+    // nothing. Adaptive targeting pays only where the noise is.
+    val qMaxRepeats =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_MAX_REPEAT", "6").toInt
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
-    if (!skipQueries)
-      for (_ <- 1 to qRepeats; name <- names) {
-        spark.catalog.clearCache()
-        val fn = SparkEntry.queries(name)
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        times(name) = times(name) :+ (if (ok) dt else -1.0)
+    def runOnce(name: String): Unit = {
+      spark.catalog.clearCache()
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      times(name) = times(name) :+ (if (ok) dt else -1.0)
+    }
+    def unstable(name: String): Boolean = {
+      val ts = times(name).filter(_ >= 0)
+      ts.isEmpty || ts.max / ts.min > 2.0
+    }
+    if (!skipQueries) {
+      for (_ <- 1 to qRepeats; name <- names) runOnce(name)
+      var extra = qRepeats
+      while (extra < qMaxRepeats && names.exists(unstable)) {
+        names.filter(unstable).foreach(runOnce)
+        extra += 1
       }
+    }
     val qs = (if (skipQueries) Seq.empty else names).map { name =>
       val ts = times(name)
-      val mn = if (ts.contains(-1.0)) -1.0 else ts.min
+      val ok = ts.filter(_ >= 0).sorted
+      val mn = if (ts.contains(-1.0) || ok.isEmpty) -1.0 else ok.head
+      val med = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
       "\"" + name +
-        f"""":{"min":$mn%.3f,"max":${ts.max}%.3f,"runs":${ts.size}}"""
+        f"""":{"min":$mn%.3f,"median":$med%.3f,""" +
+        f""""max":${ts.max}%.3f,"runs":${ts.size}}"""
     }.mkString("{", ",", "}")
     val total = (if (skipQueries) Seq.empty else names)
       .map(n => times(n).min).sum
@@ -163,8 +186,9 @@ object Bench {
           .agg(count(lit(1)).as("n"),
             min(md5(col("text").cast("binary"))).as("min_md5"))
           .collect()
-        require(routed.map(r => Option(r.getString(3)).getOrElse(""))
-          .min.nonEmpty)
+        require(routed.nonEmpty &&
+          routed.flatMap(r => Option(r.getString(3))).nonEmpty,
+          "empty routed sinks or null checksum")
         nThreads = Aggregates.threadStats(routedTable).count()
         val elapsed = (System.nanoTime() - t0) / 1e9
         turns = routed.map(_.getLong(2)).sum
@@ -195,8 +219,16 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_SKIP_GENERIC")) """{}"""
       else runPipeline(generic = true, 1)
 
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pipeline":$pipeline,"pipeline_generic":$pipelineGeneric,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pipeline":$pipeline,"pipeline_generic":$pipelineGeneric,"sf":"$sfDir"}"""
+    println(json)
+    // ALSO write the full JSON to a file: the driver's log-tail capture
+    // truncates at 2000 chars, which silently dropped q01–q13 and the
+    // total from the committed round-3 artifact — a file survives whole
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_last.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
     // clean the (possibly tmpfs) working set
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(work).iterator().asScala.toSeq.reverse

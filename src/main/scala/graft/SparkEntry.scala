@@ -66,7 +66,8 @@ object SparkEntry {
     "q40_ann_brute" -> (T.annBruteForce(_, _)),
     "q41_ann_ivf" -> (T.annIvf(_, _)),
     "q42_ann_lsh" -> (T.annLsh(_, _)),
-    "q43_profile" -> (T.profileQ(_, _)))
+    "q43_profile" -> (T.profileQ(_, _)),
+    "q44_profile_approx" -> (T.profileApproxQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

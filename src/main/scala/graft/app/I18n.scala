@@ -31,6 +31,8 @@ object I18n {
       "cli.error.permission" -> "[LP-IO-403] permission: {detail}",
       "cli.error.unexpected" -> "[LP-UNEXPECTED] {detail}",
       "cli.parse.input_missing" -> "[LP-IO-404] input not found: {path}",
+      "cli.parse.bad_format" ->
+        "unknown --input-format: {format} (expected json|text)",
       "cli.export.root_missing" ->
         "[LP-IO-404] parsed root missing: {path}",
       "cli.parse.done" ->
@@ -45,6 +47,8 @@ object I18n {
       "cli.error.unexpected" -> "[LP-UNEXPECTED] 予期しないエラー: {detail}",
       "cli.parse.input_missing" ->
         "[LP-IO-404] 入力が見つかりません: {path}",
+      "cli.parse.bad_format" ->
+        "不明な --input-format: {format}（json|text を指定）",
       "cli.export.root_missing" ->
         "[LP-IO-404] parsed ルートがありません: {path}",
       "cli.parse.done" ->

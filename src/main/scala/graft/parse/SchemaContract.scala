@@ -99,7 +99,12 @@ object JsonSchemaCompiler {
     }
 
     Option(s.get("const")).foreach { c =>
-      when_(try_variant_get(v, "$", "string") =!= c.asText(),
+      // a JSON null/object/array casts to SQL NULL, making a plain
+      // =!= comparison NULL → no violation recorded — a false negative
+      // vs python-jsonschema, which flags ANY non-equal value. A null
+      // string-cast of a PRESENT value is therefore itself a mismatch.
+      val asStr = try_variant_get(v, "$", "string")
+      when_(asStr.isNull || asStr =!= c.asText(),
         concat(path, lit(s": expected const '${c.asText()}'")))
     }
     Option(s.get("minLength")).foreach { n =>
@@ -197,7 +202,8 @@ object SchemaContract {
           "parts": {"type": "array", "items": {"type": "string"}}
         }
       },
-      "text": {"type": "string"}
+      "text": {"type": "string"},
+      "meta": {"type": "object"}
     }
   }"""
 

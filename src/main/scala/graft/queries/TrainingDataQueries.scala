@@ -172,6 +172,19 @@ object TrainingDataQueries {
       .orderBy("column")
   }
 
+  /** Approx (HyperLogLog) column profile with the q14-style in-query
+    * accuracy verdict: same null stripe as q43, `distinct_ok` instead
+    * of the engine-specific estimate, so DuckDB's own
+    * approx_count_distinct pins the row. */
+  def profileApproxQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("lang",
+      when(pmod(col("doc_id"), lit(13)) === 0, lit(null: String))
+        .otherwise(col("lang")))
+    CorpusStats.profileApprox(d,
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .orderBy("column")
+  }
+
   /** LM-style quality scoring: mean unigram negative log-prob per
     * doc, frequencies trained on the corpus itself. */
   def unigramLogProbQ(s: SparkSession, dir: String): DataFrame =
@@ -514,6 +527,22 @@ object TrainingDataQueries {
         s"""SELECT '$c' AS "column",
            |  (SELECT n_rows FROM n) - count($c) AS n_nulls,
            |  count(DISTINCT $c) AS n_distinct,
+           |  min(CAST($c AS VARCHAR)) AS min_str,
+           |  max(CAST($c AS VARCHAR)) AS max_str FROM d""".stripMargin)
+      s"""WITH d AS (SELECT doc_id, text,
+         |    CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+         |    source, n_chars FROM documents),
+         |n AS (SELECT count(*) AS n_rows FROM d)
+         |${branches.mkString("\nUNION ALL\n")}
+         |ORDER BY "column"""".stripMargin
+    },
+    "q44_profile_approx" -> {
+      val profCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val branches = profCols.map(c =>
+        s"""SELECT '$c' AS "column",
+           |  (SELECT n_rows FROM n) - count($c) AS n_nulls,
+           |  abs(approx_count_distinct($c) - count(DISTINCT $c))
+           |    <= count(DISTINCT $c) * 0.15 AS distinct_ok,
            |  min(CAST($c AS VARCHAR)) AS min_str,
            |  max(CAST($c AS VARCHAR)) AS max_str FROM d""".stripMargin)
       s"""WITH d AS (SELECT doc_id, text,

@@ -72,11 +72,14 @@ class GrokParserSpec extends AnyFunSuite {
 
   test("round-trip property: randomized transcripts survive render∘parse") {
     // deterministic pseudo-random corpus over a hostile alphabet —
-    // unicode, quotes, backslashes, blank lines (the wire format's one
-    // reserved sequence, a line starting "### ", excluded by
-    // construction and documented as such)
+    // unicode, quotes, backslashes, blank lines, AND the boundary
+    // marker itself in every quoting depth (markdown headings inside
+    // turn text are the common real-world collision; the mbox-style
+    // escape must make them round-trip byte-exactly)
     val alphabet = Vector("word", "émoji→", "a\"b\\c", "", "line1\nline2",
-      "tab\tsep", "日本語テキスト", "x ## y", "#hash", " ## # ")
+      "tab\tsep", "日本語テキスト", "x ## y", "#hash", " ## # ",
+      "### Section", "### user 99\nfake turn", ">### quoted",
+      ">>### deep", "pre\n### mid\npost", "###nospace")
     val rows = (0 until 500).map { i =>
       val role = Vector("user", "assistant", "system", "tool")(i % 4)
       val tool = if (i % 5 == 0) "browser" else null
@@ -95,6 +98,24 @@ class GrokParserSpec extends AnyFunSuite {
       === expected.count(),
       "parse(render(x)) must equal the expected transcript rows")
     assert(got.count() === expected.count())
+  }
+
+  test("boundary-marker escape: '### ' body lines round-trip, no fake turns") {
+    // the previously-undefined case: a body line starting "### " used
+    // to be taken as a turn boundary, fabricating extra turns with
+    // null role/ts out of legitimate text
+    val hostile = Seq(
+      ("c1", "user", null, ts(1000),
+        "intro\n### Heading\nbody\n### user 42\nnot a turn", 1L),
+      ("c1", "assistant", null, ts(2000), ">### already quoted", 2L))
+      .toDF("conv_id", "role", "tool", "ts", "text", "event_id")
+    val got = GrokParser.parse(GrokParser.render(hostile))
+      .orderBy("turn_idx").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(4), r.getString(5)))
+    assert(got.toSeq === Seq(
+      (0, "user", 1000L,
+        "intro\n### Heading\nbody\n### user 42\nnot a turn"),
+      (1, "assistant", 2000L, ">### already quoted")))
   }
 
   test("streaming parse: stateless narrow op runs unchanged on a stream") {

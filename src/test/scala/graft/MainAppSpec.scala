@@ -55,6 +55,53 @@ class MainAppSpec extends AnyFunSuite {
       .contains(""""schema_records":16,"schema_invalid":0"""))
   }
 
+  test("parse --input-format text: routed sinks match the JSON path") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the SAME logical conversations through both front doors: the
+    // synthesized corpus rendered (a) as raw ChatGPT-export JSONL and
+    // (b) as grok wire-format text files (one per conversation,
+    // A12-ordered like the JSON path's (ts, message_id) sort)
+    val turns = graft.gen.TranscriptGen.synthesize(spark, 20)
+    val work = java.nio.file.Files.createTempDirectory("graft-textmode")
+    val jsonIn = s"$work/raw.jsonl"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(jsonIn),
+      (graft.gen.TranscriptGen.renderRawJsonl(turns).collect()
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    val textDir = java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$work/text"))
+    val renderIn = turns.select(
+      col("conv_id"), col("role"), col("tool"),
+      timestamp_millis(col("ts_ms")).as("ts"), col("text"),
+      // positional event id from the message id suffix keeps text-side
+      // turn order identical to the JSON path's (ts, message_id) sort
+      substring(col("message_id"), -6, 6).cast("long").as("event_id"))
+    graft.parse.GrokParser.render(renderIn).collect().foreach { r =>
+      java.nio.file.Files.write(
+        textDir.resolve(s"${r.getString(0)}.txt"),
+        r.getString(1).getBytes("UTF-8"))
+    }
+    val outJson = java.nio.file.Files.createTempDirectory("graft-tm-json")
+    val outText = java.nio.file.Files.createTempDirectory("graft-tm-text")
+    assert(Main.run(Array("parse", "--input", jsonIn,
+      "--outdir", outJson.toString)) === 0)
+    assert(Main.run(Array("parse", "--input", textDir.toString,
+      "--input-format", "text", "--provider", "openai",
+      "--outdir", outText.toString)) === 0)
+    def sinks(out: java.nio.file.Path) = {
+      val t = new graft.table.SnapshotParquetTable(
+        out.resolve("openai/routed").toString).read(spark)
+      t.select("conversation_id", "role", "tool_sink", "tool", "ts",
+        "text")
+    }
+    val j = sinks(outJson)
+    val t = sinks(outText)
+    assert(j.count() > 0)
+    assert(j.exceptAll(t).count() === 0L, "JSON-path rows missing in text path")
+    assert(t.exceptAll(j).count() === 0L, "text-path rows missing in JSON path")
+  }
+
   test("parse --resume skips unchanged threads, routed sinks stay complete") {
     val out = java.nio.file.Files.createTempDirectory("graft-resume")
     val in = TestSpark.resource("/fixtures/openai_sample_multi.json")
@@ -156,6 +203,20 @@ class MainAppSpec extends AnyFunSuite {
       java.nio.file.Files.walk(work).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
+  }
+
+  test("export of a zero-thread parsed root reports parts:0 + schema 0/0, not 99") {
+    // an existing root with no thread-*/parsed.jsonl underneath: both
+    // export reads glob nothing — must be an empty export, not a crash
+    val root = java.nio.file.Files.createTempDirectory("graft-empty-root")
+    val out = java.nio.file.Files.createTempDirectory("graft-empty-out")
+    val outStream = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outStream, true, "UTF-8")) {
+      assert(Main.run(Array("export", "--parsed-root", root.toString,
+        "--outdir", out.toString, "--validate-schema")) === 0)
+    }
+    assert(outStream.toString("UTF-8").contains(
+      """"parts":0,"schema_records":0,"schema_invalid":0"""))
   }
 
   test("exit codes: missing input=2, missing parsed root=4, bad mode=2") {

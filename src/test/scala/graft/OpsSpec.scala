@@ -753,19 +753,44 @@ class OpsSpec extends AnyFunSuite {
     val wavOut = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+    // minimal valid MP4: ftyp + moov{mvhd v0 (timescale 1000,
+    // duration 7500) + trak{tkhd v0 (640×360 as 16.16 fixed)}}
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(payload.length + 8)
+      bb.putInt(payload.length + 8).put(tpe.getBytes("ISO-8859-1"))
+        .put(payload)
+      bb.array()
+    }
+    val mvhd = java.nio.ByteBuffer.allocate(100)
+    mvhd.putInt(0).putInt(0).putInt(0).putInt(1000).putInt(7500)
+    val tkhd = java.nio.ByteBuffer.allocate(84)
+    tkhd.position(76)
+    tkhd.putInt(640 << 16).putInt(360 << 16)
+    val mp4 = box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++
+      box("moov", box("mvhd", mvhd.array()) ++
+        box("trak", box("tkhd", tkhd.array())))
     val media = Seq(
       MediaRecord(1L, "image", png, "image/png"),
       MediaRecord(2L, "audio", wavOut.toByteArray, "audio/wav"),
-      MediaRecord(3L, "image", "notanimage".getBytes, "image/png"))
+      MediaRecord(3L, "image", "notanimage".getBytes, "image/png"),
+      MediaRecord(4L, "video", mp4, "video/mp4"),
+      MediaRecord(5L, "video", "notavideo".getBytes, "video/mp4"))
       .toDS()
     val meta = graft.ops.Multimodal.decodeMeta(media, codec = Codec.Real)
       .collect().map(m => m.media_id -> m).toMap
     assert(meta(1L).width === 64 && meta(1L).height === 32)
     assert(meta(2L).duration_ms === 500L)
     assert(meta(3L).width === -1 && meta(3L).height === -1) // isolated, not fatal
-    val feats = graft.ops.Multimodal.extractFeatures(
-      media, dim = 4, codec = Codec.Real)
-      .collect().map(f => f.media_id -> f.feature).toMap
+    // MP4 container metadata is MEASURED (box walk), not fabricated
+    assert(meta(4L).width === 640 && meta(4L).height === 360 &&
+      meta(4L).duration_ms === 7500L)
+    // an unreadable video gets -1 sentinels — Fake's plausible-looking
+    // hash dims must never masquerade as measurements
+    assert(meta(5L).width === -1 && meta(5L).height === -1 &&
+      meta(5L).duration_ms === -1L)
+    val featRows = graft.ops.Multimodal.extractFeatures(
+      media, dim = 4, codec = Codec.Real).collect()
+    val feats = featRows.map(f => f.media_id -> f.feature).toMap
     // 2×2 luminance grid: black cells → -1, white cells → +1
     assert(feats(1L).zip(Array(-1f, 1f, -1f, 1f))
       .forall { case (a, b) => math.abs(a - b) < 1e-3 })
@@ -774,6 +799,28 @@ class OpsSpec extends AnyFunSuite {
       Codec.Fake.extractFeatures(
         Seq(MediaRecord(3L, "image", "notanimage".getBytes, "image/png")), 4)
         .head.feature.toSeq)
+    // only the decoded image is a measurement; every fallback is flagged
+    val measured = featRows.map(f => f.media_id -> f.measured).toMap
+    assert(measured === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false))
+  }
+
+  test("approx profile (q44): HLL distinct estimates within tolerance, exact otherwise") {
+    // distinct_ok is the in-query |approx - exact| ≤ tol·exact assert
+    // (q14 pattern); the non-sketch columns must match exact q43
+    val approx = graft.queries.TrainingDataQueries
+      .profileApproxQ(spark, sf).collect()
+    assert(approx.length === 5)
+    approx.foreach(r => assert(r.getBoolean(2),
+      s"approx_count_distinct out of tolerance for column ${r.getString(0)}"))
+    val exact = graft.queries.TrainingDataQueries.profileQ(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(3), r.getString(4))).toMap
+    approx.foreach { r =>
+      val (nulls, mn, mx) = exact(r.getString(0))
+      assert(r.getLong(1) === nulls && r.getString(3) === mn &&
+        r.getString(4) === mx)
+    }
   }
 
   test("approx percentile (q14): rank-error verdicts all true within sketch bound") {

@@ -224,4 +224,32 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(gone.getMessage.contains("retained: 2, 3"))
   }
+
+  test("incremental dedup history loop: batch 2 drops batch 1's docs") {
+    import spark.implicits._
+    val store = new graft.table.FingerprintStore(
+      java.nio.file.Files.createTempDirectory("graft-fps").toString)
+    // batch 1: two distinct texts, one within-batch duplicate
+    val b1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      .toDF("doc_id", "text")
+    val r1 = graft.ops.Dedup.incrementalIngest(b1, store)
+      .collect().map(_.getLong(0)).sorted
+    assert(r1.toSeq === Seq(1L, 2L)) // first occurrence per fp
+    // batch 2: batch 1's texts reappear (must be dropped against the
+    // UPDATED history — this is the write-back being exercised) plus
+    // one genuinely new text
+    val b2 = Seq((10L, "alpha"), (11L, "beta"), (12L, "gamma"))
+      .toDF("doc_id", "text")
+    val r2 = graft.ops.Dedup.incrementalIngest(b2, store)
+      .collect().map(_.getLong(0)).toSeq
+    assert(r2 === Seq(12L), s"history failed to drop batch-1 dups: $r2")
+    // steady state: the store now holds exactly the 3 distinct fps,
+    // and a third run of already-seen texts accepts nothing
+    assert(store.read(spark).distinct().count() === 3L)
+    val r3 = graft.ops.Dedup.incrementalIngest(
+      Seq((20L, "gamma"), (21L, "alpha")).toDF("doc_id", "text"), store)
+    assert(r3.count() === 0L)
+    // each run appended one bounded batch dir, atomically committed
+    assert(store.committed(spark) === (0L, 3L))
+  }
 }

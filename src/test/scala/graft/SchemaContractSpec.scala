@@ -66,6 +66,20 @@ class SchemaContractSpec extends AnyFunSuite {
     assert(viols(mod(""""record_type":"message"""" ->
         """"record_type":"thread""""))(0)
       === Seq("$.record_type: expected const 'message'"))
+    // const vs non-string values: jsonschema flags ANY non-equal value;
+    // a null/object/array used to cast to SQL NULL and silently pass
+    assert(viols(mod(""""record_type":"message"""" ->
+        """"record_type":null"""))(0)
+      === Seq("$.record_type: expected const 'message'"))
+    assert(viols(mod(""""record_type":"message"""" ->
+        """"record_type":{"x":1}"""))(0)
+      === Seq("$.record_type: expected const 'message'"))
+    // meta must be an object when present (reference message.schema.json)
+    assert(viols(mod(""""role":"user"""" ->
+        """"role":"user","meta":{"model":"m"}"""))(0) === Nil)
+    assert(viols(mod(""""role":"user"""" ->
+        """"role":"user","meta":"not-an-object""""))(0)
+      === Seq("$.meta: not an object"))
     // items carry element indexes; only non-strings flagged
     assert(viols(mod(""""parts":["a","b"]""" ->
         """"parts":["a",3,{"x":1}]"""))(0)
