@@ -102,6 +102,13 @@ object Bench {
       ts.isEmpty || ts.max / ts.min > 2.0
     }
     if (!skipQueries) {
+      // one UNTIMED warmup sweep: run-1 of a fresh JVM measures JIT
+      // compilation, not the engine — r4's first timed sweep showed
+      // q01–q08 at 1–6 s cold vs 0.2 s warm, a spread that no repeat
+      // count can wash out of max/min. Caches are still cleared per
+      // invocation, so timed runs stay DATA-cold; only code is warm.
+      names.foreach(runOnce)
+      names.foreach(n => times(n) = Vector.empty)
       for (_ <- 1 to qRepeats; name <- names) runOnce(name)
       var extra = qRepeats
       while (extra < qMaxRepeats && names.exists(unstable)) {
