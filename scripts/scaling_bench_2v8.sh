@@ -1,13 +1,14 @@
 #!/bin/bash
 set -u
 JAR=/root/repo/target/scala-2.13/llmlogparserspark_2.13-0.1.0.jar
-OUT=/tmp/scaling28.jsonl
+OUT=${SCALING_OUT:-/tmp/scaling28.jsonl}
 : > "$OUT"
 for r in 1 2 3 4; do
   for lvl in "2 1g 600m" "8 4g 2500m"; do
     set -- $lvl
     line=$(LANG=C.UTF-8 LC_ALL=C.UTF-8 \
       SPARK_GRAFT_CPUS=$1 SPARK_GRAFT_CONVS=1000000 \
+      SPARK_GRAFT_STAGE_BREAKDOWN=1 \
       SPARK_GRAFT_SKIP_QUERIES=1 SPARK_GRAFT_SKIP_GENERIC=1 SPARK_GRAFT_REPEAT=2 SPARK_GRAFT_SALT=0 \
       /opt/spark/bin/spark-submit --master "local[$1]" \
         --driver-memory "$2" \
@@ -23,7 +24,7 @@ for r in 1 2 3 4; do
 done
 python3 - "$OUT" <<'PYEOF'
 import json, sys
-rows = [json.loads(l) for l in open("/tmp/scaling28.jsonl")]
+rows = [json.loads(l) for l in open(sys.argv[1])]
 best = {}
 for r in rows:
     c = r["cpus"]

@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.agg.Aggregates
 import graft.gen.TranscriptGen
 import graft.parse.ChatGptParser
 import graft.pipeline.TurnOrdering
@@ -181,22 +180,28 @@ object Bench {
           saltBuckets = saltBuckets)
         val tWrite = (System.nanoTime() - t0) / 1e9
         val routedTable = spark.read.parquet(sinkData)
-        // ONE grouped agg carries the per-sink counts AND the corpus
-        // checksum: global count = Σ group counts, global checksum =
-        // min over group mins (min is a semilattice), derived from the
-        // ~10 collected rows — the former third scan+job for the
-        // global agg was pure fixed overhead that capped agg-stage
-        // scaling (r3 breakdown: agg 4.5 s @8 → 3.0 s @32, worst of
-        // the three stages precisely because of per-job constants)
+        // ONE grouped agg carries the per-sink counts, the corpus
+        // checksum AND the thread count: global count = Σ group
+        // counts, global checksum = min over group mins (min is a
+        // semilattice), thread count = Σ first-turn counts (turn_idx
+        // == 0 occurs exactly once per surviving conversation) — all
+        // derived from the ~10 collected rows. The former SEPARATE
+        // jobs for the global agg (merged in r3) and for
+        // threadStats().count() (merged in r4) were pure fixed
+        // per-job overhead that capped agg-stage scaling (r3
+        // breakdown: agg 4.4 s @8 → 2.6 s @32 best-case with TWO
+        // jobs; the threadStats operator itself stays benchmarked as
+        // q03 and exercised by the Main pipeline's thread index).
         val routed = routedTable
           .groupBy(col("role"), col("tool_sink"))
           .agg(count(lit(1)).as("n"),
+            count(when(col("turn_idx") === 0, 1)).as("n_first"),
             min(md5(col("text").cast("binary"))).as("min_md5"))
           .collect()
         require(routed.nonEmpty &&
-          routed.flatMap(r => Option(r.getString(3))).nonEmpty,
+          routed.flatMap(r => Option(r.getString(4))).nonEmpty,
           "empty routed sinks or null checksum")
-        nThreads = Aggregates.threadStats(routedTable).count()
+        nThreads = routed.map(_.getLong(3)).sum
         val elapsed = (System.nanoTime() - t0) / 1e9
         turns = routed.map(_.getLong(2)).sum
         // stage numbers all come from the WINNING repeat — mixing the
