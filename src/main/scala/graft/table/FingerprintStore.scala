@@ -26,9 +26,9 @@ import graft.util.PyJson
   *    [[SnapshotParquetTable]] / the reference's parsed.jsonl swap).
   *
   * read() unions the committed batch directories in one multi-path
-  * parquet scan; at very long horizons a maintenance job can compact
-  * old batches into one dir and commit a pointer that starts above
-  * them — the pointer format (first/count) already supports it.
+  * parquet scan; at very long horizons [[compact]] merges them into
+  * one deduplicated dir and commits a pointer starting above the old
+  * ids (the pointer's first/count form exists for exactly this).
   */
 class FingerprintStore(val root: String) {
 
@@ -69,6 +69,38 @@ class FingerprintStore(val root: String) {
     else
       spark.read.parquet(
         (first until first + n).map(i => s"$root/${batchDir(i)}"): _*)
+  }
+
+  /** Maintenance: rewrite all committed batches as ONE deduplicated
+    * directory and commit a pointer that starts at a fresh slot above
+    * every old id — bounding read() fan-in (and dropping duplicate
+    * fps across batches) after long append horizons. This is the one
+    * O(corpus) operation in the store, run on an operator's schedule,
+    * never per batch. Crash-safe like append: the compacted dir is
+    * written first, the pointer swap is atomic, and old batch dirs
+    * are deleted only after the swap (a reader holding the old
+    * pointer mid-compaction should re-read, same contract as
+    * SnapshotParquetTable expiry). Returns the new sole batch id. */
+  def compact(spark: SparkSession): Long = {
+    val f = fs(spark)
+    val (first, n) = committed(spark)
+    if (n <= 1L) return first // nothing to merge
+    val id = first + n
+    val dir = new Path(root, batchDir(id))
+    if (f.exists(dir)) f.delete(dir, true)
+    read(spark).distinct()
+      .write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+    val json = PyJson.obj("first" -> id.toString, "count" -> "1")
+    val tmp = new Path(root, s"_current.json.tmp-$id")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(root).toUri, spark.sessionState.newHadoopConf())
+    fc.rename(tmp, pointer, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    (first until first + n).foreach(i =>
+      f.delete(new Path(root, batchDir(i)), true))
+    id
   }
 
   /** Commit one batch of fingerprints: write the new directory, then

@@ -251,5 +251,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(r3.count() === 0L)
     // each run appended one bounded batch dir, atomically committed
     assert(store.committed(spark) === (0L, 3L))
+    // compaction merges the batch log into one deduped dir and keeps
+    // the dedup contract intact for subsequent runs
+    store.compact(spark)
+    assert(store.committed(spark) === (3L, 1L))
+    assert(store.read(spark).count() === 3L) // distinct after compact
+    val r4 = graft.ops.Dedup.incrementalIngest(
+      Seq((30L, "beta"), (31L, "delta")).toDF("doc_id", "text"), store)
+    assert(r4.collect().map(_.getLong(0)).toSeq === Seq(31L))
   }
 }
