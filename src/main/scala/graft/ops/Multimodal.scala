@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * decoder can amortize per-batch setup). [[Codec.Real]] decodes
   * images (javax.imageio), audio headers (javax.sound.sampled) and
   * MP4 video container metadata (a pure-JVM ISO-BMFF box walk) with
-  * no external libraries; only pixel-level video/audio FEATURE
-  * extraction has no JVM decoder — those rows fall back to
-  * [[Codec.Fake]] vectors flagged `measured = false` (the documented
-  * ffmpeg/JNI integration point).
+  * no external libraries, and extracts REAL features for images
+  * (grid luminance) and audio (grid-RMS envelope over the decoded
+  * PCM stream); only VIDEO pixel features have no JVM decoder —
+  * those rows fall back to [[Codec.Fake]] vectors flagged
+  * `measured = false` (the documented ffmpeg/JNI integration point).
   *
   * Scale notes: media bytes dominate row size, so every stage here
   * projects metadata columns WITHOUT the blob when possible (column
@@ -102,11 +103,12 @@ object Multimodal {
       *    with the JDK) → duration from frame count / frame rate.
       *  - video: dimensions + duration from the MP4/ISO-BMFF container
       *    METADATA via [[mp4Meta]]'s box walk — real measurements, no
-      *    codec required. Pixel/audio FEATURE extraction has no JVM
+      *    codec required. Only video PIXEL features have no JVM
       *    decoder: those fall back to [[Fake]] vectors explicitly
       *    flagged `measured = false` (a real deployment plugs
       *    ffmpeg/JNI in right here; the batch shape is what this
-      *    contract fixes).
+      *    contract fixes). Audio features are REAL: [[audioFeatures]]
+      *    grid-RMS over the decoded PCM stream.
       *
       * Undecodable blobs are per-record isolated, never task-fatal
       * (same warn-skip stance as the parser): width/height/duration -1
@@ -232,6 +234,73 @@ object Multimodal {
           }
         }
 
+      /** Grid-RMS energy features for audio: decode the PCM stream
+        * (WAV/AIFF/AU ship with the JDK), split the sample sequence
+        * into `dim` equal time cells, and emit each cell's root-mean-
+        * square amplitude scaled to [0, 1] — the standard cheap
+        * envelope descriptor for audio near-dup bucketing (the audio
+        * analogue of the image luminance grid). Mono-folds multi-
+        * channel frames; 8/16-bit signed/unsigned PCM. */
+      private def audioFeatures(
+          bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = in.getFormat
+            val enc = fmt.getEncoding
+            val signed =
+              enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            val unsigned =
+              enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+            val bits = fmt.getSampleSizeInBits
+            val nFrames = in.getFrameLength
+            if ((!signed && !unsigned) || (bits != 8 && bits != 16) ||
+                nFrames <= 0) None
+            else {
+              val data = in.readAllBytes()
+              val ch = fmt.getChannels
+              val bytesPerSample = bits / 8
+              val frameBytes = fmt.getFrameSize
+              val n = math.min(nFrames, data.length / frameBytes).toInt
+              val sumSq = new Array[Double](dim)
+              val counts = new Array[Long](dim)
+              val big = fmt.isBigEndian
+              var f = 0
+              while (f < n) {
+                val cell = math.min(f.toLong * dim / n, dim - 1L).toInt
+                var c = 0
+                var acc = 0.0
+                while (c < ch) {
+                  val off = f * frameBytes + c * bytesPerSample
+                  val v =
+                    if (bits == 8)
+                      if (signed) data(off).toDouble / 128.0
+                      else ((data(off) & 0xff) - 128).toDouble / 128.0
+                    else {
+                      val (b0, b1) =
+                        if (big) (data(off), data(off + 1))
+                        else (data(off + 1), data(off))
+                      val s = (b0 << 8) | (b1 & 0xff)
+                      (if (signed) s else (s & 0xffff) - 32768).toDouble /
+                        32768.0
+                    }
+                  acc += v
+                  c += 1
+                }
+                val mono = acc / ch
+                sumSq(cell) += mono * mono
+                counts(cell) += 1
+                f += 1
+              }
+              Some(Array.tabulate(dim)(i =>
+                if (counts(i) > 0)
+                  math.sqrt(sumSq(i) / counts(i)).toFloat
+                else 0.0f))
+            }
+          } finally in.close()
+        } catch { case _: Exception => None }
+
       /** Grid-averaged luminance features for images: the decoded frame
         * is divided into a ceil(sqrt(dim))² cell grid; feature i is the
         * mean ITU-R BT.601 luma of cell i scaled to [-1, 1] (cells past
@@ -241,6 +310,11 @@ object Multimodal {
       override def extractFeatures(
           batch: Seq[MediaRecord], dim: Int): Seq[MediaFeature] =
         batch.map { r =>
+          if (r.kind == "audio")
+            audioFeatures(r.content, dim)
+              .map(f => MediaFeature(r.media_id, f, measured = true))
+              .getOrElse(Fake.extractFeatures(Seq(r), dim).head)
+          else {
           val decoded =
             if (r.kind != "image") None
             else
@@ -277,6 +351,7 @@ object Multimodal {
                 else 0.0f
               }
               MediaFeature(r.media_id, f, measured = true)
+          }
           }
         }
     }

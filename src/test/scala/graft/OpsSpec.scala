@@ -799,10 +799,33 @@ class OpsSpec extends AnyFunSuite {
       Codec.Fake.extractFeatures(
         Seq(MediaRecord(3L, "image", "notanimage".getBytes, "image/png")), 4)
         .head.feature.toSeq)
-    // only the decoded image is a measurement; every fallback is flagged
+    // decoded image AND decoded audio are measurements; every
+    // fallback (undecodable image, video pixels) is flagged
     val measured = featRows.map(f => f.media_id -> f.measured).toMap
-    assert(measured === Map(1L -> true, 2L -> false, 3L -> false,
+    assert(measured === Map(1L -> true, 2L -> true, 3L -> false,
       4L -> false, 5L -> false))
+    // the audio fixture is pure silence: a REAL grid-RMS envelope is
+    // exactly zero everywhere (Fake's hash features never are)
+    assert(feats(2L).forall(_ === 0.0f))
+    // non-silent PCM: half silence, half constant amplitude 0.5 —
+    // the envelope must localize the energy in the right time cells
+    val loud = new Array[Byte](4000 * 2)
+    var i = 2000 * 2
+    while (i < loud.length) { // little-endian 16384 = 0.5 full scale
+      loud(i) = 0x00; loud(i + 1) = 0x40; i += 2
+    }
+    val ais2 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(loud), fmt, 4000L)
+    val wav2 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais2,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wav2)
+    val env = graft.ops.Multimodal.extractFeatures(
+      Seq(MediaRecord(6L, "audio", wav2.toByteArray, "audio/wav")).toDS(),
+      dim = 4, codec = Codec.Real).collect().head
+    assert(env.measured)
+    assert(env.feature.zip(Array(0f, 0f, 0.5f, 0.5f))
+      .forall { case (a, b) => math.abs(a - b) < 1e-3 },
+      s"grid-RMS envelope off: ${env.feature.toSeq}")
   }
 
   test("approx profile (q44): HLL distinct estimates within tolerance, exact otherwise") {

@@ -225,6 +225,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(gone.getMessage.contains("retained: 2, 3"))
   }
 
+  test("exactly one turn_idx == 0 per surviving conversation (bench invariant)") {
+    // Bench derives its pipeline thread count as Σ count(turn_idx == 0)
+    // riding the routed grouped agg — this pins the invariant that
+    // makes that correct, on BOTH parse paths, including conversations
+    // whose ORIGINAL first turn was null-ts-dropped (turn_idx must
+    // re-to zero-base on the survivors)
+    val lines = TranscriptGen.renderRawJsonl(synth)
+    val genericRaw = spark.read
+      .schema(graft.model.Schemas.rawConversationSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(lines)
+    for ((name, parsed) <- Seq(
+        "fast" -> graft.parse.FastTranscriptParser.parseLines(
+          lines.toDF("line")),
+        "generic" -> TurnOrdering.withTurnIdx(
+          ChatGptParser.normalize(genericRaw)))) {
+      val r = parsed.agg(
+        count(when(col("turn_idx") === 0, 1)),
+        countDistinct(col("conversation_id"))).head()
+      assert(r.getLong(0) === r.getLong(1),
+        s"$name path: first-turn count ${r.getLong(0)} != " +
+          s"distinct conversations ${r.getLong(1)}")
+    }
+  }
+
   test("incremental dedup history loop: batch 2 drops batch 1's docs") {
     import spark.implicits._
     val store = new graft.table.FingerprintStore(
