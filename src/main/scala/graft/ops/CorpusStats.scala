@@ -293,19 +293,24 @@ object CorpusStats {
   def temperatureMix(
       docs: DataFrame, alpha: Double = 0.5,
       targetFraction: Double = 0.5): DataFrame = {
-    val counts = docs.groupBy("source")
-      .agg(count(lit(1)).as("n_s"))
-    // normalizer over the bounded per-source table; unpartitioned
-    // window is safe here BECAUSE the input is one row per source
-    val wAll = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val counts = Dedup.persistOnce(docs.groupBy("source")
+      .agg(count(lit(1)).as("n_s")))
+    // the normalizers are GLOBAL scalars over the bounded per-source
+    // table: evaluate them as one single-row agg and inline as
+    // literals (the q19 pattern) rather than a partition-less window —
+    // the window was safe here (one row per source) but planned a
+    // single-partition WindowExec anyway, and scalars keep the
+    // registry free of partition-less windows entirely
+    val norm = counts
+      .agg(sum(pow(col("n_s"), alpha)), sum(col("n_s"))).head()
+    val (z, nTotal) =
+      if (norm.isNullAt(0)) (Double.NaN, Double.NaN) // empty corpus
+      else (norm.getDouble(0), norm.getLong(1).toDouble)
     val rates = counts
-      .withColumn("z", sum(pow(col("n_s"), alpha)).over(wAll))
-      .withColumn("n_total", sum(col("n_s")).over(wAll))
       .select(col("source"),
         round(least(lit(1.0),
-          pow(col("n_s"), alpha) / col("z") * targetFraction *
-            col("n_total") / col("n_s")), 6).as("keep_rate"))
+          pow(col("n_s"), alpha) / lit(z) * targetFraction *
+            lit(nTotal) / col("n_s")), 6).as("keep_rate"))
     hashSample(
       docs.join(broadcast(rates), Seq("source")),
       col("doc_id"), col("keep_rate"))

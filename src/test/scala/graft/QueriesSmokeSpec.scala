@@ -63,9 +63,9 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // shuffle): 3 BroadcastExchange of the SAME history build side
       // (ReuseExchange dedupes at runtime) + fp hash agg + output sort
       "q38_incremental_dedup" -> 5,
-      // bounded source agg + its single-partition window (both bounded
-      // by source cardinality, not corpus size) + broadcast rate join
-      // + output sort
+      // bounded source agg (partial + final) + broadcast rate join +
+      // output sort; the normalizers are driver-inlined scalars, no
+      // window at all
       "q39_temperature_mix" -> 4,
       // render groupBy (1) + output sort (1); the parse itself is
       // narrow (GrokParserSpec pins zero exchanges for parse alone)
@@ -88,12 +88,11 @@ class QueriesSmokeSpec extends AnyFunSuite {
   test("no query plans a partition-less window over corpus input") {
     // the q19 lesson made permanent: Window.partitionBy() with no keys
     // funnels its ENTIRE input through one task — fine on a bounded
-    // table (one row per source), fatal on anything corpus-derived.
-    // q39 is the one justified use: its window input is the per-source
-    // aggregate, bounded by source cardinality, not corpus size.
-    val boundedInput = Set("q39_temperature_mix")
+    // table, fatal on anything corpus-derived. NO exemptions: q39's
+    // formerly-allowed bounded window now uses the scalar-literal
+    // pattern too, so any partition-less window is a regression.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(q => boundedInput(q._1)).flatMap { case (name, fn) =>
+      .flatMap { case (name, fn) =>
         val n = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window
               if w.partitionSpec.isEmpty => w
