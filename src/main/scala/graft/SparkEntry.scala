@@ -67,7 +67,12 @@ object SparkEntry {
     "q41_ann_ivf" -> (T.annIvf(_, _)),
     "q42_ann_lsh" -> (T.annLsh(_, _)),
     "q43_profile" -> (T.profileQ(_, _)),
-    "q44_profile_approx" -> (T.profileApproxQ(_, _)))
+    "q44_profile_approx" -> (T.profileApproxQ(_, _)),
+    "q45_dup_spans" -> (T.dupSpansQ(_, _)),
+    "q46_ppl_buckets" -> (T.perplexityBucketsQ(_, _)),
+    "q47_cluster_reps" -> (T.dedupRepresentativesQ(_, _)),
+    "q48_bloom_dedup" -> (T.incrementalDedupBloom(_, _)),
+    "q49_bpe_pairs" -> (T.bpePairsQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

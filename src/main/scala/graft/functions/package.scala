@@ -52,4 +52,9 @@ package object functions {
     * (codegen'd single-pass scanner; null for corrupt lines). */
   def extract_conversation(line: Column): Column =
     c(ExtractConversation(e(line)))
+
+  /** Bloom-filter membership probe of a driver-built serialized
+    * digest (codegen'd; filter deserialized once per executor). */
+  def bloom_might_contain(bloomBytes: Column, value: Column): Column =
+    c(BloomMightContain(e(bloomBytes), e(value)))
 }

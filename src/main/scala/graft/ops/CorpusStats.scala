@@ -362,4 +362,121 @@ object CorpusStats {
           .as("overlap_frac"))
       .filter(col("overlap_frac") >= minOverlapFrac)
   }
+
+  /** Duplicated-span detection — the exact-substring dedup signal
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): slide a k-token window over every document, hash each
+    * window, and flag windows whose hash occurs more than once in the
+    * ENTIRE corpus (cross- or within-document — repeated boilerplate
+    * is duplication either way). Output is per-document: total
+    * windows, duplicated windows, duplicated fraction — the signal a
+    * pipeline thresholds to drop or trim span-duplicated documents.
+    * Documents with zero duplicated windows (the overwhelming
+    * majority of a healthy corpus) are absent from the output, like
+    * [[decontaminate]]'s clean docs.
+    *
+    * Scale: the window stream is a narrow codegen'd explode
+    * (WordNgrams) immediately reduced to (doc_id, n_windows, 16-byte
+    * hash) — window TEXT never shuffles, and the stream is
+    * deliberately NOT cached (at 10^12 docs it dwarfs cluster memory;
+    * recomputing a narrow explode is cheaper than spilling it — the
+    * q19 rule). Pass 1 is ONE partial-agg groupBy of the hash; hot
+    * boilerplate hashes pre-sum map-side. Pass 2 re-explodes and
+    * LEFT SEMI joins the duplicated-hash table — already partitioned
+    * by hash from pass 1, so only the window stream shuffles — then
+    * one bounded groupBy of (doc_id). The per-doc window count rides
+    * the explode as a function of doc_id (no join-back), the
+    * decontaminate trick.
+    */
+  def dupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    def windows = docs
+      .select(col("doc_id"),
+        graft.functions.word_ngrams(col("text"), k).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_windows"),
+        explode(col("ws")).as("win"))
+      .select(col("doc_id"), col("n_windows"),
+        md5(col("win").cast("binary")).as("h"))
+    val dupHashes = windows.groupBy("h")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+    windows
+      .join(dupHashes.select("h"), Seq("h"), "left_semi")
+      .groupBy("doc_id", "n_windows")
+      .agg(count(lit(1)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6)
+          .as("dup_frac"))
+  }
+
+  /** Perplexity bucketing — the CCNet corpus-partitioning step: score
+    * every document with the unigram LM ([[unigramLogProb]]), then
+    * split the corpus into head / middle / tail quality buckets at
+    * the quartiles of the score distribution (head = most probable
+    * text, tail = least). Downstream pipelines train preferentially
+    * on head/middle and sample tail.
+    *
+    * Scale: the scored table is one row per DOCUMENT (not per token),
+    * persisted because both the threshold aggregate and the final
+    * bucket projection read it. Thresholds are a single-row scalar
+    * percentile aggregate inlined as literals — the q19 pattern, no
+    * partition-less window. This executes the EXACT percentile (the
+    * oracle pins R-7 interpolation, as q13 established); at extreme
+    * document counts swap in `approx_percentile`, whose sketch
+    * contract q14 executes and verifies — bucket boundaries are
+    * quality thresholds, not exact ranks, so sketch error is
+    * immaterial there. Thresholds round to 1e-6 (scores already do)
+    * so double interpolation cannot flip a boundary between engines.
+    */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val scored = Dedup.persistOnce(unigramLogProb(docs))
+    val row = scored
+      .agg(expr("percentile(avg_neg_logp, array(0.25D, 0.75D))")).head()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // empty corpus → null percentiles; NaN literals keep the (empty)
+    // projection honest, same as unigramLogProb's normalizer
+    val (t25, t75) =
+      if (row.isNullAt(0)) (Double.NaN, Double.NaN)
+      else {
+        val ts = row.getSeq[Double](0)
+        (r6(ts(0)), r6(ts(1)))
+      }
+    scored.select(col("doc_id"), col("avg_neg_logp"),
+      when(col("avg_neg_logp") <= t25, "head")
+        .when(col("avg_neg_logp") <= t75, "middle")
+        .otherwise("tail").as("ppl_bucket"))
+  }
+
+  /** BPE pair counting — one merge iteration of byte-pair-encoding
+    * tokenizer training: reduce the corpus to its word-frequency
+    * vocabulary, then count adjacent symbol pairs weighted by word
+    * frequency. The highest-count pair is the merge a BPE trainer
+    * would perform next. Restricted to lowercase ASCII words (the
+    * standard pre-tokenization split; also keeps substring semantics
+    * engine-portable — no codepoint-vs-grapheme drift in the oracle).
+    *
+    * Scale: this is the "aggregate first, explode the AGGREGATE"
+    * shape — the corpus shuffles exactly once as pre-summed
+    * (word, count) partials; the quadratic-ish pair explode runs over
+    * the VOCABULARY table (sublinear in corpus size; bounded by
+    * distinct words), and the final top-N is TakeOrderedAndProject,
+    * never a full sort. A naive per-token pair explode would shuffle
+    * the corpus token stream instead of the vocabulary.
+    */
+  def bpePairCounts(docs: DataFrame, topN: Int = 30): DataFrame = {
+    val vocab = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_w"))
+    vocab
+      .select(col("n_w"), explode(expr(
+          "transform(sequence(1, length(word) - 1), " +
+            "i -> substring(word, i, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(sum(col("n_w")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(topN)
+  }
 }

@@ -594,4 +594,78 @@ object Dedup {
           (col("nl") * col("nr")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCosine)
   }
+
+  /** Canonical-representative selection — the step that turns
+    * duplicate CLUSTERS into a deduplicated corpus: for every cluster
+    * from [[connectedComponents]], keep the "best" member (longest by
+    * whitespace token count; ties break to the smallest doc_id so the
+    * choice is deterministic) and report how much the cluster
+    * collapses. Real pipelines keep the representative and drop the
+    * other `n_members - 1` docs.
+    *
+    * Scale: `clusters` is bounded by the number of DUPLICATED docs
+    * (a small fraction of a healthy corpus), so the doc_id equi-join
+    * against the corpus is AQE-broadcastable; the token count is a
+    * narrow map on the joined rows only. Selection is ONE groupBy of
+    * (cluster_id) using a lexicographic struct-max —
+    * `max(struct(n_tokens, -doc_id))` — so partial aggregation
+    * combines map-side and no per-cluster window sort exists (a
+    * row_number window would sort every cluster's members; the
+    * struct-max is the semilattice form of the same argmax).
+    */
+  def clusterRepresentatives(
+      clusters: DataFrame, docs: DataFrame): DataFrame =
+    clusters
+      .join(docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens")), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id")))
+          .as("m"))
+      .select(col("cluster_id"),
+        (-col("m.neg_id")).as("rep_doc_id"),
+        col("n_members"),
+        col("m.n_tokens").as("rep_tokens"))
+
+  /** [[incrementalNew]] with a Bloom-filter pre-filter — the shape
+    * that survives a BILLION-fingerprint history: the history is far
+    * too large to broadcast as a hash set, but its Bloom digest (at
+    * fpp 1%, ~1.2 GB per 10^9 fps; tune fpp/expectedItems to size) is
+    * a per-executor constant. Batch fingerprints that FAIL the probe
+    * are definitively new and bypass the anti-join entirely; only the
+    * probe's positives — true matches plus an fpp-fraction of false
+    * positives — reach the exact anti-join, so the join's left side
+    * shrinks from |batch| to |matches| + fpp·|batch| while the result
+    * stays EXACT (Bloom filters have no false negatives; the oracle
+    * pins bit-equality with [[incrementalNew]]).
+    *
+    * The digest is built DISTRIBUTED (`stat.bloomFilter` partial-aggs
+    * per-partition filters and ORs them) and probed by the codegen'd
+    * [[graft.functions.BloomMightContain]], deserialized once per
+    * executor. expectedItems defaults to an eager count of the
+    * history (one scalar agg — callers with table statistics pass it
+    * explicitly, the packSequences AUTO convention).
+    */
+  def incrementalNewBloom(batch: DataFrame, historyFps: DataFrame,
+      fpp: Double = 0.01, expectedItems: Long = 0L): DataFrame = {
+    val nExpected =
+      if (expectedItems > 0) expectedItems
+      else math.max(historyFps.count(), 1L)
+    val bloom = historyFps.stat.bloomFilter("fp", nExpected, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val probe =
+      graft.functions.bloom_might_contain(lit(bos.toByteArray), col("fp"))
+    // persisted: the two probe branches below both read the firsts
+    val firsts = persistOnce(batch
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id")))
+    val definitelyNew = firsts.filter(!probe)
+    val candidates = firsts.filter(probe)
+      .join(historyFps.select("fp"), Seq("fp"), "left_anti")
+    definitelyNew.unionByName(candidates)
+      .select(col("doc_id"), col("fp"))
+  }
 }

@@ -113,6 +113,15 @@ object TrainingDataQueries {
     * and a re-keyed stripe of its own texts (doc_id % 14 == 0,
     * +400000 — within-batch duplicates). Output: what to ingest. */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val (batch, historyFps) = incrementalParts(s, dir)
+    Dedup.incrementalNew(batch, historyFps).orderBy("doc_id")
+  }
+
+  /** Shared corpus construction for q38/q48 (see [[incrementalDedup]]
+    * doc): history fps = every doc_id % 3 == 0; batch = the rest plus
+    * re-keyed cross-run and within-batch duplicate stripes. */
+  private def incrementalParts(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = docs(s, dir).select("doc_id", "text")
     val history = d.filter(pmod(col("doc_id"), lit(3)) === 0)
     val b0 = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
@@ -121,10 +130,45 @@ object TrainingDataQueries {
         .withColumn("doc_id", col("doc_id") + 300000L))
       .unionByName(b0.filter(pmod(col("doc_id"), lit(14)) === 0)
         .withColumn("doc_id", col("doc_id") + 400000L))
-    Dedup.incrementalNew(batch,
-        history.select(md5(col("text").cast("binary")).as("fp")))
-      .orderBy("doc_id")
+    (batch, history.select(md5(col("text").cast("binary")).as("fp")))
   }
+
+  /** q48: the SAME logical contract as q38 through the Bloom-probed
+    * physical path — the variant that survives a billion-fp history.
+    * Sharing q38's input construction is the point: the oracle (and
+    * OpsSpec) pin bit-equality of the two paths, certifying the
+    * pre-filter drops nothing. */
+  def incrementalDedupBloom(s: SparkSession, dir: String): DataFrame = {
+    val (batch, historyFps) = incrementalParts(s, dir)
+    Dedup.incrementalNewBloom(batch, historyFps).orderBy("doc_id")
+  }
+
+  /** q45: exact-substring duplicated-span stats (8-token windows)
+    * over the corpus's organic window collisions. */
+  def dupSpansQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.dupSpans(docs(s, dir).select("doc_id", "text"), k = 8)
+      .orderBy("doc_id")
+
+  /** q46: CCNet-style perplexity bucketing at the quartiles of the
+    * q19 unigram-LM score distribution. */
+  def perplexityBucketsQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.perplexityBuckets(docs(s, dir).select("doc_id", "text"))
+      .orderBy("doc_id")
+
+  /** q47: canonical-representative selection over the q36 clusters —
+    * keep the longest member per near-dup cluster (tie → min id). */
+  def dedupRepresentativesQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(d, k = 3, minJaccard = 0.1)
+        .select("doc_a", "doc_b"))
+    Dedup.clusterRepresentatives(clusters, d).orderBy("cluster_id")
+  }
+
+  /** q49: one BPE merge iteration — adjacent char-pair counts over
+    * the word-frequency vocabulary, top 30. */
+  def bpePairsQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.bpePairCounts(docs(s, dir).select("text"), topN = 30)
 
   /** Temperature mixing at alpha = 0.5, half the corpus: rare sources
     * gain share, hot sources shed it; membership is the deterministic
@@ -345,6 +389,82 @@ object TrainingDataQueries {
        |ORDER BY c.vec_a, c.vec_b""".stripMargin
   }
 
+  /** q19 body (no ORDER BY — composed by q46). */
+  private val unigramLogProbOracle: String =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |freqs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM toks GROUP BY 1),
+      |tot AS (SELECT sum(tf) AS n FROM freqs)
+      |SELECT doc_id,
+      |  round(avg(-ln(tf / (SELECT n FROM tot))), 6) AS avg_neg_logp,
+      |  count(*) AS n_tokens
+      |FROM toks JOIN freqs USING (tok)
+      |GROUP BY doc_id""".stripMargin
+
+  /** q46: quartile thresholds over the q19 scores (quantile_cont ==
+    * Spark's exact `percentile`, the q13-established R-7 parity),
+    * rounded to 1e-6 exactly like the Spark side's inlined literals. */
+  private val perplexityBucketsOracle: String =
+    s"""WITH scored AS ($unigramLogProbOracle),
+       |t AS (SELECT round(quantile_cont(avg_neg_logp, 0.25), 6) AS t25,
+       |             round(quantile_cont(avg_neg_logp, 0.75), 6) AS t75
+       |      FROM scored)
+       |SELECT doc_id, avg_neg_logp,
+       |  CASE WHEN avg_neg_logp <= (SELECT t25 FROM t) THEN 'head'
+       |       WHEN avg_neg_logp <= (SELECT t75 FROM t) THEN 'middle'
+       |       ELSE 'tail' END AS ppl_bucket
+       |FROM scored ORDER BY doc_id""".stripMargin
+
+  /** q45: 8-token sliding windows, md5-hashed; a window is duplicated
+    * iff its hash occurs more than once corpus-wide — mirrors
+    * CorpusStats.dupSpans. */
+  private val dupSpansOracle: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |g AS (SELECT doc_id, len(w) - 7 AS n_windows,
+      |    md5(list_aggregate(w[i:i+7], 'string_agg', ' ')) AS h
+      |  FROM w, UNNEST(generate_series(1, greatest(len(w)-7, 0))) AS t(i)),
+      |d AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+      |a AS (SELECT doc_id, n_windows, count(*) AS n_dup_windows
+      |  FROM g JOIN d USING (h) GROUP BY 1, 2)
+      |SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+      |  n_dup_windows,
+      |  round(CAST(n_dup_windows AS DOUBLE) / n_windows, 6) AS dup_frac
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  /** q49: word-frequency vocabulary → adjacent char pairs weighted by
+    * frequency (ASCII-only words, so substr semantics are portable). */
+  private val bpePairsOracle: String =
+    """WITH wd AS (SELECT unnest(
+      |    string_split_regex(lower(trim(text)), '\s+')) AS word
+      |  FROM documents),
+      |v AS (SELECT word, count(*) AS n_w FROM wd
+      |  WHERE regexp_matches(word, '^[a-z]+$') AND length(word) >= 2
+      |  GROUP BY 1),
+      |p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, n_w
+      |  FROM v, UNNEST(generate_series(1, length(word)-1)) AS t(i))
+      |SELECT pair, CAST(sum(n_w) AS BIGINT) AS n_occurrences
+      |FROM p GROUP BY 1
+      |ORDER BY n_occurrences DESC, pair LIMIT 30""".stripMargin
+
+  private val incrementalDedupOracle: String =
+    """WITH hist AS (SELECT md5(text) AS fp FROM documents
+      |    WHERE doc_id % 3 = 0),
+      |b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+      |batch AS (
+      |  SELECT doc_id, text FROM b0
+      |  UNION ALL SELECT doc_id + 300000, text FROM documents
+      |    WHERE doc_id % 3 = 0 AND doc_id % 9 = 0
+      |  UNION ALL SELECT doc_id + 400000, text FROM b0
+      |    WHERE doc_id % 14 = 0),
+      |firsts AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id
+      |  FROM batch GROUP BY 1)
+      |SELECT doc_id, fp FROM firsts
+      |WHERE fp NOT IN (SELECT fp FROM hist)
+      |ORDER BY doc_id""".stripMargin
+
   private val ngramJaccardOracle: String =
     s"""WITH $SH,
        |rare AS (SELECT shingle FROM
@@ -365,6 +485,35 @@ object TrainingDataQueries {
        |JOIN sz sb ON sb.doc_id = doc_b
        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q47: q36's recursive-CTE components + token counts + the
+    * deterministic argmax (longest member, ties to min doc_id) —
+    * mirrors Dedup.clusterRepresentatives. */
+  private lazy val clusterRepsOracle: String =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_a, doc_b FROM ($ngramJaccardOracle) t),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(node, lab) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, r.lab FROM edges e JOIN reach r ON e.d = r.node),
+       |cl AS (SELECT node AS doc_id, min(lab) AS cluster_id
+       |  FROM reach GROUP BY node),
+       |tok AS (SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |j AS (SELECT cl.cluster_id, cl.doc_id, tok.n_tokens
+       |  FROM cl JOIN tok USING (doc_id)),
+       |r AS (SELECT *,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY n_tokens DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |  FROM j)
+       |SELECT cluster_id, doc_id AS rep_doc_id,
+       |  CAST(n_members AS BIGINT) AS n_members, n_tokens AS rep_tokens
+       |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   /** q26's injected corpus + the exact regexes from TextAnalysis
     * (RE2-compatible subset — same pattern strings run in both
@@ -552,18 +701,7 @@ object TrainingDataQueries {
          |${branches.mkString("\nUNION ALL\n")}
          |ORDER BY "column"""".stripMargin
     },
-    "q19_unigram_logprob" ->
-      """WITH toks AS (SELECT doc_id,
-        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
-        |  FROM documents),
-        |freqs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS tf
-        |  FROM toks GROUP BY 1),
-        |tot AS (SELECT sum(tf) AS n FROM freqs)
-        |SELECT doc_id,
-        |  round(avg(-ln(tf / (SELECT n FROM tot))), 6) AS avg_neg_logp,
-        |  count(*) AS n_tokens
-        |FROM toks JOIN freqs USING (tok)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q19_unigram_logprob" -> (unigramLogProbOracle + " ORDER BY doc_id"),
     "q18_unicode_nfc" ->
       """WITH c AS (SELECT doc_id,
         |    CASE WHEN doc_id % 11 = 0
@@ -573,21 +711,14 @@ object TrainingDataQueries {
         |SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
         |  nfc_normalize(text) <> text AS changed
         |FROM c ORDER BY doc_id""".stripMargin,
-    "q38_incremental_dedup" ->
-      """WITH hist AS (SELECT md5(text) AS fp FROM documents
-        |    WHERE doc_id % 3 = 0),
-        |b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
-        |batch AS (
-        |  SELECT doc_id, text FROM b0
-        |  UNION ALL SELECT doc_id + 300000, text FROM documents
-        |    WHERE doc_id % 3 = 0 AND doc_id % 9 = 0
-        |  UNION ALL SELECT doc_id + 400000, text FROM b0
-        |    WHERE doc_id % 14 = 0),
-        |firsts AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id
-        |  FROM batch GROUP BY 1)
-        |SELECT doc_id, fp FROM firsts
-        |WHERE fp NOT IN (SELECT fp FROM hist)
-        |ORDER BY doc_id""".stripMargin,
+    "q38_incremental_dedup" -> incrementalDedupOracle,
+    // q48 executes the Bloom-probed physical path over q38's exact
+    // logical contract — one oracle pins both (no false negatives)
+    "q48_bloom_dedup" -> incrementalDedupOracle,
+    "q45_dup_spans" -> dupSpansOracle,
+    "q46_ppl_buckets" -> perplexityBucketsOracle,
+    "q47_cluster_reps" -> clusterRepsOracle,
+    "q49_bpe_pairs" -> bpePairsOracle,
     "q39_temperature_mix" ->
       """WITH counts AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_s
         |    FROM documents GROUP BY 1),

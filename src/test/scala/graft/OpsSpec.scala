@@ -958,4 +958,90 @@ class OpsSpec extends AnyFunSuite {
       got(1L).last_ts_ms === 200L)
     assert(got(2L).n_events === 1)
   }
+
+  test("dup spans: cross-doc and within-doc window repeats; clean docs absent") {
+    import spark.implicits._
+    val bp = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val rep = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val d = Seq(
+      (1L, bp),                    // 1 window, duplicated with doc 2
+      (2L, bp + " extraword"),     // 2 windows: bp dup, shifted unique
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8"), // 1 unique window → absent
+      (4L, rep + " " + rep))       // 9 windows; first == ninth (self-dup)
+      .toDF("doc_id", "text")
+    val got = CorpusStats.dupSpans(d, k = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((1L, 1L)), 2L -> ((2L, 1L)),
+      4L -> ((9L, 2L))))
+  }
+
+  test("perplexity buckets: quartile split is a monotone partition of scores") {
+    val b = CorpusStats.perplexityBuckets(
+      docs.select("doc_id", "text")).collect()
+    assert(b.length === docs.count())
+    def scores(bucket: String) =
+      b.filter(_.getString(2) == bucket).map(_.getDouble(1))
+    val (h, m, t) = (scores("head"), scores("middle"), scores("tail"))
+    assert(h.nonEmpty && m.nonEmpty && t.nonEmpty)
+    // buckets are ordered bands: every head score <= every middle
+    // score <= every tail score
+    assert(h.max <= m.min && m.max <= t.min)
+    // quartile sizing — head ~25%, middle ~50%, tail ~25% (ties can
+    // shift a boundary slightly)
+    assert(h.length >= b.length / 5 && h.length <= b.length / 3)
+    assert(t.length >= b.length / 5 && t.length <= b.length / 3)
+    assert(m.length >= b.length / 3 && m.length <= 2 * b.length / 3)
+  }
+
+  test("cluster representatives: longest member wins, ties to min id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val d = Seq(
+      (1L, "a b c"), (2L, "a b c d e"), // cluster 1: doc 2 longer
+      (3L, "x y"), (4L, "p q"))         // cluster 3: tie → min id 3
+      .toDF("doc_id", "text")
+    val got = Dedup.clusterRepresentatives(clusters, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(1L -> ((2L, 2L, 5L)), 3L -> ((3L, 2L, 2L))))
+  }
+
+  test("bloom incremental dedup: equals exact path; probe has no false negatives") {
+    import spark.implicits._
+    val history = (0L until 300L).map(i => s"hist text $i")
+      .toDF("text").select(md5(col("text").cast("binary")).as("fp"))
+    val batch = ((0L until 100L).map(i => (i, s"hist text ${i * 3}")) ++
+      (100L until 300L).map(i => (i, s"fresh text $i")))
+      .toDF("doc_id", "text")
+    val exact = Dedup.incrementalNew(batch, history)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val bloom = Dedup.incrementalNewBloom(batch, history, fpp = 0.01)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(bloom.toSeq === exact.toSeq)
+    // the probe itself: every history fp tests positive (no false
+    // negatives — the property that makes the pre-filter exact), and
+    // the false-positive rate on fresh fps stays near the configured 1%
+    val filt = history.stat.bloomFilter("fp", 300L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    filt.writeTo(bos)
+    val probe = graft.functions.bloom_might_contain(
+      lit(bos.toByteArray), col("fp"))
+    assert(history.filter(!probe).count() === 0L)
+    val freshFps = (0L until 2000L).map(i => s"unseen $i").toDF("text")
+      .select(md5(col("text").cast("binary")).as("fp"))
+    val fpos = freshFps.filter(probe).count()
+    assert(fpos <= 2000L * 0.05, s"false-positive count $fpos too high")
+  }
+
+  test("bpe pair counts: frequency-weighted pairs over the vocabulary") {
+    import spark.implicits._
+    val d = Seq((1L, "ab ab cd abc"), (2L, "ab Cd2 xy a"))
+      .toDF("doc_id", "text")
+    // vocabulary: ab×3, cd×1, abc×1, xy×1 ("Cd2" has a digit after
+    // lower(), "a" is length-1 — both filtered)
+    val got = CorpusStats.bpePairCounts(d.select("text")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("ab" -> 4L, "bc" -> 1L, "cd" -> 1L, "xy" -> 1L))
+  }
 }

@@ -33,6 +33,11 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // broadcast query side IS the operator (the exact-search baseline
     // the approximate paths are measured against).
     val intentionalAllPairs = Set("q40_ann_brute")
+    // plan guards measure the PRISTINE plan: a cache entry left by an
+    // earlier test substitutes an InMemoryRelation whose printed
+    // argument string embeds the original subtree (exchanges and all),
+    // making string-based plan assertions order-dependent
+    spark.catalog.clearCache()
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => intentionalAllPairs(q._1)).flatMap {
       case (name, fn) =>
@@ -74,7 +79,11 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // side + doc groupBy + output sort — and NO partition-less
       // window attaching n_total (the r3 scale-killer, now also
       // guarded registry-wide below)
-      "q19_unigram_logprob" -> 5)
+      "q19_unigram_logprob" -> 5,
+      // vocab groupBy + pair groupBy; the top-N is
+      // TakeOrderedAndProject (per-partition heaps), no sort exchange
+      "q49_bpe_pairs" -> 2)
+    spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
@@ -91,6 +100,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // table, fatal on anything corpus-derived. NO exemptions: q39's
     // formerly-allowed bounded window now uses the scalar-literal
     // pattern too, so any partition-less window is a regression.
+    spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val n = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
