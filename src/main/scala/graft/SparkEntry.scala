@@ -72,7 +72,9 @@ object SparkEntry {
     "q46_ppl_buckets" -> (T.perplexityBucketsQ(_, _)),
     "q47_cluster_reps" -> (T.dedupRepresentativesQ(_, _)),
     "q48_bloom_dedup" -> (T.incrementalDedupBloom(_, _)),
-    "q49_bpe_pairs" -> (T.bpePairsQ(_, _)))
+    "q49_bpe_pairs" -> (T.bpePairsQ(_, _)),
+    "q50_source_report" -> (T.sourceReportQ(_, _)),
+    "q51_semantic_dedup" -> (T.semanticDedupQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

@@ -448,6 +448,38 @@ object CorpusStats {
         .otherwise("tail").as("ppl_bucket"))
   }
 
+  /** Per-source corpus report — the "corpus card" every curated
+    * pretraining dataset ships with: per source, document count, total
+    * and mean whitespace tokens, total estimated BPE tokens, and how
+    * much of the source survives the composite keep-filter
+    * ([[TextAnalysis.corpusFilter]]'s gate). The table downstream
+    * mixing decisions (q39) are made from.
+    *
+    * Scale: ONE narrow pass computes every per-row signal (token
+    * count, BPE estimate, fused keep gate — all in the scan's
+    * WholeStageCodegen span), then ONE partial-agg groupBy of the
+    * bounded (source) key. Deliberately NOT a join of the per-doc
+    * filter frame back against the corpus — that is a corpus-sized
+    * shuffle; the gate inlines via [[TextAnalysis.keepGate]], the
+    * same predicate definition corpusFilter uses, so the oracle
+    * composition holds.
+    */
+  def sourceReport(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"),
+        TextAnalysis.estBpeTokens(col("text")).as("bt"),
+        TextAnalysis.keepGate(col("text")).as("keep"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        round(avg(col("nt")), 4).as("avg_tokens"),
+        sum(col("bt")).as("total_est_bpe"),
+        count(when(col("keep"), 1)).as("n_keep"))
+      .withColumn("keep_frac",
+        round(col("n_keep").cast("double") / col("n_docs"), 6))
+
   /** BPE pair counting — one merge iteration of byte-pair-encoding
     * tokenizer training: reduce the corpus to its word-frequency
     * vocabulary, then count adjacent symbol pairs weighted by word

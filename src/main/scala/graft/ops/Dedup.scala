@@ -668,4 +668,34 @@ object Dedup {
     definitelyNew.unionByName(candidates)
       .select(col("doc_id"), col("fp"))
   }
+
+  /** Semantic deduplication (the SemDeDup shape): embedding-space
+    * near-duplicate PAIRS from the banded sign-LSH + exact-verify
+    * pipeline ([[embeddingNearDupsLsh]]), grouped into duplicate
+    * clusters ([[connectedComponents]]), keeping ONE representative
+    * per cluster — the min vec_id, which IS the component label, so
+    * no extra argmax pass exists. Output: the keep-list of vec_ids
+    * (unique vectors plus one representative per semantic-dup
+    * cluster) — exactly what a pipeline anti-joins the corpus with
+    * before training.
+    *
+    * Scale: pair generation is the banded-LSH plan (corpus shuffles
+    * on bounded band buckets, exact cosine only on candidates);
+    * clusters are bounded by the DUPLICATED vectors only, so the
+    * final drop-list anti-join is AQE-broadcastable against the full
+    * vector table in the common case.
+    */
+  def semanticDedupKeep(embeddings: DataFrame, minCosine: Double = 0.85,
+      rowsPerBand: Int = 4, nBands: Int = 8): DataFrame = {
+    val pairs = embeddingNearDupsLsh(embeddings, minCosine,
+        rowsPerBand, nBands)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    // min-label components: cluster_id == min member id == the
+    // representative; every other member is dropped
+    val drops = connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("vec_id"))
+    embeddings.select("vec_id")
+      .join(drops, Seq("vec_id"), "left_anti")
+  }
 }

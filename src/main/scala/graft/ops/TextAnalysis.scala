@@ -148,6 +148,17 @@ object TextAnalysis {
       (keepQuality && keepRep && keepLang).as("keep"))
   }
 
+  /** The [[corpusFilter]] composite keep-gate as a bare column — the
+    * SAME fused predicate, for operators that need the gate inline in
+    * their own single pass (e.g. [[CorpusStats.sourceReport]]) instead
+    * of joining the per-doc filter frame back against the corpus. */
+  def keepGate(text: Column): Column = {
+    val (topF, dupF) = repetitionFracs(text, 2)
+    keepQualityExpr(text) &&
+      (topF < TopFracMax && dupF < DupFracMax) &&
+      langGuess(text) === "en"
+  }
+
   /** Email pattern shared by the scrub and its DuckDB oracle — kept to
     * the RE2-compatible subset (no backrefs/lookaround) so the same
     * pattern string runs in Java regex and DuckDB. */

@@ -170,6 +170,17 @@ object TrainingDataQueries {
   def bpePairsQ(s: SparkSession, dir: String): DataFrame =
     CorpusStats.bpePairCounts(docs(s, dir).select("text"), topN = 30)
 
+  /** q50: per-source corpus card — docs, token totals, keep share. */
+  def sourceReportQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.sourceReport(docs(s, dir)).orderBy("source")
+
+  /** q51: SemDeDup keep-list over the q35 LSH near-dup pipeline
+    * (same bands/threshold so the cluster structure is non-trivial
+    * on the synthetic embeddings). */
+  def semanticDedupQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedupKeep(embs(s, dir), minCosine = 0.45,
+      rowsPerBand = 4, nBands = 8).orderBy("vec_id")
+
   /** Temperature mixing at alpha = 0.5, half the corpus: rare sources
     * gain share, hot sources shed it; membership is the deterministic
     * md5 bucket, so DuckDB reproduces the exact sample. */
@@ -515,6 +526,27 @@ object TrainingDataQueries {
        |  CAST(n_members AS BIGINT) AS n_members, n_tokens AS rep_tokens
        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
+  /** q51: the q35-parameter LSH near-dup pairs → min-label components
+    * (q36's recursive CTE) → keep everything except non-representative
+    * members — mirrors Dedup.semanticDedupKeep. */
+  private lazy val semanticDedupOracle: String =
+    s"""WITH RECURSIVE
+       |pr AS (SELECT vec_a AS doc_a, vec_b AS doc_b
+       |  FROM (${nearDupLshOracle(minCos = 0.45, rowsPerBand = 4,
+           nBands = 8, dim = 64)}) t),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+       |  UNION ALL SELECT doc_b, doc_a FROM pr),
+       |reach(node, lab) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, r.lab FROM edges e JOIN reach r ON e.d = r.node),
+       |cl AS (SELECT node AS doc_id, min(lab) AS cluster_id
+       |  FROM reach GROUP BY node),
+       |drops AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT doc_id FROM drops)
+       |ORDER BY vec_id""".stripMargin
+
   /** q26's injected corpus + the exact regexes from TextAnalysis
     * (RE2-compatible subset — same pattern strings run in both
     * engines). */
@@ -637,7 +669,30 @@ object TrainingDataQueries {
        |JOIN ($langIdOracle) l ON l.doc_id = q.doc_id
        |ORDER BY q.doc_id""".stripMargin
 
+  /** q50: composed from q27's oracle (the keep gate) + the q20 token
+    * expressions, aggregated by source — the composite cannot drift
+    * from its components. */
+  private lazy val sourceReportOracle: String =
+    s"""WITH cf AS ($corpusFilterOracle),
+       |tk AS (SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS nt,
+       |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS bt
+       |  FROM documents)
+       |SELECT tk.source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+       |  round(avg(nt), 4) AS avg_tokens,
+       |  CAST(sum(bt) AS BIGINT) AS total_est_bpe,
+       |  CAST(count(*) FILTER (WHERE cf.keep) AS BIGINT) AS n_keep,
+       |  round(CAST(count(*) FILTER (WHERE cf.keep) AS DOUBLE) /
+       |    count(*), 6) AS keep_frac
+       |FROM tk JOIN cf USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q50_source_report" -> sourceReportOracle,
+    "q51_semantic_dedup" -> semanticDedupOracle,
     "q24_repetition" -> repetitionOracle,
     "q27_corpus_filter" -> corpusFilterOracle,
     "q25_top_ngrams" ->

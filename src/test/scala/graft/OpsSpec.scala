@@ -1034,6 +1034,51 @@ class OpsSpec extends AnyFunSuite {
     assert(fpos <= 2000L * 0.05, s"false-positive count $fpos too high")
   }
 
+  test("source report: per-source totals and keep share from the fused gate") {
+    import spark.implicits._
+    val keepText =
+      "the alpha and the beta of the gamma to the delta is the epsilon"
+    val d = Seq(
+      (1L, keepText, "s1"),  // 14 tokens, en, passes every gate
+      (2L, "x y z", "s1"),   // 3 tokens → fails the quality gate
+      (3L, "p q", "s2"))     // 2 tokens → fails
+      .toDF("doc_id", "text", "source")
+    val got = CorpusStats.sourceReport(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("s1").getLong(1) === 2L)            // n_docs
+    assert(got("s1").getLong(2) === 17L)           // total_tokens
+    assert(got("s1").getDouble(3) === 8.5)         // avg_tokens
+    assert(got("s1").getLong(5) === 1L)            // n_keep
+    assert(got("s1").getDouble(6) === 0.5)         // keep_frac
+    assert(got("s2").getLong(1) === 1L &&
+      got("s2").getLong(5) === 0L)
+    // consistency with the per-doc composite filter (same predicate)
+    val keeps = TextAnalysis.corpusFilter(d).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(keeps === Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("semantic dedup: one representative per near-dup cluster, rest dropped") {
+    val keep = Dedup.semanticDedupKeep(embs, minCosine = 0.45,
+        rowsPerBand = 4, nBands = 8)
+      .collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.embeddingNearDupsLsh(embs, minCosine = 0.45,
+        rowsPerBand = 4, nBands = 8)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // a near-dup pair never survives whole: at most one side is kept
+    pairs.foreach { case (a, b) =>
+      assert(!(keep(a) && keep(b)), s"pair ($a,$b) both kept")
+    }
+    // every vector not in any near-dup pair is kept
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val all = embs.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((all -- inPairs).subsetOf(keep))
+    // at least one representative per connected pair-set survives
+    assert(inPairs.exists(keep))
+  }
+
   test("bpe pair counts: frequency-weighted pairs over the vocabulary") {
     import spark.implicits._
     val d = Seq((1L, "ab ab cd abc"), (2L, "ab Cd2 xy a"))

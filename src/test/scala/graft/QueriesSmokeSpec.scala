@@ -82,7 +82,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q19_unigram_logprob" -> 5,
       // vocab groupBy + pair groupBy; the top-N is
       // TakeOrderedAndProject (per-partition heaps), no sort exchange
-      "q49_bpe_pairs" -> 2)
+      "q49_bpe_pairs" -> 2,
+      // one narrow pass + bounded source groupBy + output sort; the
+      // keep gate inlines (no join-back of the per-doc filter frame)
+      "q50_source_report" -> 2)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
