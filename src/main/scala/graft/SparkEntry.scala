@@ -74,7 +74,8 @@ object SparkEntry {
     "q48_bloom_dedup" -> (T.incrementalDedupBloom(_, _)),
     "q49_bpe_pairs" -> (T.bpePairsQ(_, _)),
     "q50_source_report" -> (T.sourceReportQ(_, _)),
-    "q51_semantic_dedup" -> (T.semanticDedupQ(_, _)))
+    "q51_semantic_dedup" -> (T.semanticDedupQ(_, _)),
+    "q52_line_dedup" -> (T.lineDedupQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

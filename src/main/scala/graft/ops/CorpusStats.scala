@@ -448,6 +448,49 @@ object CorpusStats {
         .otherwise("tail").as("ppl_bucket"))
   }
 
+  /** Line-level boilerplate removal (the CCNet paragraph-dedup shape):
+    * drop every line that occurs in more than maxDocFreq DISTINCT
+    * documents (menus, footers, legal boilerplate — the lines that
+    * repeat across a crawl), and rebuild each document from its
+    * surviving lines in order. Output per document: original line
+    * count, kept line count, md5 of the rebuilt text (the full
+    * rebuilt column is what a production pipeline writes). Documents
+    * whose every line is boilerplate are absent, the [[dupSpans]]
+    * convention.
+    *
+    * Scale: the hot-line detection pass shuffles 16-byte HASHES only
+    * (partial-agg groupBy; line text never leaves its task), and the
+    * hot set is bounded by total_lines / maxDocFreq — broadcast-anti
+    * against the line stream, the q31 df-filter shape. The rebuild is
+    * the ONE corpus-sized shuffle (groupBy doc), intrinsic to a
+    * rewriting operator: surviving line text must co-locate by
+    * document to reassemble. Line order is restored by sort_array
+    * over (idx, line) structs inside the aggregate — per-document
+    * work, no window.
+    */
+  def lineDedup(docs: DataFrame, maxDocFreq: Long = 50): DataFrame = {
+    def lines = docs
+      .select(col("doc_id"), split(col("text"), "\n").as("ls"))
+      .select(col("doc_id"), size(col("ls")).cast("long").as("n_lines"),
+        posexplode(col("ls")).as(Seq("idx", "line")))
+    val hot = lines
+      .groupBy(md5(col("line").cast("binary")).as("lh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("lh")
+    lines
+      .join(hot, md5(col("line").cast("binary")) === col("lh"),
+        "left_anti")
+      .groupBy("doc_id", "n_lines")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws("\n",
+          transform(
+            sort_array(collect_list(struct(col("idx"), col("line")))),
+            x => x.getField("line"))).cast("binary")).as("clean_md5"))
+      .select("doc_id", "n_lines", "n_kept", "clean_md5")
+  }
+
   /** Per-source corpus report — the "corpus card" every curated
     * pretraining dataset ships with: per source, document count, total
     * and mean whitespace tokens, total estimated BPE tokens, and how

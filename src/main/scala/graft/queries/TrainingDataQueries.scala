@@ -181,6 +181,20 @@ object TrainingDataQueries {
     Dedup.semanticDedupKeep(embs(s, dir), minCosine = 0.45,
       rowsPerBand = 4, nBands = 8).orderBy("vec_id")
 
+  /** q52: line-level boilerplate dedup over a corpus with an injected
+    * shared-footer stripe (every 5th doc gains the same second line —
+    * the cross-document boilerplate the operator exists to strip;
+    * sf0.01's stripe is 100 docs, comfortably past maxDocFreq 50). */
+  def lineDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val corpus = d.withColumn("text",
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(col("text"),
+          lit("\nfooter: (c) acme corp - all rights reserved")))
+        .otherwise(col("text")))
+    CorpusStats.lineDedup(corpus, maxDocFreq = 50).orderBy("doc_id")
+  }
+
   /** Temperature mixing at alpha = 0.5, half the corpus: rare sources
     * gain share, hot sources shed it; membership is the deterministic
     * md5 bucket, so DuckDB reproduces the exact sample. */
@@ -690,9 +704,31 @@ object TrainingDataQueries {
        |FROM tk JOIN cf USING (doc_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q52: same injected footer stripe; hot = lines in > 50 distinct
+    * docs; rebuilt text md5 over kept lines in order — mirrors
+    * CorpusStats.lineDedup. */
+  private val lineDedupOracle: String =
+    """WITH c AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || chr(10) ||
+      |      'footer: (c) acme corp - all rights reserved'
+      |    ELSE text END AS text
+      |  FROM documents),
+      |l AS (SELECT doc_id, len(ln) AS n_lines, i AS idx, ln[i] AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM c),
+      |    UNNEST(generate_series(1, len(ln))) AS t(i)),
+      |hot AS (SELECT md5(line) AS lh FROM l GROUP BY 1
+      |  HAVING count(DISTINCT doc_id) > 50),
+      |k AS (SELECT doc_id, n_lines, idx, line FROM l
+      |  WHERE md5(line) NOT IN (SELECT lh FROM hot))
+      |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+      |  count(*) AS n_kept,
+      |  md5(string_agg(line, chr(10) ORDER BY idx)) AS clean_md5
+      |FROM k GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q50_source_report" -> sourceReportOracle,
     "q51_semantic_dedup" -> semanticDedupOracle,
+    "q52_line_dedup" -> lineDedupOracle,
     "q24_repetition" -> repetitionOracle,
     "q27_corpus_filter" -> corpusFilterOracle,
     "q25_top_ngrams" ->

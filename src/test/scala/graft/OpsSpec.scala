@@ -1079,6 +1079,26 @@ class OpsSpec extends AnyFunSuite {
     assert(inPairs.exists(keep))
   }
 
+  test("line dedup: boilerplate lines stripped, order kept, all-dropped docs absent") {
+    import spark.implicits._
+    val footer = "footer text"
+    val d = Seq(
+      (1L, s"body one\n$footer\ntail one"),
+      (2L, s"body two\n$footer"),
+      (3L, s"$footer"),           // only boilerplate → absent
+      (4L, "body four"))          // untouched
+      .toDF("doc_id", "text")
+    val got = CorpusStats.lineDedup(d, maxDocFreq = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got === Map(
+      1L -> ((3L, 2L, m("body one\ntail one"))),
+      2L -> ((2L, 1L, m("body two"))),
+      4L -> ((1L, 1L, m("body four")))))
+  }
+
   test("bpe pair counts: frequency-weighted pairs over the vocabulary") {
     import spark.implicits._
     val d = Seq((1L, "ab ab cd abc"), (2L, "ab Cd2 xy a"))
