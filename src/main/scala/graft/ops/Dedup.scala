@@ -357,9 +357,15 @@ object Dedup {
     * Output: (doc_id, cluster_id = min doc_id reachable) for every doc
     * that appears in at least one pair; singletons are their own
     * implicit cluster and are not emitted.
+    *
+    * Graphs of at most localMaxEdges edges short-circuit to a driver
+    * union-find over the counted, collected edge list ([[
+    * localUnionFind]]) — same contract, no per-round job overhead;
+    * see the inline rationale.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-      diameterSafe: Boolean = false): DataFrame = {
+      diameterSafe: Boolean = false,
+      localMaxEdges: Long = 1L << 20): DataFrame = {
     // fail fast on non-numeric ids: cast("long") would silently null
     // string ids and collapse every node into one garbage cluster
     val numeric = Set[org.apache.spark.sql.types.DataType](
@@ -371,7 +377,8 @@ object Dedup {
       s"connectedComponents needs integral doc ids, got " +
         s"${pairs.schema("doc_a").dataType}; map string ids to longs " +
         "(e.g. xxhash64 or a dictionary) first")
-    if (diameterSafe) return alternatingStarCC(pairs, maxIter)
+    if (diameterSafe && localMaxEdges <= 0)
+      return alternatingStarCC(pairs, maxIter)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Both edge directions from ONE scan of the pair plan: a
     // union(select(a,b), select(b,a)) embeds two copies of the upstream
@@ -388,6 +395,31 @@ object Dedup {
           col("doc_a").cast("long").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(lvl)
+    // Small-graph fast path: the EDGE set of a dedup graph is bounded
+    // by the duplicated pairs — usually orders of magnitude smaller
+    // than the corpus that produced it — and each distributed round
+    // costs a fixed job overhead that dwarfs the actual work when the
+    // graph is tiny (8 rounds over a few hundred edges = seconds of
+    // pure scheduling). Below localMaxEdges undirected edges (default
+    // 2^20 ≈ 32 MB of directed id pairs on the driver, far under any
+    // driver heap) the persisted edge table is collected once and
+    // solved with union-find — exact, O(E α(E)), diameter-free, so it
+    // subsumes the diameterSafe variant at this size. The sizing
+    // count materializes the SAME persisted edge table every
+    // distributed round would reuse, so the large-graph path pays
+    // nothing extra; localMaxEdges = 0 disables the fast path (and is
+    // what the specs use to pin the distributed algorithms' own
+    // behavior). Production callers on 10^9+-pair graphs never hit
+    // the collect — the bound is checked first.
+    if (localMaxEdges > 0 && edges.count() <= 2 * localMaxEdges) {
+      val rows = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      return localUnionFind(pairs.sparkSession, rows)
+    }
+    if (diameterSafe) {
+      edges.unpersist()
+      return alternatingStarCC(pairs, maxIter)
+    }
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .persist(lvl)
@@ -448,6 +480,41 @@ object Dedup {
     labels.unpersist()
     edges.unpersist()
     out
+  }
+
+  /** Driver-side union-find over a bounded, already-collected edge
+    * list — the [[connectedComponents]] small-graph fast path. Union
+    * always hangs the larger root under the smaller, so every root is
+    * its component's minimum id and the output contract matches the
+    * distributed variants exactly: (doc_id, cluster_id = min reachable
+    * id) for every node touched by an edge. */
+  private def localUnionFind(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent.update(a, a)
+      if (!parent.contains(b)) parent.update(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) parent.update(math.max(ra, rb), math.min(ra, rb))
+    }
+    val rows = parent.keysIterator
+      .map(k => org.apache.spark.sql.Row(k, find(k))).toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Alternating large-star/small-star connected components — the

@@ -423,17 +423,26 @@ class OpsSpec extends AnyFunSuite {
     // two components: a triangle {1,2,3} and a pair {10,11}
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
       .toDF("doc_a", "doc_b")
+    val expected =
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    // default (small graph → driver union-find fast path)
     val cc = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(cc === expected)
+    // distributed propagation path (fast path disabled): same contract
+    val ccDist = Dedup.connectedComponents(pairs, localMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccDist === expected)
     // a long path forces multiple propagation rounds (diameter 6)
     val path = (1L to 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val ccPath = Dedup.connectedComponents(path).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccPath = Dedup.connectedComponents(path, localMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ccPath === (1L to 7L).map(_ -> 1L).toMap)
-    // empty pair table → empty result, not an NPE
+    // empty pair table → empty result, not an NPE (both paths)
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty).count() === 0L)
+    assert(Dedup.connectedComponents(empty, localMaxEdges = 0)
+      .count() === 0L)
     // string ids must fail fast, not silently null-collapse
     intercept[IllegalArgumentException] {
       Dedup.connectedComponents(
@@ -448,16 +457,21 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       Dedup.connectedComponents(
         (1L to 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b"),
-        maxIter = 5).count()
+        maxIter = 5, localMaxEdges = 0).count()
     }
     // the alternating large-star/small-star variant contracts a
     // 1,000-node path geometrically — ~1,000 propagation rounds
     // collapse to ~a dozen star rounds, well inside the same bound
     val path = (1L to 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val cc = Dedup.connectedComponents(path, maxIter = 50,
-        diameterSafe = true).collect()
+        diameterSafe = true, localMaxEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc === (1L to 1000L).map(_ -> 1L).toMap)
+    // the default-parameter route solves the same path on the driver
+    // fast path — identical contract without the star machinery
+    val ccLocal = Dedup.connectedComponents(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccLocal === cc)
   }
 
   test("connected components diameterSafe: equals union-find oracle on a random graph") {
@@ -489,12 +503,16 @@ class OpsSpec extends AnyFunSuite {
       .map(n => n -> touched.filter(m => find(m.toInt) == find(n.toInt))
         .min).toMap
     val pairsDf = edges.toDF("doc_a", "doc_b")
-    val star = Dedup.connectedComponents(pairsDf, diameterSafe = true)
+    val star = Dedup.connectedComponents(pairsDf, diameterSafe = true,
+        localMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(star === expected)
-    val prop = Dedup.connectedComponents(pairsDf)
+    val prop = Dedup.connectedComponents(pairsDf, localMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(prop === expected)
+    val local = Dedup.connectedComponents(pairsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === expected)
   }
 
   test("embedding near-dup: blocked equi-join — no nested-loop, matches all-pairs") {
@@ -882,7 +900,9 @@ class OpsSpec extends AnyFunSuite {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
       .toDF("doc_a", "doc_b")
-    val labels = Dedup.connectedComponents(pairs)
+    // localMaxEdges = 0 forces the distributed loop — the path whose
+    // cache hygiene this test exists to pin
+    val labels = Dedup.connectedComponents(pairs, localMaxEdges = 0)
     assert(labels.collect().length === 5)
     val ivf = Similarity.ivfTrainedTopK(embs, k = 3, nQueries = 3,
       nCells = 4, nProbe = 2)
