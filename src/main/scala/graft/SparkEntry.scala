@@ -75,7 +75,14 @@ object SparkEntry {
     "q49_bpe_pairs" -> (T.bpePairsQ(_, _)),
     "q50_source_report" -> (T.sourceReportQ(_, _)),
     "q51_semantic_dedup" -> (T.semanticDedupQ(_, _)),
-    "q52_line_dedup" -> (T.lineDedupQ(_, _)))
+    "q52_line_dedup" -> (T.lineDedupQ(_, _)),
+    "q53_hard_negatives" -> (T.hardNegativesQ(_, _)),
+    "q54_source_prune" -> (T.sourcePruneQ(_, _)),
+    "q55_tfidf_terms" -> (T.tfidfTermsQ(_, _)),
+    "q56_chunking" -> (T.chunkDocsQ(_, _)),
+    "q57_corpus_diff" -> (T.corpusDiffQ(_, _)),
+    "q58_quality_clf" -> (T.qualityClfQ(_, _)),
+    "q59_knn_graph" -> (T.knnGraphQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

@@ -554,4 +554,128 @@ object CorpusStats {
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(topN)
   }
+
+  /** Sliding-window document chunking — the long-document → training
+    * -example step of a pretraining pipeline: each document becomes
+    * overlapping windows of `chunkTokens` whitespace tokens advancing
+    * by `chunkTokens - overlap` (the trailing window may be shorter).
+    * Emits the chunk's token count and content hash; a real exporter
+    * would emit the text itself — the hash keeps the oracle compact
+    * while pinning content byte-exactly.
+    *
+    * Scale: entirely narrow — tokenize, explode the per-doc start
+    * sequence, slice; one codegen'd stage, zero shuffle, output rows
+    * ∝ input tokens / stride. Explicit `floor` on the chunk index so
+    * the Spark double division and DuckDB's integer `//` agree.
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 128,
+      overlap: Int = 32): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, chunkTokens=$chunkTokens)")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1),
+          greatest(size(col("toks")), lit(1)), lit(stride))).as("s"))
+      .select(col("doc_id"),
+        floor((col("s") - 1) / lit(stride)).cast("int").as("chunk_idx"),
+        slice(col("toks"), col("s"), lit(chunkTokens)).as("ch"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ch")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("ch")).cast("binary")).as("chunk_md5"))
+  }
+
+  /** Corpus snapshot diff — the release audit between two corpus
+    * versions: per doc_id, `added` / `removed` / `changed` /
+    * `unchanged` by content hash. Every curated-dataset release ships
+    * this delta (and incremental consumers schedule work from it).
+    *
+    * Scale: each side reduces to (doc_id, md5) BEFORE the shuffle —
+    * text never moves — then one full-outer equi-join on doc_id.
+    */
+  def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame): DataFrame = {
+    val o = oldCorpus.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("old_md5"))
+    val n = newCorpus.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("new_md5"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") === col("new_md5"), "unchanged")
+          .otherwise("changed"))
+      .select("doc_id", "status")
+  }
+
+  /** Per-source quality pruning — keep each source's best share
+    * rather than applying one global gate: per source, the q-th
+    * quantile of the stopword-ratio quality signal becomes that
+    * source's own threshold, and a document survives iff its ratio
+    * meets its source's bar. This is how mixed-provenance pretraining
+    * corpora are actually pruned (a global threshold would empty the
+    * weakest source and leave the strongest untouched).
+    *
+    * Scale: the signal is one narrow codegen'd pass; thresholds are a
+    * groupBy of the bounded (source) key whose exact `percentile`
+    * buffer is bounded by the metric's 1e-4 quantization lattice
+    * (Spark's Percentile aggregates (value → count) — ≤ ~10^4 distinct
+    * cells per source regardless of corpus size, so exact quantiles
+    * are safe where raw-double percentiles would not be); the
+    * threshold table (one row per source) broadcast-joins back. The
+    * corpus itself never shuffles, and the narrow signal is
+    * deliberately recomputed for the output side rather than cached
+    * (same argument as [[unigramLogProb]]'s token stream).
+    */
+  def sourceQuantilePrune(docs: DataFrame, q: Double = 0.25): DataFrame = {
+    def scored = docs.select(col("doc_id"), col("source"),
+      round(TextAnalysis.stopwordHits(col("text")).cast("double") /
+        greatest(size(TextAnalysis.tokens(col("text"))).cast("long"),
+          lit(1)), 4).as("stopword_ratio"))
+    val thresholds = scored.groupBy("source")
+      .agg(round(expr(s"percentile(stopword_ratio, $q)"), 6)
+        .as("src_threshold"))
+    scored.join(broadcast(thresholds), Seq("source"))
+      .select(col("doc_id"), col("source"), col("stopword_ratio"),
+        col("src_threshold"),
+        (col("stopword_ratio") >= col("src_threshold")).as("keep"))
+  }
+
+  /** Per-document TF-IDF top terms — the classic keyword/topic signal
+    * (used for corpus exploration cards, cluster labeling, and
+    * near-dup triage): term frequency within the document × inverse
+    * document frequency across the corpus, top-N terms per document.
+    * Restricted to lowercase ASCII words ≥ 2 chars (q49's
+    * pre-tokenization vocabulary definition).
+    *
+    * Scale: the corpus shuffles once as pre-summed (doc, term)
+    * partials; the document-frequency table derives from that SAME
+    * aggregate (persisted — both the df groupBy and the scoring join
+    * read it), so the token stream is never shuffled twice. N (the
+    * document count) is a parquet-metadata count inlined as a literal
+    * — the q19 scalar pattern, never a partition-less window. The
+    * final top-N is a window partitioned by doc_id (millions of
+    * small partitions — the shape that scales), ranking on the
+    * ROUNDED score with a term tie-break so ordering is reproducible
+    * across engines.
+    */
+  def tfidfTopTerms(docs: DataFrame, topN: Int = 3): DataFrame = {
+    val words = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(col("term").rlike("^[a-z]+$") && length(col("term")) >= 2)
+    val tf = Dedup.persistOnce(
+      words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.count().toDouble
+    val scored = tf.join(df, Seq("term"))
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(nDocs) / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"),
+        col("rank"))
+  }
 }

@@ -180,4 +180,80 @@ object Similarity {
         cosPrecomputed("qe", "ce", "nq", "nc"))
     ranked(pairs, k).orderBy(col("query_id"), col("rank"))
   }
+
+  /** Hard-negative mining for contrastive training: for each anchor
+    * (vec_id < nQueries), the k most-similar vectors whose LABEL
+    * differs — the near-miss negatives that make InfoNCE batches
+    * informative. Candidate generation is the [[lshTopK]] sign-LSH
+    * bucket join (anchors broadcast, corpus never shuffles) with the
+    * label-mismatch predicate fused into the join filter, so same-label
+    * rows drop before the dot product is evaluated. nPlanes defaults
+    * coarser than lshTopK's (16 buckets, not 256): hard negatives live
+    * near the anchor's decision boundary, and a coarser partition keeps
+    * cross-label candidates in-bucket at realistic label-cluster
+    * geometry. Scale: one broadcast of nQueries rows, one narrow scan,
+    * one (query-bounded) top-k window — same 100-TB shape as q42. */
+  def hardNegatives(
+      embeddings: DataFrame, nPlanes: Int = 4, k: Int = 5,
+      nQueries: Int = 10, dim: Int = 64): DataFrame = {
+    val sigBits = Hyperplanes.bucket(col("embedding"), nPlanes, dim)
+    val withSig = withNorm(embeddings.withColumn("bucket", sigBits),
+      "embedding", "nrm")
+    val q = withSig.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("nq"), col("label").as("query_label"),
+        col("bucket"))
+    val c = withSig.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("nrm").as("nc"),
+      col("label").as("neighbor_label"), col("bucket"))
+    val pairs = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("query_label") =!= col("neighbor_label"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), cosPrecomputed("qe", "ce", "nq", "nc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("rank"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Approximate kNN graph over the WHOLE corpus — the clustering /
+    * SemDeDup / graph-based-curation building block (every vector gets
+    * its k nearest in-bucket neighbors, not just a broadcast query
+    * set). Within-bucket all-pairs via a bucket-keyed self equi-join.
+    *
+    * Scale: the join is a plain shuffle equi-join on the bucket key —
+    * the corpus moves once per side, and within-bucket cost is
+    * Σ|bucket|², so nPlanes is THE knob: buckets (2^nPlanes of them)
+    * must be sized so |bucket|² work and memory fit a task (at
+    * web scale that means 16–24 planes, not this demo's 4; hot buckets
+    * beyond that are AQE-skew-split). The signature table is persisted
+    * — both self-join sides read it (the q33 lesson). Top-k is a
+    * window partitioned by the source vector: billions of small
+    * partitions, never a global sort.
+    */
+  def knnGraph(embeddings: DataFrame, nPlanes: Int = 4, k: Int = 3,
+      dim: Int = 64): DataFrame = {
+    val withSig = Dedup.persistOnce(
+      withNorm(embeddings.withColumn("bucket",
+        Hyperplanes.bucket(col("embedding"), nPlanes, dim)),
+        "embedding", "nrm"))
+    val a = withSig.select(col("vec_id").as("src"),
+      col("embedding").as("ea"), col("nrm").as("na"), col("bucket"))
+    val b = withSig.select(col("vec_id").as("dst"),
+      col("embedding").as("eb"), col("nrm").as("nb"), col("bucket"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(graft.functions.vec_dot(col("ea"), col("eb")) /
+          (col("na") * col("nb")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("rank"), col("cos_sim"))
+  }
 }

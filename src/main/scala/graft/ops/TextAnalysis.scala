@@ -81,15 +81,22 @@ object TextAnalysis {
 
   /** Quality signals: token count, punctuation density, stopword ratio,
     * mean token length; boolean keep-gate like pretraining filters. */
+  /** Long count of stopword occurrences in padded lowercase text —
+    * the single definition shared by [[qualityScore]] and the
+    * per-source quality pruning operator
+    * ([[CorpusStats.sourceQuantilePrune]], q54). */
+  def stopwordHits(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    Seq(" the ", " a ", " and ", " of ", " to ", " is ").map { w =>
+      ((length(padded) - length(replace(padded, lit(w), lit("")))) /
+        w.length).cast("long")
+    }.reduce(_ + _)
+  }
+
   def qualityScore(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTokens = size(toks).cast("long")
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
-    val stopHits =
-      Seq(" the ", " a ", " and ", " of ", " to ", " is ").map { w =>
-        ((length(padded) - length(replace(padded, lit(w), lit("")))) /
-          w.length).cast("long")
-      }.reduce(_ + _)
+    val stopHits = stopwordHits(col("text"))
     val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("long")
     docs.select(
       col("doc_id"),
@@ -101,6 +108,42 @@ object TextAnalysis {
       round(stopHits.cast("double") / greatest(nTokens, lit(1)), 4)
         .as("stopword_ratio"),
       keepQualityExpr(col("text")).as("keep"))
+  }
+
+  /** Model-based quality classification — the shape of the
+    * fastText/logistic quality-classifier stage modern web pipelines
+    * run after the heuristic gates (DCLM / FineWeb-style): a linear
+    * model over the [[qualityScore]] feature vector, squashed through
+    * a sigmoid, thresholded at 0.5. Weights here are fixed literals
+    * (a trained model would broadcast its coefficient vector — same
+    * plan shape); features enter ROUNDED (1e-4) so the score is
+    * engine-portable, and the score itself rounds to 1e-6 before the
+    * threshold so the keep decision can't straddle a ulp.
+    *
+    * Scale: pure narrow map, one codegen'd pass, zero shuffle —
+    * classifier inference over 100 TB is embarrassingly parallel and
+    * this plan keeps it that way.
+    */
+  def qualityClassifier(docs: DataFrame): DataFrame = {
+    val nTokens = size(tokens(col("text"))).cast("long")
+    val stopRatio = round(
+      stopwordHits(col("text")).cast("double") /
+        greatest(nTokens, lit(1)), 4)
+    val meanTokLen = round(length(col("text")).cast("double") /
+      greatest(nTokens, lit(1)), 4)
+    val punctRatio = round(
+      regexp_count(col("text"), lit("[.,!?;:]")).cast("double") /
+        greatest(nTokens, lit(1)), 4)
+    val z = lit(-2.0) + lit(6.0) * stopRatio + lit(0.3) * meanTokLen +
+      lit(-4.0) * punctRatio + lit(0.2) * log(nTokens + lit(1))
+    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    docs.select(
+      col("doc_id"),
+      stopRatio.as("stopword_ratio"),
+      meanTokLen.as("mean_token_len"),
+      punctRatio.as("punct_ratio"),
+      score.as("clf_score"),
+      (score >= 0.5).as("keep_clf"))
   }
 
   /** Gopher-style within-document repetition signals over word

@@ -306,6 +306,57 @@ object TrainingDataQueries {
   def annLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(embs(s, dir), nPlanes = 8, k = 5, nQueries = 10)
 
+  /** q53: hard-negative mining for contrastive training — top-5
+    * nearest different-label vectors per anchor, LSH-bucketed (coarse
+    * 4-plane partition so cross-label candidates stay in-bucket). */
+  def hardNegativesQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(embs(s, dir), nPlanes = 4, k = 5,
+      nQueries = 10)
+
+  /** q54: per-source quality pruning — each source keeps documents at
+    * or above its own 25th-percentile stopword-ratio bar. */
+  def sourcePruneQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.sourceQuantilePrune(docs(s, dir), q = 0.25)
+      .orderBy("doc_id")
+
+  /** q55: per-document TF-IDF top-3 terms over the q49 vocabulary
+    * definition. */
+  def tfidfTermsQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.tfidfTopTerms(docs(s, dir).select("doc_id", "text"),
+      topN = 3).orderBy("doc_id", "rank")
+
+  /** q56: sliding-window chunking, 128-token windows advancing 96
+    * (32-token overlap). */
+  def chunkDocsQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.chunkDocs(docs(s, dir).select("doc_id", "text"),
+      chunkTokens = 128, overlap = 32).orderBy("doc_id", "chunk_idx")
+
+  /** q57: corpus snapshot diff — new version drops every 23rd doc,
+    * edits every 17th (" v2" suffix), and adds a re-keyed +500000
+    * stripe of every 19th; emits the non-unchanged delta. */
+  def corpusDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val newC = d.filter(pmod(col("doc_id"), lit(23)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(17)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(19)) === 0)
+        .withColumn("doc_id", col("doc_id") + 500000L))
+    CorpusStats.corpusDiff(d, newC)
+      .filter(col("status") =!= "unchanged").orderBy("doc_id")
+  }
+
+  /** q58: model-based quality classifier (literal-weight logistic
+    * model over the q22 feature vector). */
+  def qualityClfQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityClassifier(docs(s, dir)).orderBy("doc_id")
+
+  /** q59: whole-corpus approximate kNN graph (bucket self-join,
+    * k=3). */
+  def knnGraphQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(embs(s, dir), nPlanes = 4, k = 3)
+      .orderBy("src", "rank")
+
   // -----------------------------------------------------------------
   // DuckDB oracles
   // -----------------------------------------------------------------
@@ -389,6 +440,29 @@ object TrainingDataQueries {
        |  FROM p)
        |SELECT query_id, neighbor_id, rank, cos_sim FROM r
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q53: the annLshOracle shape with the label-mismatch predicate
+    * fused into the bucket join — mirrors Similarity.hardNegatives. */
+  private def hardNegOracle(nPlanes: Int, k: Int, nQueries: Int,
+      dim: Int): String = {
+    val bucket = graft.ops.Hyperplanes.bucketSql("embedding", nPlanes, dim)
+    s"""WITH s AS (SELECT vec_id, embedding, label, $bucket AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql,
+       |    bucket
+       |  FROM s WHERE vec_id < $nQueries),
+       |p AS (SELECT q.query_id, q.ql AS query_label,
+       |    c.vec_id AS neighbor_id, c.label AS neighbor_label,
+       |    $COS AS cos_sim
+       |  FROM s c JOIN q USING (bucket)
+       |  WHERE c.vec_id <> q.query_id AND c.label <> q.ql),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM p)
+       |SELECT query_id, query_label, neighbor_id, neighbor_label,
+       |  rank, cos_sim
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** q35: banded sign-LSH candidates + exact cosine verify — mirrors
@@ -725,7 +799,140 @@ object TrainingDataQueries {
       |  md5(string_agg(line, chr(10) ORDER BY idx)) AS clean_md5
       |FROM k GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
+  /** q54: same stopword-ratio formula as q22's oracle, per-source
+    * quantile_cont threshold (the q13-established R-7 parity with
+    * Spark's exact percentile) — mirrors
+    * CorpusStats.sourceQuantilePrune. */
+  private lazy val sourcePruneOracle: String =
+    s"""WITH f AS (SELECT doc_id, source,
+       |    ' ' || lower(text) || ' ' AS p,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS nt
+       |  FROM documents),
+       |s AS (SELECT doc_id, source,
+       |    round(CAST(CAST(${stopHitsSql("p")} AS BIGINT) AS DOUBLE) /
+       |      greatest(nt, 1), 4) AS stopword_ratio
+       |  FROM f),
+       |t AS (SELECT source,
+       |    round(quantile_cont(stopword_ratio, 0.25), 6)
+       |      AS src_threshold
+       |  FROM s GROUP BY 1)
+       |SELECT s.doc_id, s.source, s.stopword_ratio, t.src_threshold,
+       |  s.stopword_ratio >= t.src_threshold AS keep
+       |FROM s JOIN t USING (source) ORDER BY s.doc_id""".stripMargin
+
+  /** q55: tf per (doc, term) over the q49 word definition, df from the
+    * same aggregate, N = corpus document count; rank on the ROUNDED
+    * score with term tie-break — mirrors CorpusStats.tfidfTopTerms. */
+  private val tfidfTermsOracle: String =
+    """WITH wd AS (SELECT doc_id, unnest(
+      |    string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |f AS (SELECT doc_id, term, count(*) AS tf FROM wd
+      |  WHERE regexp_matches(term, '^[a-z]+$') AND length(term) >= 2
+      |  GROUP BY 1, 2),
+      |d AS (SELECT term, count(*) AS df FROM f GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |sc AS (SELECT f.doc_id, f.term, f.tf,
+      |    round(f.tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / d.df), 6)
+      |      AS tfidf
+      |  FROM f JOIN d USING (term)),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+      |  FROM sc)
+      |SELECT doc_id, term, tf, tfidf, rank FROM r
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  /** q56: same 1-based inclusive slicing as Spark's `slice`; explicit
+    * integer `//` on the chunk index (DuckDB CAST(double AS INT)
+    * rounds, it doesn't truncate) — mirrors CorpusStats.chunkDocs at
+    * chunkTokens=128, overlap=32 (stride 96). */
+  private val chunkDocsOracle: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
+      |    AS toks
+      |  FROM documents),
+      |c AS (SELECT doc_id, CAST((s - 1) // 96 AS INT) AS chunk_idx,
+      |    toks[s:s+127] AS ch
+      |  FROM w, UNNEST(generate_series(1, greatest(len(toks), 1), 96))
+      |    AS t(s))
+      |SELECT doc_id, chunk_idx, CAST(len(ch) AS BIGINT)
+      |    AS n_chunk_tokens,
+      |  md5(list_aggregate(ch, 'string_agg', ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** q57: the same stripe edits, full-outer hash compare — mirrors
+    * CorpusStats.corpusDiff over corpusDiffQ's versions. */
+  private val corpusDiffOracle: String =
+    """WITH oldc AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |newc AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2'
+      |        ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 23 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 500000, md5(text) FROM documents
+      |  WHERE doc_id % 19 = 0),
+      |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |    CASE WHEN o.doc_id IS NULL THEN 'added'
+      |         WHEN n.doc_id IS NULL THEN 'removed'
+      |         WHEN o.h = n.h THEN 'unchanged'
+      |         ELSE 'changed' END AS status
+      |  FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id)
+      |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+      |ORDER BY doc_id""".stripMargin
+
+  /** q58: identical literal weights and rounded features — mirrors
+    * TextAnalysis.qualityClassifier. */
+  private lazy val qualityClfOracle: String =
+    s"""WITH f AS (SELECT doc_id, text,
+       |    ' ' || lower(text) || ' ' AS p,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS nt
+       |  FROM documents),
+       |s AS (SELECT doc_id, nt,
+       |    round(CAST(CAST(${stopHitsSql("p")} AS BIGINT) AS DOUBLE) /
+       |      greatest(nt, 1), 4) AS stopword_ratio,
+       |    round(CAST(length(text) AS DOUBLE) / greatest(nt, 1), 4)
+       |      AS mean_token_len,
+       |    round(CAST(len(regexp_extract_all(text, '[.,!?;:]'))
+       |        AS DOUBLE) / greatest(nt, 1), 4) AS punct_ratio
+       |  FROM f),
+       |sc AS (SELECT doc_id, stopword_ratio, mean_token_len,
+       |    punct_ratio,
+       |    round(1.0 / (1.0 + exp(-(-2.0 + 6.0 * stopword_ratio +
+       |      0.3 * mean_token_len - 4.0 * punct_ratio +
+       |      0.2 * ln(nt + 1)))), 6) AS clf_score
+       |  FROM s)
+       |SELECT doc_id, stopword_ratio, mean_token_len, punct_ratio,
+       |  clf_score, clf_score >= 0.5 AS keep_clf
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** q59: whole-corpus in-bucket all-pairs top-k — mirrors
+    * Similarity.knnGraph. */
+  private def knnGraphOracle(nPlanes: Int, k: Int, dim: Int): String = {
+    val bucket = graft.ops.Hyperplanes.bucketSql("embedding", nPlanes, dim)
+    val cos = cosSql("a.embedding", "b.embedding")
+    s"""WITH s AS (SELECT vec_id, embedding, $bucket AS bucket
+       |  FROM embeddings),
+       |p AS (SELECT a.vec_id AS src, b.vec_id AS dst, $cos AS cos_sim
+       |  FROM s a JOIN s b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY src
+       |    ORDER BY cos_sim DESC, dst) AS INTEGER) AS rank
+       |  FROM p)
+       |SELECT src, dst, rank, cos_sim FROM r WHERE rank <= $k
+       |ORDER BY src, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q56_chunking" -> chunkDocsOracle,
+    "q57_corpus_diff" -> corpusDiffOracle,
+    "q58_quality_clf" -> qualityClfOracle,
+    "q59_knn_graph" -> knnGraphOracle(nPlanes = 4, k = 3, dim = 64),
+    "q53_hard_negatives" -> hardNegOracle(nPlanes = 4, k = 5,
+      nQueries = 10, dim = 64),
+    "q54_source_prune" -> sourcePruneOracle,
+    "q55_tfidf_terms" -> tfidfTermsOracle,
     "q50_source_report" -> sourceReportOracle,
     "q51_semantic_dedup" -> semanticDedupOracle,
     "q52_line_dedup" -> lineDedupOracle,

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{CorpusStats, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{CorpusStats, Dedup, Hyperplanes, Multimodal, Similarity,
+  TextAnalysis}
 import graft.streaming.StreamingPipeline
 
 /** Semantics tests for the training-data operators (cross-engine
@@ -1128,5 +1129,179 @@ class OpsSpec extends AnyFunSuite {
     val got = CorpusStats.bpePairCounts(d.select("text")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("ab" -> 4L, "bc" -> 1L, "cd" -> 1L, "xy" -> 1L))
+  }
+
+  test("hard negatives: equals driver recompute; every row crosses labels") {
+    val res = Similarity.hardNegatives(embs, nPlanes = 4, k = 5,
+      nQueries = 10).collect()
+    assert(res.nonEmpty)
+    // every returned neighbor has a different label, ranks are
+    // consecutive from 1, sims descend within each anchor
+    res.foreach(r => assert(r.getInt(1) != r.getInt(3), r.toString))
+    res.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(4))
+      assert(sorted.map(_.getInt(4)).toSeq === (1 to rows.length))
+      val sims = sorted.map(_.getDouble(5)).toSeq
+      assert(sims === sims.sorted.reverse)
+    }
+    // full driver recompute of the algorithm (buckets from the same
+    // literal hyperplane matrix, cross-label in-bucket top-5)
+    val all = embs.collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+      (r.getLong(0), v, r.getInt(2))
+    }
+    val planes = (0 until 4).map(p => Hyperplanes.plane(p, 64))
+    def bucket(v: Array[Float]): Int =
+      planes.zipWithIndex.map { case (h, i) =>
+        val d = (0 until 64).map(j => v(j).toDouble * h(j)).sum
+        if (d > 0) 1 << i else 0
+      }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        (0 until 64).map(j => x(j).toDouble * y(j)).sum
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byBucket = all.groupBy(e => bucket(e._2))
+    val expected = all.filter(_._1 < 10).flatMap { case (qid, qv, ql) =>
+      byBucket(bucket(qv))
+        .filter(c => c._1 != qid && c._3 != ql)
+        .map(c => (qid, c._1, cos(qv, c._2)))
+        .sortBy(t => (-t._3, t._2)).take(5)
+        .zipWithIndex.map { case ((q, n, s), i) => (q, n, i + 1, s) }
+    }.toSet
+    val got = res.map(r =>
+      (r.getLong(0), r.getLong(2), r.getInt(4), r.getDouble(5))).toSet
+    assert(got === expected)
+  }
+
+  test("source prune: per-source quantile thresholds and keep flags") {
+    import spark.implicits._
+    // source A ratios: 0, 0.3333, 0.6667, 1.0 → 25th pct (R-7):
+    // 0 + 0.75·0.3333 = 0.249975; keeps the top three docs
+    // source B: both docs at 0.5 → threshold 0.5, both keep
+    val d = Seq(
+      (1L, "A", "x y z"),
+      (2L, "A", "the x y"),
+      (3L, "A", "the a x"),
+      (4L, "A", "the a of"),
+      (5L, "B", "the x"),
+      (6L, "B", "the y"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusStats.sourceQuantilePrune(d, q = 0.25).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got === Map(
+      1L -> ((0.0, 0.249975, false)),
+      2L -> ((0.3333, 0.249975, true)),
+      3L -> ((0.6667, 0.249975, true)),
+      4L -> ((1.0, 0.249975, true)),
+      5L -> ((0.5, 0.5, true)),
+      6L -> ((0.5, 0.5, true))))
+  }
+
+  test("chunking: window boundaries, overlap, trailing short chunk") {
+    import spark.implicits._
+    val d = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    // chunk 4, overlap 1 → stride 3: starts 1,4,7,10
+    val got = CorpusStats.chunkDocs(d, chunkTokens = 4, overlap = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got === Map(
+      (1L, 0) -> ((4L, m("t0 t1 t2 t3"))),
+      (1L, 1) -> ((4L, m("t3 t4 t5 t6"))),
+      (1L, 2) -> ((4L, m("t6 t7 t8 t9"))),
+      (1L, 3) -> ((1L, m("t9"))),
+      (2L, 0) -> ((2L, m("a b")))))
+  }
+
+  test("corpus diff: added/removed/changed/unchanged by content hash") {
+    import spark.implicits._
+    val old = Seq((1L, "same"), (2L, "will change"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, "same"), (2L, "did change"), (4L, "new doc"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.corpusDiff(old, nw).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("quality classifier: hand-computed logistic score and threshold") {
+    import spark.implicits._
+    val d = Seq((1L, "the a of"), (2L, "x, y! z; w: q.")).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityClassifier(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getBoolean(5)))).toMap
+    def score(stop: Double, mtl: Double, punct: Double, nt: Long) = {
+      val z = -2.0 + 6.0 * stop + 0.3 * mtl - 4.0 * punct +
+        0.2 * math.log(nt + 1.0)
+      BigDecimal(1.0 / (1.0 + math.exp(-z)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // doc 1: nt=3, 3 stopwords, len 8 → mtl 2.6667, no punct
+    val s1 = score(1.0, 2.6667, 0.0, 3)
+    // doc 2: nt=5, 0 stopwords, len 14 → mtl 2.8, 5 punct → ratio 1.0
+    val s2 = score(0.0, 2.8, 1.0, 5)
+    assert(got === Map(
+      1L -> ((1.0, 2.6667, 0.0, s1, s1 >= 0.5)),
+      2L -> ((0.0, 2.8, 1.0, s2, s2 >= 0.5))))
+    assert(got(1L)._5 && !got(2L)._5) // the weights separate these two
+  }
+
+  test("knn graph: equals driver recompute of in-bucket top-k") {
+    val res = Similarity.knnGraph(embs, nPlanes = 4, k = 3).collect()
+    assert(res.nonEmpty)
+    val all = embs.collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray)
+    }
+    val planes = (0 until 4).map(p => Hyperplanes.plane(p, 64))
+    def bucket(v: Array[Float]): Int =
+      planes.zipWithIndex.map { case (h, i) =>
+        val d = (0 until 64).map(j => v(j).toDouble * h(j)).sum
+        if (d > 0) 1 << i else 0
+      }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        (0 until 64).map(j => x(j).toDouble * y(j)).sum
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byBucket = all.groupBy(e => bucket(e._2))
+    val expected = all.flatMap { case (src, v) =>
+      byBucket(bucket(v)).filter(_._1 != src)
+        .map(c => (src, c._1, cos(v, c._2)))
+        .sortBy(t => (-t._3, t._2)).take(3)
+        .zipWithIndex.map { case ((s, d, c), i) => (s, d, i + 1, c) }
+    }.toSet
+    val got = res.map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got === expected)
+  }
+
+  test("tfidf top terms: hand-computed scores, rank ties break on term") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry date date date"))
+      .toDF("doc_id", "text")
+    // N=3; df: apple 1, banana 2, cherry 2, date 1
+    // ln(3)=1.0986123, ln(1.5)=0.4054651
+    val got = CorpusStats.tfidfTopTerms(d, topN = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(got === Map(
+      (1L, "apple") -> ((2L, 2.197225, 1)),
+      (1L, "banana") -> ((1L, 0.405465, 2)),
+      (2L, "banana") -> ((1L, 0.405465, 1)),   // tie → term order
+      (2L, "cherry") -> ((1L, 0.405465, 2)),
+      (3L, "date") -> ((3L, 3.295837, 1)),
+      (3L, "cherry") -> ((1L, 0.405465, 2))))
   }
 }

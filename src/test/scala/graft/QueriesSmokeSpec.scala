@@ -85,7 +85,15 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q49_bpe_pairs" -> 2,
       // one narrow pass + bounded source groupBy + output sort; the
       // keep gate inlines (no join-back of the per-doc filter frame)
-      "q50_source_report" -> 2)
+      "q50_source_report" -> 2,
+      // bounded source threshold agg + its broadcast join-back +
+      // output sort; the corpus itself never shuffles
+      "q54_source_prune" -> 3,
+      // tokenize + start-explode + slice are one narrow codegen'd
+      // pass; the only exchange is the output sort
+      "q56_chunking" -> 1,
+      // classifier inference is a pure narrow map + output sort
+      "q58_quality_clf" -> 1)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
