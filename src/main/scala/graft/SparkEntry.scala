@@ -82,7 +82,9 @@ object SparkEntry {
     "q56_chunking" -> (T.chunkDocsQ(_, _)),
     "q57_corpus_diff" -> (T.corpusDiffQ(_, _)),
     "q58_quality_clf" -> (T.qualityClfQ(_, _)),
-    "q59_knn_graph" -> (T.knnGraphQ(_, _)))
+    "q59_knn_graph" -> (T.knnGraphQ(_, _)),
+    "q60_shard_assign" -> (T.shardAssignQ(_, _)),
+    "q61_winnow" -> (T.winnowQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

@@ -555,6 +555,68 @@ object CorpusStats {
       .limit(topN)
   }
 
+  /** Deterministic training-order shuffle + shard assignment — the
+    * "global shuffle" stage between curation and training: every
+    * document gets a pseudorandom but reproducible position, realized
+    * as (shard, position-within-shard) so a trainer's data loader can
+    * read shard files in order. The permutation key is the md5 of the
+    * doc id (retry-stable, engine-portable — the q28 sampling hash
+    * family), so the same corpus always shuffles identically.
+    *
+    * Scale: ONE hash-partition shuffle on the shard key plus a
+    * per-shard sort — exactly how a production global shuffle is
+    * implemented (nShards chosen so a shard fits a task; the window
+    * is partitioned by shard, never partition-less). No global
+    * ordering is ever materialized.
+    */
+  def shardAssign(docs: DataFrame, nShards: Int = 64): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 12), 16, 10).cast("long")
+    val keyed = docs.select(col("doc_id"), h.as("h"),
+      pmod(h, lit(nShards.toLong)).cast("int").as("shard"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    keyed.withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
+  /** Winnowing document fingerprints (the MOSS scheme): hash every
+    * k-token shingle, slide a w-hash window, keep each window's
+    * minimum — the guarantee is that any shared run of ≥ w+k-1 tokens
+    * between two documents yields at least one shared fingerprint,
+    * with ~2/(w+1) of hashes selected. The robust, position-tolerant
+    * alternative to [[TextAnalysis.fingerprints]]' single rolling
+    * hash; the selected-fingerprint inverted index is what plagiarism
+    * / overlap detectors join on.
+    *
+    * Scale: entirely narrow — shingle hashes, window minima and the
+    * distinct-set all happen INSIDE the per-document array (one
+    * codegen'd pass, zero shuffle, no explode of the token stream);
+    * only the bounded distinct-fingerprint set per document is
+    * emitted. Hashes are md5 hex strings min-compared
+    * lexicographically, so DuckDB reproduces selections exactly.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4,
+      w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k and w=$w must be >= 1")
+    // NB: Spark's sequence(1, n) is DESCENDING for n < 1 (it never
+    // returns empty), so short docs need the explicit empty branch
+    val grams = expr(
+      s"""if(size(toks) >= $k,
+         |  transform(sequence(1, size(toks) - ${k - 1}),
+         |    i -> md5(cast(concat_ws(' ', slice(toks, i, $k)) as binary))),
+         |  array())""".stripMargin)
+    val mins = expr(
+      s"""if(size(grams) >= $w,
+         |  array_distinct(transform(sequence(1, size(grams) - ${w - 1}),
+         |    j -> array_min(slice(grams, j, $w)))),
+         |  array())""".stripMargin)
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), grams.as("grams"))
+      .select(col("doc_id"), explode(mins).as("fp"))
+  }
+
   /** Sliding-window document chunking — the long-document → training
     * -example step of a pretraining pipeline: each document becomes
     * overlapping windows of `chunkTokens` whitespace tokens advancing

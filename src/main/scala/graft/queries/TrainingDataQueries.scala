@@ -357,6 +357,16 @@ object TrainingDataQueries {
     Similarity.knnGraph(embs(s, dir), nPlanes = 4, k = 3)
       .orderBy("src", "rank")
 
+  /** q60: deterministic training-order shuffle into 16 shards. */
+  def shardAssignQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.shardAssign(docs(s, dir).select("doc_id"), nShards = 16)
+      .orderBy("doc_id")
+
+  /** q61: winnowing fingerprints, 4-token shingles, window 5. */
+  def winnowQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.winnowFingerprints(docs(s, dir).select("doc_id", "text"),
+      k = 4, w = 5).orderBy("doc_id", "fp")
+
   // -----------------------------------------------------------------
   // DuckDB oracles
   // -----------------------------------------------------------------
@@ -924,7 +934,44 @@ object TrainingDataQueries {
        |ORDER BY src, rank""".stripMargin
   }
 
+  /** q60: same 48-bit md5-prefix permutation key and per-shard
+    * row_number — mirrors CorpusStats.shardAssign at nShards=16. */
+  private val shardAssignOracle: String =
+    """WITH k AS (SELECT doc_id,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+      |      AS BIGINT) AS h
+      |  FROM documents),
+      |s AS (SELECT doc_id, h, CAST(h % 16 AS INT) AS shard FROM k)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+      |    AS BIGINT) AS pos
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** q61: identical shingle hashing (space-joined 4-grams → md5 hex)
+    * and lexicographic window minima — mirrors
+    * CorpusStats.winnowFingerprints at k=4, w=5. */
+  private val winnowOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id,
+      |    CASE WHEN len(toks) >= 4 THEN
+      |      list_transform(generate_series(1, len(toks) - 3),
+      |        i -> md5(list_aggregate(toks[i:i+3], 'string_agg', ' ')))
+      |    ELSE CAST([] AS VARCHAR[]) END AS grams
+      |  FROM t),
+      |m AS (SELECT doc_id,
+      |    CASE WHEN len(grams) >= 5 THEN
+      |      list_distinct(list_transform(generate_series(1, len(grams) - 4),
+      |        j -> list_min(grams[j:j+4])))
+      |    ELSE CAST([] AS VARCHAR[]) END AS fps
+      |  FROM g)
+      |SELECT doc_id, unnest(fps) AS fp FROM m
+      |ORDER BY doc_id, fp""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q60_shard_assign" -> shardAssignOracle,
+    "q61_winnow" -> winnowOracle,
     "q56_chunking" -> chunkDocsOracle,
     "q57_corpus_diff" -> corpusDiffOracle,
     "q58_quality_clf" -> qualityClfOracle,

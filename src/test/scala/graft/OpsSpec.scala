@@ -1284,6 +1284,47 @@ class OpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("shard assign: equals driver recompute of the md5 permutation") {
+    val res = CorpusStats.shardAssign(docs.select("doc_id"), nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    assert(res.length === ids.length)
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keyed = ids.map(id =>
+      (id, java.lang.Long.parseLong(m(id.toString).take(12), 16)))
+    val expected = keyed.groupBy(x => (x._2 % 8).toInt).toSeq.flatMap {
+      case (shard, xs) =>
+        xs.sortBy(x => (x._2, x._1)).zipWithIndex
+          .map { case ((id, _), i) => (id, shard, (i + 1).toLong) }
+    }.toSet
+    assert(res.toSet === expected)
+  }
+
+  test("winnow: shared-run guarantee and exact recompute on a hand doc") {
+    import spark.implicits._
+    // shared run of 8 tokens = w+k-1 (w=5, k=4) → must share a print
+    val run = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val d = Seq(
+      (1L, s"a b c d e f $run g h i"),
+      (2L, s"x y z $run q r"),
+      (3L, "too short"))              // < k tokens → no fingerprints
+      .toDF("doc_id", "text")
+    val res = CorpusStats.winnowFingerprints(d, k = 4, w = 5).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = res.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "w+k-1 shared tokens must yield a shared fingerprint")
+    assert(!byDoc.contains(3L))
+    // exact recompute for doc 2
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = s"x y z $run q r".split(" ")
+    val grams = toks.sliding(4).map(g => m(g.mkString(" "))).toVector
+    val exp = grams.sliding(5).map(_.min).toSet
+    assert(byDoc(2L) === exp)
+  }
+
   test("tfidf top terms: hand-computed scores, rank ties break on term") {
     import spark.implicits._
     val d = Seq(

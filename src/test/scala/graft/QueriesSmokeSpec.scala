@@ -93,7 +93,13 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // pass; the only exchange is the output sort
       "q56_chunking" -> 1,
       // classifier inference is a pure narrow map + output sort
-      "q58_quality_clf" -> 1)
+      "q58_quality_clf" -> 1,
+      // one hash-partition shuffle on the shard key + output sort —
+      // the global shuffle never materializes a global order
+      "q60_shard_assign" -> 2,
+      // shingle hashes, window minima and distinct all stay inside
+      // the per-doc array; only exchange is the output sort
+      "q61_winnow" -> 1)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
