@@ -617,6 +617,31 @@ object CorpusStats {
       .select(col("doc_id"), explode(mins).as("fp"))
   }
 
+  /** Overlap-candidate pairs from shared winnowing fingerprints — the
+    * detector [[winnowFingerprints]] exists to feed: documents sharing
+    * ≥ minShared selected fingerprints share (with the winnowing
+    * guarantee) runs of ≥ w+k-1 tokens, flagging copied passages that
+    * whole-document hashes miss. The q31 df-filter discipline applies:
+    * fingerprints appearing in more than maxDf documents are
+    * boilerplate (shared headers, templates) whose pair explosion is
+    * quadratic — they are removed by anti-joining the BOUNDED hot set
+    * (AQE broadcasts it) before the self-join, capping per-fingerprint
+    * join fan-out at maxDf². The filtered fingerprint table is
+    * persisted because both self-join sides read it.
+    */
+  def winnowOverlapPairs(docs: DataFrame, k: Int = 4, w: Int = 5,
+      maxDf: Long = 100, minShared: Long = 2): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w)
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("fp")
+    val filtered = Dedup.persistOnce(fps.join(hot, Seq("fp"), "left_anti"))
+    val a = filtered.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = filtered.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Sliding-window document chunking — the long-document → training
     * -example step of a pretraining pipeline: each document becomes
     * overlapping windows of `chunkTokens` whitespace tokens advancing

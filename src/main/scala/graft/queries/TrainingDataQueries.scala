@@ -367,6 +367,13 @@ object TrainingDataQueries {
     CorpusStats.winnowFingerprints(docs(s, dir).select("doc_id", "text"),
       k = 4, w = 5).orderBy("doc_id", "fp")
 
+  /** q62: overlap-candidate pairs sharing ≥2 rare winnow prints. */
+  def winnowOverlapQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.winnowOverlapPairs(
+        docs(s, dir).select("doc_id", "text"),
+        k = 4, w = 5, maxDf = 100, minShared = 2)
+      .orderBy("doc_a", "doc_b")
+
   // -----------------------------------------------------------------
   // DuckDB oracles
   // -----------------------------------------------------------------
@@ -947,11 +954,11 @@ object TrainingDataQueries {
       |    AS BIGINT) AS pos
       |FROM s ORDER BY doc_id""".stripMargin
 
-  /** q61: identical shingle hashing (space-joined 4-grams → md5 hex)
-    * and lexicographic window minima — mirrors
-    * CorpusStats.winnowFingerprints at k=4, w=5. */
-  private val winnowOracle: String =
-    """WITH t AS (SELECT doc_id,
+  /** Shared winnowing CTE body (k=4, w=5): identical shingle hashing
+    * (space-joined 4-grams → md5 hex) and lexicographic window minima
+    * — mirrors CorpusStats.winnowFingerprints. */
+  private val winnowFpsCte: String =
+    """t AS (SELECT doc_id,
       |    string_split_regex(trim(text), '\s+') AS toks
       |  FROM documents),
       |g AS (SELECT doc_id,
@@ -965,13 +972,34 @@ object TrainingDataQueries {
       |      list_distinct(list_transform(generate_series(1, len(grams) - 4),
       |        j -> list_min(grams[j:j+4])))
       |    ELSE CAST([] AS VARCHAR[]) END AS fps
-      |  FROM g)
-      |SELECT doc_id, unnest(fps) AS fp FROM m
-      |ORDER BY doc_id, fp""".stripMargin
+      |  FROM g),
+      |f AS (SELECT doc_id, unnest(fps) AS fp FROM m)""".stripMargin
+
+  /** q61 — the fingerprint table itself. */
+  private lazy val winnowOracle: String =
+    s"""WITH $winnowFpsCte
+       |SELECT doc_id, fp FROM f ORDER BY doc_id, fp""".stripMargin
+
+  /** q62: hot-fingerprint df-filter then shared-count self-join —
+    * mirrors CorpusStats.winnowOverlapPairs (maxDf=100, minShared=2),
+    * composed from the q61 CTE so it cannot drift. */
+  private lazy val winnowOverlapOracle: String =
+    s"""WITH $winnowFpsCte,
+       |hot AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 100),
+       |ff AS (SELECT doc_id, fp FROM f
+       |  WHERE fp NOT IN (SELECT fp FROM hot)),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    count(*) AS n_shared
+       |  FROM ff a JOIN ff b
+       |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q60_shard_assign" -> shardAssignOracle,
     "q61_winnow" -> winnowOracle,
+    "q62_winnow_overlap" -> winnowOverlapOracle,
     "q56_chunking" -> chunkDocsOracle,
     "q57_corpus_diff" -> corpusDiffOracle,
     "q58_quality_clf" -> qualityClfOracle,

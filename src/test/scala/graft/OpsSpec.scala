@@ -1325,6 +1325,27 @@ class OpsSpec extends AnyFunSuite {
     assert(byDoc(2L) === exp)
   }
 
+  test("winnow overlap: copied passage pair found, df-filter drops hot prints") {
+    import spark.implicits._
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"   // ≥ w+k-1 tokens
+    val d = Seq(
+      (1L, s"u1 u2 u3 $passage"),
+      (2L, s"v1 v2 v3 v4 $passage w1"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9"),
+      (4L, "y1 y2 y3 y4 y5 y6 y7 y8 y9"))
+      .toDF("doc_id", "text")
+    // minShared=1 is what winnowing GUARANTEES for a shared run of
+    // ≥ w+k-1 tokens (distinct window minima can collapse to one)
+    val got = CorpusStats.winnowOverlapPairs(d, k = 4, w = 5,
+        maxDf = 100, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet === Set((1L, 2L)),
+      s"only the copied-passage pair should be reported, got $got")
+    // maxDf=0 marks every selected print hot → nothing can pair
+    assert(CorpusStats.winnowOverlapPairs(d, k = 4, w = 5,
+      maxDf = 0, minShared = 1).count() === 0L)
+  }
+
   test("tfidf top terms: hand-computed scores, rank ties break on term") {
     import spark.implicits._
     val d = Seq(
