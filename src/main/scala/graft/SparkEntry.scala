@@ -85,7 +85,8 @@ object SparkEntry {
     "q59_knn_graph" -> (T.knnGraphQ(_, _)),
     "q60_shard_assign" -> (T.shardAssignQ(_, _)),
     "q61_winnow" -> (T.winnowQ(_, _)),
-    "q62_winnow_overlap" -> (T.winnowOverlapQ(_, _)))
+    "q62_winnow_overlap" -> (T.winnowOverlapQ(_, _)),
+    "q63_c4_filter" -> (T.c4FilterQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

@@ -146,6 +146,41 @@ object TextAnalysis {
       (score >= 0.5).as("keep_clf"))
   }
 
+  /** C4-style rule filter — the canonical line-and-document heuristic
+    * set from the C4/T5 cleaning recipe, on the subset of rules this
+    * data model can express: a LINE survives iff it ends in terminal
+    * punctuation ([.!?"]), has ≥ 5 words, and does not mention
+    * "javascript"; a DOCUMENT survives iff ≥ 3 lines survive and it
+    * contains neither "lorem ipsum" nor a '{'. Emits the per-doc rule
+    * signals, the composite gate, and the md5 of the cleaned text
+    * (kept lines joined in order).
+    *
+    * Scale: all line logic runs INSIDE the per-document array
+    * (`filter` higher-order function over the split — no explode of
+    * the line stream, no shuffle); one codegen'd pass, output sort
+    * only. The same shape as [[CorpusStats.winnowFingerprints]].
+    */
+  def c4Filter(docs: DataFrame): DataFrame = {
+    val keptExpr = expr(
+      """filter(split(text, '\n'), ln ->
+        |  trim(ln) RLIKE '[.!?"]$' AND
+        |  size(split(trim(ln), '\\s+')) >= 5 AND
+        |  NOT contains(lower(ln), 'javascript'))""".stripMargin)
+    val hasLorem = lower(col("text")).contains("lorem ipsum")
+    val hasBrace = col("text").contains("{")
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"),
+        keptExpr.as("kept"),
+        hasLorem.as("has_lorem"), hasBrace.as("has_brace"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        col("has_lorem"), col("has_brace"),
+        (size(col("kept")) >= 3 && !col("has_lorem") &&
+          !col("has_brace")).as("keep_c4"),
+        md5(concat_ws("\n", col("kept")).cast("binary")).as("clean_md5"))
+  }
+
   /** Gopher-style within-document repetition signals over word
     * 2-grams: fraction of 2-gram occurrences taken by the single most
     * frequent 2-gram, fraction in any repeated 2-gram, and a keep-gate

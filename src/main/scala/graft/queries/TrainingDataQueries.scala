@@ -374,6 +374,11 @@ object TrainingDataQueries {
         k = 4, w = 5, maxDf = 100, minShared = 2)
       .orderBy("doc_a", "doc_b")
 
+  /** q63: C4-style line+document rule filter with cleaned-text md5. */
+  def c4FilterQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.c4Filter(docs(s, dir).select("doc_id", "text"))
+      .orderBy("doc_id")
+
   // -----------------------------------------------------------------
   // DuckDB oracles
   // -----------------------------------------------------------------
@@ -996,7 +1001,32 @@ object TrainingDataQueries {
        |SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q63: same line predicates as TextAnalysis.c4Filter — terminal
+    * punctuation, ≥5 whitespace words, no "javascript"; doc gate
+    * ≥3 kept lines AND no "lorem ipsum" AND no brace. The cleaned-text
+    * md5 re-joins kept lines with \n (coalesce covers DuckDB's
+    * NULL-on-empty string_agg where Spark's concat_ws yields ''). */
+  private val c4FilterOracle: String =
+    """WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
+      |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+      |    contains(text, '{') AS has_brace
+      |  FROM documents),
+      |k AS (SELECT doc_id, len(lines) AS n_lines,
+      |    list_filter(lines, ln ->
+      |      regexp_matches(trim(ln), '[.!?"]$') AND
+      |      len(string_split_regex(trim(ln), '\s+')) >= 5 AND
+      |      NOT contains(lower(ln), 'javascript')) AS kept,
+      |    has_lorem, has_brace
+      |  FROM l)
+      |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+      |  CAST(len(kept) AS BIGINT) AS n_kept, has_lorem, has_brace,
+      |  (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace) AS keep_c4,
+      |  md5(coalesce(list_aggregate(kept, 'string_agg', chr(10)), ''))
+      |    AS clean_md5
+      |FROM k ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q63_c4_filter" -> c4FilterOracle,
     "q60_shard_assign" -> shardAssignOracle,
     "q61_winnow" -> winnowOracle,
     "q62_winnow_overlap" -> winnowOverlapOracle,

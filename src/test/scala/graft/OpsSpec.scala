@@ -1254,6 +1254,40 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L)._5 && !got(2L)._5) // the weights separate these two
   }
 
+  test("c4 filter: every line and document rule branch, hand-computed") {
+    import spark.implicits._
+    val good = "this line ends with a period."   // survives
+    val short = "too short here."                // <5 words
+    val noPunct = "five words but no terminal punct" // no [.!?"]$
+    val js = "enable javascript to view this page!" // javascript
+    val d = Seq(
+      // 3 kept lines, clean doc → keep
+      (1L, s"$good\n$good\n$good\n$short"),
+      // only 2 kept → drop
+      (2L, s"$good\n$good\n$noPunct\n$js"),
+      // 3 kept but lorem → drop
+      (3L, s"$good\n$good\n$good\nlorem ipsum dolor"),
+      // 3 kept but brace → drop
+      (4L, s"$good\n$good\n$good\nif (x) { return; }"),
+      // empty-ish: nothing kept
+      (5L, "")).toDF("doc_id", "text")
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = TextAnalysis.c4Filter(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+        r.getString(6)))).toMap
+    val three = m(Seq(good, good, good).mkString("\n"))
+    assert(got === Map(
+      1L -> ((4L, 3L, false, false, true, three)),
+      2L -> ((4L, 2L, false, false, false, m(Seq(good, good).mkString("\n")))),
+      3L -> ((4L, 3L, true, false, false, three)),
+      // doc 4's brace line also fails the line rules (no terminal
+      // punct after trim? it ends '}' → fails [.!?"]$), so kept = 3
+      4L -> ((4L, 3L, false, true, false, three)),
+      5L -> ((1L, 0L, false, false, false, m("")))))
+  }
+
   test("knn graph: equals driver recompute of in-bucket top-k") {
     val res = Similarity.knnGraph(embs, nPlanes = 4, k = 3).collect()
     assert(res.nonEmpty)

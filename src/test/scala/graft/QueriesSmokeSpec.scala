@@ -99,7 +99,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q60_shard_assign" -> 2,
       // shingle hashes, window minima and distinct all stay inside
       // the per-doc array; only exchange is the output sort
-      "q61_winnow" -> 1)
+      "q61_winnow" -> 1,
+      // all line logic runs inside the per-doc array (filter HOF, no
+      // explode); only exchange is the output sort
+      "q63_c4_filter" -> 1)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
