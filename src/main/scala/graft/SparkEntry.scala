@@ -86,7 +86,9 @@ object SparkEntry {
     "q60_shard_assign" -> (T.shardAssignQ(_, _)),
     "q61_winnow" -> (T.winnowQ(_, _)),
     "q62_winnow_overlap" -> (T.winnowOverlapQ(_, _)),
-    "q63_c4_filter" -> (T.c4FilterQ(_, _)))
+    "q63_c4_filter" -> (T.c4FilterQ(_, _)),
+    "q64_gopher_filter" -> (T.gopherFilterQ(_, _)),
+    "q65_dsir_weights" -> (T.dsirWeightsQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

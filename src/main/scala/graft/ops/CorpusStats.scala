@@ -765,4 +765,66 @@ object CorpusStats {
       .select(col("doc_id"), col("term"), col("tf"), col("tfidf"),
         col("rank"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * via Importance Resampling"): score each raw document by the
+    * log-likelihood ratio of a TARGET hashed-unigram bag-of-words
+    * model over the RAW corpus model —
+    * `log w(x) = Σ_tok [ log p_t(b(tok)) − log p_r(b(tok)) ]` with
+    * tokens hashed into `nBuckets` md5 buckets and Laplace-smoothed
+    * `(count+1)/(total+B)` probabilities. `targetPred` selects the
+    * target-domain rows (here: a column predicate on the corpus
+    * itself, e.g. lang = 'en' — a real pipeline would feed a separate
+    * high-quality corpus through the same bucket counter). Also emits
+    * the Gumbel-perturbed score for DSIR's resample-without-
+    * replacement: rank by `score` and take the top-k (the perturbation
+    * is a deterministic md5-uniform, so the sample is retry-stable and
+    * engine-reproducible like [[sampleByHash]]).
+    *
+    * Scale: the model "training" is ONE bucket-keyed partial agg of
+    * the token stream — counts combine map-side into ≤ nBuckets rows
+    * per task, so exactly nBuckets rows shuffle and a nBuckets-row
+    * result reaches the driver (the AQE-stats shape; same rationale as
+    * [[unigramLogProb]]'s scalar total). The ratio vector is inlined
+    * as a LITERAL array, making scoring a zero-shuffle narrow fold
+    * over the per-doc token array — no vocabulary join at all, which
+    * is DSIR's own reason for hashing. Per-bucket log-ratios round to
+    * 1e-6 and the per-doc fold to 1e-4 so accumulation order cannot
+    * flip a bit vs the oracle.
+    */
+  def dsirWeights(docs: DataFrame, targetPred: Column,
+      nBuckets: Int = 64): DataFrame = {
+    def bucketOf(tok: Column): Column =
+      conv(substring(md5(tok.cast("binary")), 1, 3), 16, 10)
+        .cast("int") % nBuckets
+    val counts = docs
+      .select(targetPred.as("is_t"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy(bucketOf(col("tok")).as("b"))
+      .agg(count(lit(1)).as("raw"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("tgt"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val rawTot = counts.valuesIterator.map(_._1).sum.toDouble
+    val tgtTot = counts.valuesIterator.map(_._2).sum.toDouble
+    val ratios = (0 until nBuckets).map { b =>
+      val (raw, tgt) = counts.getOrElse(b, (0L, 0L))
+      val r = math.log((tgt + 1.0) / (tgtTot + nBuckets)) -
+        math.log((raw + 1.0) / (rawTot + nBuckets))
+      lit(BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }
+    val ratioArr = array(ratios: _*)
+    val toks = split(trim(col("text")), "\\s+")
+    val logW = round(aggregate(toks, lit(0.0),
+      (acc, t) => acc + element_at(ratioArr, bucketOf(t) + 1)), 4)
+    val u = (hashBucket(col("doc_id")) + 0.5) / 4096.0
+    val gumbel = round(-log(-log(u)), 6)
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      logW.as("log_weight"),
+      gumbel.as("gumbel"))
+      .withColumn("score", round(col("log_weight") + col("gumbel"), 4))
+  }
 }

@@ -181,6 +181,71 @@ object TextAnalysis {
         md5(concat_ws("\n", col("kept")).cast("binary")).as("clean_md5"))
   }
 
+  /** Gopher-style document rule set (Rae et al. 2021, table A1) — the
+    * whole-document heuristics complementing [[c4Filter]]'s line rules
+    * and the [[qualityScore]]/[[repetitionStats]] signals: word-count
+    * band, TRUE mean word length band (sum of word lengths / words —
+    * not q22's chars/token which counts separators), symbol-to-word
+    * ratio (# and ellipses), bullet-start and ellipsis-end line
+    * fractions, alpha-word fraction, and distinct-stopword presence.
+    * Gate: 50 ≤ words ≤ 100000, 3 ≤ mean_word_len ≤ 10,
+    * symbol_ratio < 0.1, bullet_frac < 0.1 (">90% of lines must not
+    * start with a bullet"), ellipsis_frac < 0.3, alpha_frac > 0.8,
+    * ≥ 2 distinct stopwords present. Ratios round to 1e-4 BEFORE the
+    * gate so the keep decision cannot straddle an engine ulp.
+    *
+    * Symbol occurrences count via non-overlapping replace-delta (the
+    * engine-portable idiom — identical leftmost-non-overlap semantics
+    * in Spark and DuckDB); all line/word logic runs inside the per-doc
+    * arrays (filter/transform HOFs, no explode): one narrow codegen'd
+    * pass, zero shuffle, output sort only.
+    */
+  def gopherFilter(docs: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val lines = split(col("text"), "\n")
+    val nWords = size(toks).cast("long")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    def occurrences(needle: String): Column =
+      (length(col("text")) -
+        length(replace(col("text"), lit(needle), lit("")))) / needle.length
+    val meanWordLen = round(
+      expr("aggregate(split(trim(text), '\\\\s+'), 0L, (a, w) -> a + length(w))")
+        .cast("double") / greatest(nWords, lit(1)), 4)
+    val symbolRatio = round(
+      (occurrences("#") + occurrences("...") + occurrences("…"))
+        .cast("double") / greatest(nWords, lit(1)), 4)
+    val bulletFrac = round(size(expr(
+      "filter(split(text, '\\n'), ln -> ltrim(ln) RLIKE '^[-*•]')"))
+      .cast("double") / nLines, 4)
+    val ellipsisFrac = round(size(expr(
+      "filter(split(text, '\\n'), ln -> rtrim(ln) RLIKE '(\\\\.\\\\.\\\\.|…)$')"))
+      .cast("double") / nLines, 4)
+    val alphaFrac = round(size(expr(
+      "filter(split(trim(text), '\\\\s+'), w -> w RLIKE '[A-Za-z]')"))
+      .cast("double") / greatest(nWords, lit(1)), 4)
+    val stopPresent = Seq("the", "be", "to", "of", "and", "that",
+      "have", "with").map { w =>
+      array_contains(transform(toks, t => lower(t)), w).cast("int")
+    }.reduce(_ + _).cast("long")
+    docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      alphaFrac.as("alpha_frac"),
+      stopPresent.as("n_stop_present"))
+      .withColumn("keep_gopher",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") < 0.1 &&
+          col("bullet_frac") < 0.1 &&
+          col("ellipsis_frac") < 0.3 &&
+          col("alpha_frac") > 0.8 &&
+          col("n_stop_present") >= 2)
+  }
+
   /** Gopher-style within-document repetition signals over word
     * 2-grams: fraction of 2-gram occurrences taken by the single most
     * frequent 2-gram, fraction in any repeated 2-gram, and a keep-gate

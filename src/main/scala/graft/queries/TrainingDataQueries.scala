@@ -379,6 +379,18 @@ object TrainingDataQueries {
     TextAnalysis.c4Filter(docs(s, dir).select("doc_id", "text"))
       .orderBy("doc_id")
 
+  /** q64: Gopher-style whole-document rule set. */
+  def gopherFilterQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherFilter(docs(s, dir).select("doc_id", "text"))
+      .orderBy("doc_id")
+
+  /** q65: DSIR importance weights, target = English subset, 64
+    * hashed-unigram buckets. */
+  def dsirWeightsQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.dsirWeights(docs(s, dir).select("doc_id", "text", "lang"),
+      targetPred = col("lang") === "en", nBuckets = 64)
+      .orderBy("doc_id")
+
   // -----------------------------------------------------------------
   // DuckDB oracles
   // -----------------------------------------------------------------
@@ -1025,7 +1037,89 @@ object TrainingDataQueries {
       |    AS clean_md5
       |FROM k ORDER BY doc_id""".stripMargin
 
+  /** q64: mirrors TextAnalysis.gopherFilter — replace-delta symbol
+    * counts, per-doc list HOFs for line/word fractions, ratios rounded
+    * 1e-4 before the gate. */
+  private val gopherFilterOracle: String =
+    """WITH t AS (SELECT doc_id, text,
+      |    string_split_regex(trim(text), '\s+') AS toks,
+      |    string_split(text, chr(10)) AS lines
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    round(CAST(list_sum(list_transform(toks, w -> length(w)))
+      |        AS DOUBLE) / greatest(len(toks), 1), 4) AS mean_word_len,
+      |    round((
+      |      (length(text) - length(replace(text, '#', ''))) +
+      |      (length(text) - length(replace(text, '...', ''))) / 3 +
+      |      (length(text) - length(replace(text, '…', '')))
+      |    ) / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS symbol_ratio,
+      |    round(CAST(len(list_filter(lines,
+      |        ln -> regexp_matches(ltrim(ln), '^[-*•]'))) AS DOUBLE) /
+      |      greatest(len(lines), 1), 4) AS bullet_frac,
+      |    round(CAST(len(list_filter(lines,
+      |        ln -> regexp_matches(rtrim(ln), '(\.\.\.|…)$'))) AS DOUBLE) /
+      |      greatest(len(lines), 1), 4) AS ellipsis_frac,
+      |    round(CAST(len(list_filter(toks,
+      |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) /
+      |      greatest(len(toks), 1), 4) AS alpha_frac,
+      |    CAST((CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'the') THEN 1 ELSE 0 END +
+      |      CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'be') THEN 1 ELSE 0 END +
+      |      CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'to') THEN 1 ELSE 0 END +
+      |      CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'of') THEN 1 ELSE 0 END +
+      |      CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'and') THEN 1 ELSE 0 END +
+      |      CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'that') THEN 1 ELSE 0 END +
+      |      CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'have') THEN 1 ELSE 0 END +
+      |      CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'with') THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_stop_present
+      |  FROM t)
+      |SELECT *,
+      |  (n_words BETWEEN 50 AND 100000 AND
+      |   mean_word_len BETWEEN 3.0 AND 10.0 AND
+      |   symbol_ratio < 0.1 AND bullet_frac < 0.1 AND
+      |   ellipsis_frac < 0.3 AND alpha_frac > 0.8 AND
+      |   n_stop_present >= 2) AS keep_gopher
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** q65: mirrors CorpusStats.dsirWeights — same md5-bucket hash,
+    * Laplace smoothing, 1e-6-rounded per-bucket log-ratios (rebuilt
+    * over range(64) so empty buckets get the same smoothed default),
+    * token-order fold rounded 1e-4, md5-uniform Gumbel perturbation. */
+  private val dsirOracle: String =
+    """WITH tok AS (SELECT (lang = 'en') AS is_t,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |c AS (SELECT CAST('0x' || substr(md5(tok), 1, 3) AS INT) % 64 AS b,
+      |    count(*) AS raw,
+      |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt
+      |  FROM tok GROUP BY 1),
+      |fb AS (SELECT r.range AS b, coalesce(c.raw, 0) AS raw,
+      |    coalesce(c.tgt, 0) AS tgt
+      |  FROM range(64) r LEFT JOIN c ON c.b = r.range),
+      |tot AS (SELECT CAST(sum(raw) AS DOUBLE) AS rawt,
+      |    CAST(sum(tgt) AS DOUBLE) AS tgtt FROM fb),
+      |rv AS (SELECT list(round(
+      |    ln((tgt + 1.0) / (tgtt + 64)) - ln((raw + 1.0) / (rawt + 64)),
+      |    6) ORDER BY b) AS ratios
+      |  FROM fb, tot),
+      |d AS (SELECT doc_id,
+      |    string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    round(list_sum(list_transform(toks, t ->
+      |      ratios[(CAST('0x' || substr(md5(t), 1, 3) AS INT) % 64) + 1]
+      |    )), 4) AS log_weight,
+      |    round(-ln(-ln(
+      |      (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)
+      |         AS INT) + 0.5) / 4096.0)), 6) AS gumbel
+      |  FROM d, rv)
+      |SELECT doc_id, n_tokens, log_weight, gumbel,
+      |  round(log_weight + gumbel, 4) AS score
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q65_dsir_weights" -> dsirOracle,
+    "q64_gopher_filter" -> gopherFilterOracle,
     "q63_c4_filter" -> c4FilterOracle,
     "q60_shard_assign" -> shardAssignOracle,
     "q61_winnow" -> winnowOracle,

@@ -1288,6 +1288,84 @@ class OpsSpec extends AnyFunSuite {
       5L -> ((1L, 0L, false, false, false, m("")))))
   }
 
+  test("dsir weights: equals driver recompute of the hashed LM ratio") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma alpha", "en"),
+      (2L, "delta epsilon zeta", "en"),
+      (3L, "alpha alpha noise noise noise", "de"),
+      (4L, "beta delta", "de")).toDF("doc_id", "text", "lang")
+    val got = CorpusStats.dsirWeights(d, col("lang") === "en", nBuckets = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(4)))).toMap
+    // driver recompute with the same md5 bucket hash
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(tok: String) = Integer.parseInt(md5hex(tok).take(3), 16) % 8
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha", true),
+      (2L, "delta epsilon zeta", true),
+      (3L, "alpha alpha noise noise noise", false),
+      (4L, "beta delta", false))
+    val toks = corpus.flatMap { case (_, t, isT) =>
+      t.split("\\s+").map(w => (bucket(w), isT)) }
+    val raw = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val tgt = toks.filter(_._2).groupBy(_._1)
+      .view.mapValues(_.size.toLong).toMap
+    val (rawT, tgtT) = (toks.size.toDouble,
+      toks.count(_._2).toDouble)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ratio = (0 until 8).map { b =>
+      b -> r6(math.log((tgt.getOrElse(b, 0L) + 1.0) / (tgtT + 8)) -
+        math.log((raw.getOrElse(b, 0L) + 1.0) / (rawT + 8)))
+    }.toMap
+    corpus.foreach { case (id, t, _) =>
+      val ws = t.split("\\s+")
+      val lw = r4(ws.foldLeft(0.0)((a, w) => a + ratio(bucket(w))))
+      val u = (Integer.parseInt(md5hex(id.toString).take(3), 16) + 0.5) /
+        4096.0
+      val g = r6(-math.log(-math.log(u)))
+      assert(got(id) === ((ws.length.toLong, lw, r4(lw + g))),
+        s"doc $id")
+    }
+  }
+
+  test("gopher filter: hand-computed signals and every gate branch") {
+    import spark.implicits._
+    // 50 words, mean len (11*49+3)/50 = 10.84 > 10 → mean gate fails
+    val longWords = (Seq.fill(49)("abcdefghijk") :+ "the").mkString(" ")
+    // 60 clean words incl. 2 stopwords → keeps
+    val clean = (Seq.fill(58)("word") ++ Seq("the", "of")).mkString(" ")
+    // bullets: 2 of 4 lines start with '-' → bullet_frac 0.5
+    val bullets = s"$clean\n- item one\n- item two\nplain line"
+    // symbols: '#' * 10 over 60 words → ratio 0.1667
+    val hashy = clean + " " + ("#" * 10)
+    // ellipsis: 1 of 2 lines ends "..." → 0.5
+    val dots = s"$clean\ntrailing line ..."
+    val d = Seq((1L, longWords), (2L, clean), (3L, bullets),
+      (4L, hashy), (5L, dots)).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFilter(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getLong(7), r.getBoolean(8)))).toMap
+    assert(got(1L) === ((50L, round4((11.0 * 49 + 3) / 50), 0.0, 0.0,
+      0.0, 1.0, 1L, false)))
+    assert(got(2L) === ((60L, round4((4.0 * 58 + 3 + 2) / 60), 0.0, 0.0,
+      0.0, 1.0, 2L, true)))
+    // bullets doc: 63 words (+ "- item one" → "-","item","one" ×2 less
+    // "plain line"... recompute: clean 60 + 3 + 3 + 2 = 68 words
+    assert(got(3L)._4 === 0.5 && !got(3L)._8)      // bullet gate
+    assert(got(4L)._3 === round4(10.0 / 61) || got(4L)._3 === round4(10.0 / 60))
+    assert(got(4L)._3 >= 0.1 && !got(4L)._8)       // symbol gate
+    assert(got(5L)._5 === 0.5 && !got(5L)._8)      // ellipsis gate
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("knn graph: equals driver recompute of in-bucket top-k") {
     val res = Similarity.knnGraph(embs, nPlanes = 4, k = 3).collect()
     assert(res.nonEmpty)

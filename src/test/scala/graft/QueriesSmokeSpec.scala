@@ -102,7 +102,13 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q61_winnow" -> 1,
       // all line logic runs inside the per-doc array (filter HOF, no
       // explode); only exchange is the output sort
-      "q63_c4_filter" -> 1)
+      "q63_c4_filter" -> 1,
+      // word/line fractions all per-doc array HOFs, no explode
+      "q64_gopher_filter" -> 1,
+      // the bucket model trains eagerly (bounded 64-row agg) and is
+      // inlined as a literal; the RETURNED scoring plan is a narrow
+      // fold + output sort
+      "q65_dsir_weights" -> 1)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
