@@ -246,6 +246,50 @@ object TextAnalysis {
           col("n_stop_present") >= 2)
   }
 
+  /** Markdown code-fence extraction — the code-mining stage of a
+    * training-data pipeline: emit one row per ``` fenced block with
+    * its language hint (text after the opening fence), line count, and
+    * content md5. Fences pair first-open/next-close in document order;
+    * a trailing unmatched fence is ignored; nested/inline fences are
+    * out of contract (the wire format here is line-anchored ``` only).
+    *
+    * Scale: fence positions, pairing and content slicing all run
+    * INSIDE the per-document line array (indexed transform + filter +
+    * slice HOFs — no line explode); the only explode is the final
+    * per-BLOCK one, whose output is the result itself. Zero shuffle
+    * before the output sort.
+    */
+  def codeBlocks(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("doc_id"), split(col("text"), "\n").as("lines"))
+      // 1-based positions of fence lines
+      .withColumn("fpos", expr(
+        """filter(transform(lines,
+          |  (ln, i) -> IF(startswith(ltrim(ln), '```'), i + 1, -1)),
+          |  x -> x >= 0)""".stripMargin))
+      .withColumn("nb",
+        expr("CAST(floor(size(fpos) / 2) AS INT)"))
+      // sequence(1, 0) is DESCENDING in Spark, not empty — guard it
+      .withColumn("blocks", expr(
+        """transform(IF(nb >= 1, sequence(1, nb), array()),
+          |  j -> named_struct(
+          |    'block_idx', j - 1,
+          |    'lang_hint', trim(substring(
+          |      ltrim(element_at(lines, element_at(fpos, 2*j - 1))), 4)),
+          |    'content', slice(lines,
+          |      element_at(fpos, 2*j - 1) + 1,
+          |      element_at(fpos, 2*j) - element_at(fpos, 2*j - 1) - 1)))"""
+          .stripMargin))
+      .select(col("doc_id"), explode(col("blocks")).as("b"))
+      .select(
+        col("doc_id"),
+        col("b.block_idx").as("block_idx"),
+        col("b.lang_hint").as("lang_hint"),
+        size(col("b.content")).cast("long").as("n_lines"),
+        md5(concat_ws("\n", col("b.content")).cast("binary"))
+          .as("code_md5"))
+  }
+
   /** Gopher-style within-document repetition signals over word
     * 2-grams: fraction of 2-gram occurrences taken by the single most
     * frequent 2-gram, fraction in any repeated 2-gram, and a keep-gate

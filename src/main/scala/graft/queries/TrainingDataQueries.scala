@@ -391,6 +391,27 @@ object TrainingDataQueries {
       targetPred = col("lang") === "en", nBuckets = 64)
       .orderBy("doc_id")
 
+  /** q66: code-fence extraction. The sf corpus is fence-free prose, so
+    * (q57-style) the wrapper deterministically injects fenced blocks —
+    * a `lang`-tagged one on every 7th doc, a second js one on every
+    * 14th — and extracts them back. */
+  def codeBlocksQ(s: SparkSession, dir: String): DataFrame = {
+    val injected = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit("\n```"), col("lang"),
+            lit("\ndef f():\n    return "),
+            col("doc_id").cast("string"), lit("\n```")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(14)) === 0,
+          concat(col("text"), lit("\n```js\nconsole.log("),
+            col("doc_id").cast("string"), lit(");\n```")))
+          .otherwise(col("text")))
+    TextAnalysis.codeBlocks(injected.select("doc_id", "text"))
+      .orderBy("doc_id", "block_idx")
+  }
+
   // -----------------------------------------------------------------
   // DuckDB oracles
   // -----------------------------------------------------------------
@@ -1117,7 +1138,41 @@ object TrainingDataQueries {
       |  round(log_weight + gumbel, 4) AS score
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** q66: mirrors TextAnalysis.codeBlocks over the same injected
+    * corpus — 1-based fence positions via generate_series + list
+    * indexing, first-open/next-close pairing, inclusive list slices. */
+  private val codeBlocksOracle: String =
+    """WITH m AS (SELECT doc_id,
+      |    text ||
+      |    CASE WHEN doc_id % 7 = 0 THEN
+      |      chr(10) || '```' || lang || chr(10) || 'def f():' ||
+      |      chr(10) || '    return ' || CAST(doc_id AS VARCHAR) ||
+      |      chr(10) || '```' ELSE '' END ||
+      |    CASE WHEN doc_id % 14 = 0 THEN
+      |      chr(10) || '```js' || chr(10) || 'console.log(' ||
+      |      CAST(doc_id AS VARCHAR) || ');' || chr(10) || '```'
+      |      ELSE '' END AS text
+      |  FROM documents),
+      |l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM m),
+      |f AS (SELECT doc_id, lines,
+      |    list_filter(generate_series(1, len(lines)),
+      |      i -> starts_with(ltrim(lines[i]), '```')) AS fpos
+      |  FROM l),
+      |b AS (SELECT doc_id, lines, fpos,
+      |    unnest(generate_series(1, CAST(len(fpos) // 2 AS INT))) AS j
+      |  FROM f WHERE len(fpos) >= 2),
+      |c AS (SELECT doc_id, CAST(j - 1 AS INT) AS block_idx,
+      |    trim(substr(ltrim(lines[fpos[2*j - 1]]), 4)) AS lang_hint,
+      |    lines[fpos[2*j - 1] + 1 : fpos[2*j] - 1] AS content
+      |  FROM b)
+      |SELECT doc_id, block_idx, lang_hint,
+      |  CAST(len(content) AS BIGINT) AS n_lines,
+      |  md5(coalesce(list_aggregate(content, 'string_agg', chr(10)), ''))
+      |    AS code_md5
+      |FROM c ORDER BY doc_id, block_idx""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q66_code_blocks" -> codeBlocksOracle,
     "q65_dsir_weights" -> dsirOracle,
     "q64_gopher_filter" -> gopherFilterOracle,
     "q63_c4_filter" -> c4FilterOracle,

@@ -1288,6 +1288,26 @@ class OpsSpec extends AnyFunSuite {
       5L -> ((1L, 0L, false, false, false, m("")))))
   }
 
+  test("code blocks: pairing, lang hints, empty block, unmatched fence") {
+    import spark.implicits._
+    val doc1 = Seq("prose", "```python", "a = 1", "b = 2", "```",
+      "middle", "```", "raw line", "```", "tail", "```js").mkString("\n")
+    val d = Seq(
+      (1L, doc1),               // 2 blocks + trailing unmatched fence
+      (2L, "```\n```"),         // one empty block
+      (3L, "no fences at all")) // no rows
+      .toDF("doc_id", "text")
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = TextAnalysis.codeBlocks(d).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got === Map(
+      (1L, 0) -> (("python", 2L, m("a = 1\nb = 2"))),
+      (1L, 1) -> (("", 1L, m("raw line"))),
+      (2L, 0) -> (("", 0L, m("")))))
+  }
+
   test("dsir weights: equals driver recompute of the hashed LM ratio") {
     import spark.implicits._
     val d = Seq(

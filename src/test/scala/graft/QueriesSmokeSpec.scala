@@ -108,7 +108,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // the bucket model trains eagerly (bounded 64-row agg) and is
       // inlined as a literal; the RETURNED scoring plan is a narrow
       // fold + output sort
-      "q65_dsir_weights" -> 1)
+      "q65_dsir_weights" -> 1,
+      // fence pairing + slicing inside the per-doc array; the block
+      // explode IS the result — only exchange is the output sort
+      "q66_code_blocks" -> 1)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
