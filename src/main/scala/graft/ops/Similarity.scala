@@ -256,4 +256,51 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("src"), col("dst"), col("rank"), col("cos_sim"))
   }
+
+  /** Per-group embedding centroids + cosine-to-centroid outlier
+    * detection — the domain-drift / mislabeled-sample curation stage:
+    * vectors far from their own group's mean direction are flagged
+    * (`cos_centroid < mean − 2σ` within the group).
+    *
+    * Scale: the centroid "training" explodes the vector stream once
+    * into (group, dim) partial sums — map-side combine bounds the
+    * shuffle at groups×dims rows per task, and the reduced table is
+    * bounded, NOT corpus-sized (the AQE-stats shape). Centroids
+    * rebuild into ordered arrays on that bounded table and broadcast
+    * back, so scoring is one narrow zip-fold pass over the corpus; the
+    * per-group 2σ thresholds are a second bounded agg over the
+    * (persisted) scores, also broadcast. The corpus itself never
+    * shuffles. Centroid components and cosines round to 1e-6 so both
+    * stages are engine-reproducible (same rationale as the ANN
+    * cosines); thresholds likewise.
+    */
+  def centroidOutliers(embs: DataFrame, groupCol: String = "label")
+      : DataFrame = {
+    val cent = embs
+      .select(col(groupCol), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("cv")))),
+        s => s.getField("cv")).as("centroid"))
+    val dot = aggregate(
+      zip_with(col("embedding"), col("centroid"),
+        (a, b) => a.cast("double") * b),
+      lit(0.0), (acc, x) => acc + x)
+    val normC = sqrt(aggregate(col("centroid"), lit(0.0),
+      (acc, x) => acc + x * x))
+    val normE = sqrt(graft.functions.vec_norm2(col("embedding")))
+    val scored = Dedup.persistOnce(
+      embs.join(broadcast(cent), Seq(groupCol))
+        .select(col("vec_id"), col(groupCol),
+          round(dot / (normE * normC), 6).as("cos_centroid")))
+    val thr = scored.groupBy(col(groupCol))
+      .agg(round(avg(col("cos_centroid")) -
+        lit(2.0) * stddev_samp(col("cos_centroid")), 6).as("thr"))
+    scored.join(broadcast(thr), Seq(groupCol))
+      .select(col("vec_id"), col(groupCol),
+        col("cos_centroid"),
+        (col("cos_centroid") < col("thr")).as("is_outlier"))
+  }
 }

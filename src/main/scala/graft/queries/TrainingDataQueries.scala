@@ -412,6 +412,10 @@ object TrainingDataQueries {
       .orderBy("doc_id", "block_idx")
   }
 
+  /** q67: per-label centroid + 2σ cosine outlier flag. */
+  def centroidOutliersQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidOutliers(embs(s, dir)).orderBy("vec_id")
+
   // -----------------------------------------------------------------
   // DuckDB oracles
   // -----------------------------------------------------------------
@@ -1171,7 +1175,39 @@ object TrainingDataQueries {
       |    AS code_md5
       |FROM c ORDER BY doc_id, block_idx""".stripMargin
 
+  /** q67: mirrors Similarity.centroidOutliers — 1e-6-rounded centroid
+    * components (so both engines score against identical centroids),
+    * index-order dot products, per-label mean − 2·stddev_samp
+    * thresholds rounded 1e-6. */
+  private val centroidOutliersOracle: String =
+    """WITH d AS (SELECT label, i AS dim,
+      |    CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings, UNNEST(generate_series(1, len(embedding)))
+      |    AS t(i)),
+      |c AS (SELECT label, dim, round(avg(v), 6) AS cv
+      |  FROM d GROUP BY 1, 2),
+      |cent AS (SELECT label, list(cv ORDER BY dim) AS centroid
+      |  FROM c GROUP BY label),
+      |s AS (SELECT e.vec_id, e.label,
+      |    round(
+      |      list_sum(list_transform(list_zip(e.embedding, cent.centroid),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(e.embedding,
+      |         a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(cent.centroid, a -> a * a)))),
+      |      6) AS cos_centroid
+      |  FROM embeddings e JOIN cent ON e.label = cent.label),
+      |t AS (SELECT label,
+      |    round(avg(cos_centroid) - 2.0 * stddev_samp(cos_centroid), 6)
+      |      AS thr
+      |  FROM s GROUP BY label)
+      |SELECT s.vec_id, s.label, s.cos_centroid,
+      |  (s.cos_centroid < t.thr) AS is_outlier
+      |FROM s JOIN t ON s.label = t.label
+      |ORDER BY s.vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q67_centroid_outliers" -> centroidOutliersOracle,
     "q66_code_blocks" -> codeBlocksOracle,
     "q65_dsir_weights" -> dsirOracle,
     "q64_gopher_filter" -> gopherFilterOracle,

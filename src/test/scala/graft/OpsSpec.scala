@@ -1288,6 +1288,48 @@ class OpsSpec extends AnyFunSuite {
       5L -> ((1L, 0L, false, false, false, m("")))))
   }
 
+  test("centroid outliers: equals driver recompute, planted outlier flagged") {
+    import spark.implicits._
+    // label 0: five vectors near +x plus one pointing -x (the outlier);
+    // label 1: a tight +y cluster (2σ of a tight cluster still flags
+    // nothing when all members are equally close)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.1f, 0.0f), 0), (2L, Array(1.0f, -0.1f, 0.0f), 0),
+      (3L, Array(0.9f, 0.0f, 0.1f), 0), (4L, Array(0.9f, 0.0f, -0.1f), 0),
+      (5L, Array(1.0f, 0.0f, 0.0f), 0), (6L, Array(-1.0f, 0.0f, 0.0f), 0),
+      (7L, Array(0.0f, 1.0f, 0.1f), 1), (8L, Array(0.0f, 1.0f, -0.1f), 1),
+      (9L, Array(0.1f, 1.0f, 0.0f), 1), (10L, Array(-0.1f, 1.0f, 0.0f), 1))
+    val d = vecs.toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(d).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byLabel = vecs.groupBy(_._3)
+    val cents = byLabel.map { case (l, vs) =>
+      l -> (0 until 3).map(i =>
+        r6(vs.map(_._2(i).toDouble).sum / vs.size)).toArray
+    }
+    val cos = vecs.map { case (id, v, l) =>
+      val c = cents(l)
+      val dot = v.map(_.toDouble).zip(c).foldLeft(0.0) {
+        case (a, (x, y)) => a + x * y }
+      val ne = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      val nc = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+      (id, l, r6(dot / (ne * nc)))
+    }
+    val thrs = cos.groupBy(_._2).map { case (l, xs) =>
+      val m = xs.map(_._3).sum / xs.size
+      val sd = math.sqrt(
+        xs.map(x => (x._3 - m) * (x._3 - m)).sum / (xs.size - 1))
+      l -> r6(m - 2.0 * sd)
+    }
+    cos.foreach { case (id, l, c) =>
+      assert(got(id) === ((c, c < thrs(l))), s"vec $id")
+    }
+    assert(got(6L)._2, "planted -x vector must be the outlier")
+    assert(got.count(_._2._2) === 1, "exactly one outlier in the fixture")
+  }
+
   test("code blocks: pairing, lang hints, empty block, unmatched fence") {
     import spark.implicits._
     val doc1 = Seq("prose", "```python", "a = 1", "b = 2", "```",
