@@ -789,8 +789,12 @@ object CorpusStats {
     * as a LITERAL array, making scoring a zero-shuffle narrow fold
     * over the per-doc token array — no vocabulary join at all, which
     * is DSIR's own reason for hashing. Per-bucket log-ratios round to
-    * 1e-6 and the per-doc fold to 1e-4 so accumulation order cannot
-    * flip a bit vs the oracle.
+    * 1e-6, and the per-doc fold ALSO rounds at 1e-6 — never coarser:
+    * a sum of 1e-6-rounded terms is a near-exact 6-decimal value, so
+    * rounding it at 1e-4 lands ON decimal half-boundaries where
+    * engines tie-break differently (4 of 5000 sf0.1 docs flipped);
+    * at 1e-6 the nearest boundary is ~5e-7 away versus ~1e-12 of
+    * accumulation error, making the decision unambiguous everywhere.
     */
   def dsirWeights(docs: DataFrame, targetPred: Column,
       nBuckets: Int = 64): DataFrame = {
@@ -817,7 +821,7 @@ object CorpusStats {
     val ratioArr = array(ratios: _*)
     val toks = split(trim(col("text")), "\\s+")
     val logW = round(aggregate(toks, lit(0.0),
-      (acc, t) => acc + element_at(ratioArr, bucketOf(t) + 1)), 4)
+      (acc, t) => acc + element_at(ratioArr, bucketOf(t) + 1)), 6)
     val u = (hashBucket(col("doc_id")) + 0.5) / 4096.0
     val gumbel = round(-log(-log(u)), 6)
     docs.select(
@@ -825,6 +829,6 @@ object CorpusStats {
       size(toks).cast("long").as("n_tokens"),
       logW.as("log_weight"),
       gumbel.as("gumbel"))
-      .withColumn("score", round(col("log_weight") + col("gumbel"), 4))
+      .withColumn("score", round(col("log_weight") + col("gumbel"), 6))
   }
 }

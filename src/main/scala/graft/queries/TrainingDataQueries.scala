@@ -1109,7 +1109,13 @@ object TrainingDataQueries {
   /** q65: mirrors CorpusStats.dsirWeights — same md5-bucket hash,
     * Laplace smoothing, 1e-6-rounded per-bucket log-ratios (rebuilt
     * over range(64) so empty buckets get the same smoothed default),
-    * token-order fold rounded 1e-4, md5-uniform Gumbel perturbation. */
+    * token-order fold, md5-uniform Gumbel perturbation. Two parity
+    * rules learned at sf0.1: the fold is list_reduce, not list_sum
+    * (strict left fold ≡ Spark's aggregate(), while list_sum's
+    * accumulation order drifts ~1e-13), and every rounding is 1e-6 —
+    * sums of 1e-6-rounded terms are near-exact 6-decimal values, so a
+    * coarser 1e-4 rounding lands ON half-boundaries where the engines
+    * tie-break differently. */
   private val dsirOracle: String =
     """WITH tok AS (SELECT (lang = 'en') AS is_t,
       |    unnest(string_split_regex(trim(text), '\s+')) AS tok
@@ -1131,15 +1137,15 @@ object TrainingDataQueries {
       |    string_split_regex(trim(text), '\s+') AS toks
       |  FROM documents),
       |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-      |    round(list_sum(list_transform(toks, t ->
+      |    round(list_reduce(list_transform(toks, t ->
       |      ratios[(CAST('0x' || substr(md5(t), 1, 3) AS INT) % 64) + 1]
-      |    )), 4) AS log_weight,
+      |    ), (a, b) -> a + b), 6) AS log_weight,
       |    round(-ln(-ln(
       |      (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)
       |         AS INT) + 0.5) / 4096.0)), 6) AS gumbel
       |  FROM d, rv)
       |SELECT doc_id, n_tokens, log_weight, gumbel,
-      |  round(log_weight + gumbel, 4) AS score
+      |  round(log_weight + gumbel, 6) AS score
       |FROM s ORDER BY doc_id""".stripMargin
 
   /** q66: mirrors TextAnalysis.codeBlocks over the same injected

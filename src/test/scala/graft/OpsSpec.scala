@@ -1378,19 +1378,17 @@ class OpsSpec extends AnyFunSuite {
       toks.count(_._2).toDouble)
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def r4(x: Double) = BigDecimal(x)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val ratio = (0 until 8).map { b =>
       b -> r6(math.log((tgt.getOrElse(b, 0L) + 1.0) / (tgtT + 8)) -
         math.log((raw.getOrElse(b, 0L) + 1.0) / (rawT + 8)))
     }.toMap
     corpus.foreach { case (id, t, _) =>
       val ws = t.split("\\s+")
-      val lw = r4(ws.foldLeft(0.0)((a, w) => a + ratio(bucket(w))))
+      val lw = r6(ws.foldLeft(0.0)((a, w) => a + ratio(bucket(w))))
       val u = (Integer.parseInt(md5hex(id.toString).take(3), 16) + 0.5) /
         4096.0
       val g = r6(-math.log(-math.log(u)))
-      assert(got(id) === ((ws.length.toLong, lw, r4(lw + g))),
+      assert(got(id) === ((ws.length.toLong, lw, r6(lw + g))),
         s"doc $id")
     }
   }
