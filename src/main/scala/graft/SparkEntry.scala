@@ -90,7 +90,8 @@ object SparkEntry {
     "q64_gopher_filter" -> (T.gopherFilterQ(_, _)),
     "q65_dsir_weights" -> (T.dsirWeightsQ(_, _)),
     "q66_code_blocks" -> (T.codeBlocksQ(_, _)),
-    "q67_centroid_outliers" -> (T.centroidOutliersQ(_, _)))
+    "q67_centroid_outliers" -> (T.centroidOutliersQ(_, _)),
+    "q68_quality_auc" -> (T.qualityAucQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

@@ -124,6 +124,23 @@ object TextAnalysis {
     * classifier inference over 100 TB is embarrassingly parallel and
     * this plan keeps it that way.
     */
+  /** The q58 logistic quality score as a standalone expression —
+    * shared by [[qualityClassifier]] and the AUC evaluation
+    * ([[rocAuc]], q68) so the evaluated model IS the deployed model. */
+  def clfScoreExpr(text: Column): Column = {
+    val nTokens = size(tokens(text)).cast("long")
+    val stopRatio = round(
+      stopwordHits(text).cast("double") / greatest(nTokens, lit(1)), 4)
+    val meanTokLen = round(length(text).cast("double") /
+      greatest(nTokens, lit(1)), 4)
+    val punctRatio = round(
+      regexp_count(text, lit("[.,!?;:]")).cast("double") /
+        greatest(nTokens, lit(1)), 4)
+    val z = lit(-2.0) + lit(6.0) * stopRatio + lit(0.3) * meanTokLen +
+      lit(-4.0) * punctRatio + lit(0.2) * log(nTokens + lit(1))
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
   def qualityClassifier(docs: DataFrame): DataFrame = {
     val nTokens = size(tokens(col("text"))).cast("long")
     val stopRatio = round(
@@ -134,9 +151,7 @@ object TextAnalysis {
     val punctRatio = round(
       regexp_count(col("text"), lit("[.,!?;:]")).cast("double") /
         greatest(nTokens, lit(1)), 4)
-    val z = lit(-2.0) + lit(6.0) * stopRatio + lit(0.3) * meanTokLen +
-      lit(-4.0) * punctRatio + lit(0.2) * log(nTokens + lit(1))
-    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    val score = clfScoreExpr(col("text"))
     docs.select(
       col("doc_id"),
       stopRatio.as("stopword_ratio"),
@@ -376,4 +391,49 @@ object TextAnalysis {
 
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** Exact tie-aware ROC-AUC of a score column against a boolean
+    * label — classifier evaluation at corpus scale WITHOUT a global
+    * sort: scores quantize into ≤ ~10^3 buckets, the corpus reduces
+    * to a bucket histogram (ONE bounded partial agg — the only
+    * shuffle), and the Mann-Whitney U statistic is exact integer
+    * arithmetic over that bounded table on the driver (the dsir/q19
+    * bounded-collect shape; a rank-based AUC would need a global sort
+    * or a partition-less window, both forbidden here).
+    *
+    * Quantization is decimal-exact on purpose: the double score casts
+    * to DECIMAL(9,6) (unambiguous — scores are 1e-6-rounded values),
+    * then floor(d·1000) in exact decimal arithmetic. Never
+    * `round(score, 3)` on the double: 6-decimal scores land ON
+    * 3-decimal half-boundaries where engines tie-break differently
+    * (the q65 lesson). AUC counts pos>neg pairs as 1 and ties as ½:
+    * `Σ_b n_pos(b)·(2·cumNeg(<b) + n_neg(b)) / (2·P·N)`.
+    */
+  def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String)
+      : DataFrame = {
+    val spark = scored.sparkSession
+    val bucket = floor(col(scoreCol).cast("decimal(9,6)") * 1000)
+      .cast("int")
+    val hist = scored
+      .groupBy(bucket.as("b"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val p = hist.map(_._2).sum
+    val n = hist.map(_._3).sum
+    var cumNeg = 0L
+    var num2 = 0L // 2 × Σ pos-beats-neg (ties count once)
+    hist.foreach { case (_, np, nn) =>
+      num2 += np * (2L * cumNeg + nn)
+      cumNeg += nn
+    }
+    val auc =
+      if (p == 0L || n == 0L) Double.NaN
+      else BigDecimal(num2.toDouble / (2.0 * p * n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    spark.range(1).select(
+      lit(p).as("n_pos"), lit(n).as("n_neg"), lit(auc).as("auc"))
+  }
 }

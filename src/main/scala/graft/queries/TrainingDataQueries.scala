@@ -416,6 +416,15 @@ object TrainingDataQueries {
   def centroidOutliersQ(s: SparkSession, dir: String): DataFrame =
     Similarity.centroidOutliers(embs(s, dir)).orderBy("vec_id")
 
+  /** q68: ROC-AUC of the q58 quality classifier against the corpus
+    * language label (score separates en from non-en?). */
+  def qualityAucQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rocAuc(
+      docs(s, dir).select(
+        (col("lang") === "en").as("is_en"),
+        TextAnalysis.clfScoreExpr(col("text")).as("clf_score")),
+      scoreCol = "clf_score", labelCol = "is_en")
+
   // -----------------------------------------------------------------
   // DuckDB oracles
   // -----------------------------------------------------------------
@@ -1212,7 +1221,45 @@ object TrainingDataQueries {
       |FROM s JOIN t ON s.label = t.label
       |ORDER BY s.vec_id""".stripMargin
 
+  /** q68: mirrors TextAnalysis.rocAuc ∘ clfScoreExpr — the q58 score
+    * formula inlined, decimal-exact floor(d·1000) bucketing (never a
+    * double round at 1e-3 — q65 boundary lesson), tie-aware
+    * U-statistic via a cumulative window over the BOUNDED histogram. */
+  private lazy val qualityAucOracle: String =
+    s"""WITH f AS (SELECT lang, text,
+       |    ' ' || lower(text) || ' ' AS p,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS nt
+       |  FROM documents),
+       |s AS (SELECT lang,
+       |    round(1.0 / (1.0 + exp(-(-2.0 +
+       |      6.0 * round(CAST(CAST(${stopHitsSql("p")} AS BIGINT)
+       |        AS DOUBLE) / greatest(nt, 1), 4) +
+       |      0.3 * round(CAST(length(text) AS DOUBLE) /
+       |        greatest(nt, 1), 4) -
+       |      4.0 * round(CAST(len(regexp_extract_all(text, '[.,!?;:]'))
+       |        AS DOUBLE) / greatest(nt, 1), 4) +
+       |      0.2 * ln(nt + 1)))), 6) AS clf_score
+       |  FROM f),
+       |b AS (SELECT
+       |    CAST(floor(CAST(clf_score AS DECIMAL(9,6)) * 1000) AS INT)
+       |      AS b,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+       |    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+       |  FROM s GROUP BY 1),
+       |w AS (SELECT b, np, nn,
+       |    coalesce(sum(nn) OVER (ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cumneg
+       |  FROM b)
+       |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |  CAST(sum(nn) AS BIGINT) AS n_neg,
+       |  round(CAST(sum(np * (2 * cumneg + nn)) AS DOUBLE) /
+       |    (2.0 * sum(np) * sum(nn)), 6) AS auc
+       |FROM w""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q68_quality_auc" -> qualityAucOracle,
     "q67_centroid_outliers" -> centroidOutliersOracle,
     "q66_code_blocks" -> codeBlocksOracle,
     "q65_dsir_weights" -> dsirOracle,

@@ -1288,6 +1288,33 @@ class OpsSpec extends AnyFunSuite {
       5L -> ((1L, 0L, false, false, false, m("")))))
   }
 
+  test("roc auc: hand-computed U statistic with ties, both extremes") {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Boolean)]): Double = {
+      val d = rows.toDF("s", "y")
+      TextAnalysis.rocAuc(d, "s", "y").collect().head.getDouble(2)
+    }
+    // perfect separation and perfect inversion
+    assert(auc(Seq((0.9, true), (0.8, true), (0.2, false))) === 1.0)
+    assert(auc(Seq((0.1, true), (0.9, false))) === 0.0)
+    // ties count half: pos {0.5, 0.9}, neg {0.5, 0.1}
+    // pairs: (0.5 vs 0.5)=½, (0.5 vs 0.1)=1, (0.9 vs 0.5)=1,
+    //        (0.9 vs 0.1)=1 → 3.5/4 = 0.875
+    assert(auc(Seq((0.5, true), (0.9, true), (0.5, false),
+      (0.1, false))) === 0.875)
+    // quantization at 1e-3 merges 0.1234 and 0.123401 into one bucket
+    // (tie), but separates 0.124: (½·2 + 2)/4 = 0.75
+    assert(auc(Seq((0.123400, true), (0.124000, true),
+      (0.123401, false), (0.123401, false))) ===
+      BigDecimal(3.0 / 4).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // counts surface: n_pos/n_neg
+    val r = TextAnalysis.rocAuc(
+      Seq((0.5, true), (0.4, false), (0.3, false)).toDF("s", "y"),
+      "s", "y").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+  }
+
   test("centroid outliers: equals driver recompute, planted outlier flagged") {
     import spark.implicits._
     // label 0: five vectors near +x plus one pointing -x (the outlier);

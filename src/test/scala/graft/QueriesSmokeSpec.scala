@@ -111,7 +111,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q65_dsir_weights" -> 1,
       // fence pairing + slicing inside the per-doc array; the block
       // explode IS the result — only exchange is the output sort
-      "q66_code_blocks" -> 1)
+      "q66_code_blocks" -> 1,
+      // histogram agg runs eagerly (bounded collect); the RETURNED
+      // plan is a 1-row literal — zero exchanges
+      "q68_quality_auc" -> 0)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
