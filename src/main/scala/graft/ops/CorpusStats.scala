@@ -555,6 +555,79 @@ object CorpusStats {
       .limit(topN)
   }
 
+  /** Full iterative BPE tokenizer training (Sennrich et al. 2016) —
+    * q49's single pair-count iteration run to completion: N merge
+    * rounds, each picking the most frequent adjacent symbol pair
+    * (count desc, then lexicographic — fully deterministic) and
+    * merging it across the vocabulary. Returns the learned merge
+    * table (iter, lhs, rhs, pair_count) — the artifact a tokenizer
+    * ships.
+    *
+    * Scale: the corpus shuffles ONCE into weighted word counts; every
+    * merge round then touches only the BOUNDED vocabulary table
+    * (persisted, swapped each round), and exactly one argmax row
+    * crosses to the driver per round — the classic "big data once,
+    * small state iterated" loop (same shape as MLlib k-means).
+    *
+    * The merge itself must be leftmost-non-overlapping on SYMBOL
+    * boundaries ("x l r l r y" merges BOTH pairs). A plain
+    * single-space replace starves consecutive occurrences because
+    * they share a delimiter, so symbols are double-spaced first: each
+    * gap holds two spaces, every occurrence consumes one from each
+    * side, and adjacent matches never rob each other. The needle
+    * `' l  r '` / replacement `' lr '` then leaves runs of ≤ 2 spaces,
+    * collapsed back to canonical single spacing. Plain (non-regex)
+    * replace everywhere — same leftmost semantics in Spark and DuckDB,
+    * and symbols like `</w>` need no escaping.
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = Dedup.persistOnce(docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("n_w"))
+      .select(
+        concat(regexp_replace(col("word"), "(.)", "$1 "), lit("</w>"))
+          .as("syms"),
+        col("n_w")))
+    val merges = scala.collection.mutable.ArrayBuffer[
+      (Int, String, String, Long)]()
+    var it = 0
+    var exhausted = false
+    while (it < nMerges && !exhausted) {
+      val best = vocab
+        .select(col("n_w"), explode(expr(
+          """IF(size(split(syms, ' ')) >= 2,
+            |  transform(sequence(1, size(split(syms, ' ')) - 1),
+            |    i -> struct(element_at(split(syms, ' '), i) AS l,
+            |                element_at(split(syms, ' '), i + 1) AS r)),
+            |  array())""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n_w")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((it, l, r, c))
+        val next = Dedup.persistOnce(vocab.select(
+          expr(s"""trim(replace(replace(
+                  |  concat(' ', replace(syms, ' ', '  '), ' '),
+                  |  ' $l  $r ', ' $l$r '), '  ', ' '))""".stripMargin)
+            .as("syms"),
+          col("n_w")))
+        next.count() // materialize before dropping the parent
+        vocab.unpersist()
+        vocab = next
+      }
+      it += 1
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("iter", "lhs", "rhs", "pair_count")
+  }
+
   /** Deterministic training-order shuffle + shard assignment — the
     * "global shuffle" stage between curation and training: every
     * document gets a pseudorandom but reproducible position, realized

@@ -425,6 +425,11 @@ object TrainingDataQueries {
         TextAnalysis.clfScoreExpr(col("text")).as("clf_score")),
       scoreCol = "clf_score", labelCol = "is_en")
 
+  /** q69: full BPE tokenizer training, 6 merge rounds. */
+  def bpeTrainQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.bpeTrain(docs(s, dir).select("text"), nMerges = 6)
+      .orderBy("iter")
+
   // -----------------------------------------------------------------
   // DuckDB oracles
   // -----------------------------------------------------------------
@@ -1258,7 +1263,50 @@ object TrainingDataQueries {
        |    (2.0 * sum(np) * sum(nn)), 6) AS auc
        |FROM w""".stripMargin
 
+  /** q69: mirrors CorpusStats.bpeTrain — the N merge rounds unroll
+    * into chained CTEs (pK pair counts → mK argmax → vK+1 merged
+    * vocab), with the identical double-space replace trick so
+    * consecutive pair occurrences merge on both engines. Every CTE is
+    * MATERIALIZED: vK+1 references mK three times and the chain is N
+    * deep, so DuckDB's default inlining re-evaluates the whole prefix
+    * per reference — exponential at N=6 (minutes at sf0.1);
+    * materialization makes each round run once. */
+  private def bpeTrainOracle(n: Int): String = {
+    val v0 =
+      """v0 AS MATERIALIZED (SELECT
+        |    concat(regexp_replace(word, '(.)', '\1 ', 'g'), '</w>')
+        |      AS syms, n_w
+        |  FROM (SELECT word, count(*) AS n_w
+        |    FROM (SELECT unnest(
+        |        string_split_regex(trim(lower(text)), '\s+')) AS word
+        |      FROM documents)
+        |    WHERE regexp_matches(word, '^[a-z]+$') AND
+        |      length(word) >= 2
+        |    GROUP BY word))""".stripMargin
+    val iters = (0 until n).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT s[i] AS l, s[i+1] AS r,
+         |    sum(n_w) AS cnt
+         |  FROM (SELECT string_split(syms, ' ') AS s, n_w FROM v$k),
+         |    UNNEST(generate_series(1, len(s) - 1)) AS t(i)
+         |  GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |v${k + 1} AS MATERIALIZED (SELECT trim(replace(replace(
+         |    ' ' || replace(syms, ' ', '  ') || ' ',
+         |    ' ' || (SELECT l FROM m$k) || '  ' ||
+         |      (SELECT r FROM m$k) || ' ',
+         |    ' ' || (SELECT l FROM m$k) || (SELECT r FROM m$k) || ' '),
+         |    '  ', ' ')) AS syms, n_w FROM v$k)""".stripMargin
+    }
+    val union = (0 until n).map(k =>
+      s"SELECT CAST($k AS INT) AS iter, l AS lhs, r AS rhs, " +
+        s"CAST(cnt AS BIGINT) AS pair_count FROM m$k")
+      .mkString("\n  UNION ALL ")
+    s"WITH $v0,\n${iters.mkString(",\n")}\n$union\nORDER BY iter"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q69_bpe_train" -> bpeTrainOracle(6),
     "q68_quality_auc" -> qualityAucOracle,
     "q67_centroid_outliers" -> centroidOutliersOracle,
     "q66_code_blocks" -> codeBlocksOracle,

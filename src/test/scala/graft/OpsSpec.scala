@@ -1288,6 +1288,38 @@ class OpsSpec extends AnyFunSuite {
       5L -> ((1L, 0L, false, false, false, m("")))))
   }
 
+  test("bpe train: classic low/lower/newest merges, hand-computed") {
+    import spark.implicits._
+    val d = Seq("low low low lower lower newest").toDF("text")
+    val got = CorpusStats.bpeTrain(d, nMerges = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    // iter0: (l,o)=5 ties (o,w)=5 → lexicographic l < o
+    // iter1: (lo,w)=5
+    // iter2: (low,</w>)=3 beats (w,e)=3? no — (w,e) was consumed by
+    //        iter1's merge in low/lower; remaining: (low,</w>)=3,
+    //        (low,e)=2, (e,r)=2, (r,</w>)=2, newest pairs = 1 each
+    // iter3: tie (e,r)/(low,e)/(r,</w>) at 2 → 'e' < 'low' < 'r'
+    assert(got === Seq(
+      (0, "l", "o", 5L),
+      (1, "lo", "w", 5L),
+      (2, "low", "</w>", 3L),
+      (3, "e", "r", 2L)))
+    // consecutive-occurrence merge: 'a a a a' must become 'aa aa',
+    // not 'aa a a' (the double-space trick under test)
+    val d2 = Seq("aaaa aaaa").toDF("text")
+    val m2 = CorpusStats.bpeTrain(d2, nMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    // iter0: (a,a)=6 (leftmost non-overlap pairs: 3 per word × 2)...
+    // counting is per ADJACENT POSITION: a-a-a-a has 3 adjacencies,
+    // ×2 words = 6. merge → 'aa aa </w>' per word.
+    // iter1: (aa,aa)=2 vs (aa,</w>)=2 → lexicographic: 'aa aa' < 'aa </w>'?
+    // compare rhs: 'aa' vs '</w>': '<'(0x3c) < 'a'(0x61) → (aa,</w>) wins
+    assert(m2(0) === ((0, "a", "a", 6L)))
+    assert(m2(1) === ((1, "aa", "</w>", 2L)))
+  }
+
   test("roc auc: hand-computed U statistic with ties, both extremes") {
     import spark.implicits._
     def auc(rows: Seq[(Double, Boolean)]): Double = {

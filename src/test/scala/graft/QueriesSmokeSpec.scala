@@ -114,7 +114,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q66_code_blocks" -> 1,
       // histogram agg runs eagerly (bounded collect); the RETURNED
       // plan is a 1-row literal — zero exchanges
-      "q68_quality_auc" -> 0)
+      "q68_quality_auc" -> 0,
+      // the merge loop runs eagerly (bounded vocab, 1-row argmax per
+      // round); the RETURNED plan is the local merge table + sort
+      "q69_bpe_train" -> 1)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
