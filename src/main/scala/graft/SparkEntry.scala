@@ -92,7 +92,8 @@ object SparkEntry {
     "q66_code_blocks" -> (T.codeBlocksQ(_, _)),
     "q67_centroid_outliers" -> (T.centroidOutliersQ(_, _)),
     "q68_quality_auc" -> (T.qualityAucQ(_, _)),
-    "q69_bpe_train" -> (T.bpeTrainQ(_, _)))
+    "q69_bpe_train" -> (T.bpeTrainQ(_, _)),
+    "q70_bigram_logprob" -> (T.bigramLogProbQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

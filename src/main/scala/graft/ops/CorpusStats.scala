@@ -555,6 +555,47 @@ object CorpusStats {
       .limit(topN)
   }
 
+  /** Bigram LM quality scoring — [[unigramLogProb]] generalized to
+    * conditional probabilities: each document scores by the mean
+    * negative log of Laplace-smoothed `P(w_i | w_{i-1}) =
+    * (c(w_{i-1}, w_i) + 1) / (c(w_{i-1}) + V)` trained on the corpus
+    * itself. Catches locally-implausible token ORDER (shuffled or
+    * templated text) that unigram frequencies cannot see.
+    *
+    * Scale: unigram and bigram counts are each ONE partial-agg
+    * groupBy of the (re-exploded, never cached) token stream; V is
+    * simply the row count of the persisted unigram table — no second
+    * distinct job. Scoring re-explodes the corpus and hash-joins the
+    * two count tables (hot stop-pairs combine map-side in training
+    * and AQE-skew-split in scoring — the q19 story, one join deeper).
+    * Scores round 1e-6; the averaged terms are unrounded logs, so the
+    * q65 rounded-term boundary hazard does not apply.
+    */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("w"))
+    val uni = Dedup.persistOnce(
+      toks.select(explode(col("w")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).cast("double").as("c1")))
+    val v = lit(uni.count().toDouble) // |vocab| = rows of the agg
+    val bg = toks.select(col("doc_id"), explode(expr(
+      """IF(size(w) >= 2,
+        |  transform(sequence(1, size(w) - 1),
+        |    i -> struct(element_at(w, i) AS w1,
+        |                element_at(w, i + 1) AS w2)),
+        |  array())""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bi = bg.groupBy("w1", "w2")
+      .agg(count(lit(1)).cast("double").as("c2"))
+    bg.join(bi, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"))
+      .groupBy("doc_id")
+      .agg(
+        round(avg(-log((col("c2") + lit(1.0)) / (col("c1") + v))), 6)
+          .as("avg_neg_logp2"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Full iterative BPE tokenizer training (Sennrich et al. 2016) —
     * q49's single pair-count iteration run to completion: N merge
     * rounds, each picking the most frequent adjacent symbol pair

@@ -430,6 +430,11 @@ object TrainingDataQueries {
     CorpusStats.bpeTrain(docs(s, dir).select("text"), nMerges = 6)
       .orderBy("iter")
 
+  /** q70: bigram LM scoring (Laplace-smoothed conditional logprobs). */
+  def bigramLogProbQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.bigramLogProb(docs(s, dir).select("doc_id", "text"))
+      .orderBy("doc_id")
+
   // -----------------------------------------------------------------
   // DuckDB oracles
   // -----------------------------------------------------------------
@@ -1305,7 +1310,29 @@ object TrainingDataQueries {
     s"WITH $v0,\n${iters.mkString(",\n")}\n$union\nORDER BY iter"
   }
 
+  /** q70: mirrors CorpusStats.bigramLogProb — same tokenization,
+    * Laplace smoothing, V = distinct unigram count. */
+  private val bigramLogProbOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |u AS (SELECT unnest(w) AS tok FROM t),
+      |c1 AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c1
+      |  FROM u GROUP BY tok),
+      |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM c1),
+      |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |  FROM t, UNNEST(generate_series(1, len(w) - 1)) AS s(i)),
+      |c2 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2
+      |  FROM bg GROUP BY 1, 2)
+      |SELECT bg.doc_id,
+      |  round(avg(-ln((c2.c2 + 1.0) / (c1.c1 + vv.v))), 6)
+      |    AS avg_neg_logp2,
+      |  CAST(count(*) AS BIGINT) AS n_bigrams
+      |FROM bg JOIN c2 USING (w1, w2) JOIN c1 ON bg.w1 = c1.tok, vv
+      |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q70_bigram_logprob" -> bigramLogProbOracle,
     "q69_bpe_train" -> bpeTrainOracle(6),
     "q68_quality_auc" -> qualityAucOracle,
     "q67_centroid_outliers" -> centroidOutliersOracle,

@@ -1288,6 +1288,27 @@ class OpsSpec extends AnyFunSuite {
       5L -> ((1L, 0L, false, false, false, m("")))))
   }
 
+  test("bigram logprob: hand-computed smoothed conditionals") {
+    import spark.implicits._
+    // corpus: "a b a b" and "a a". tokens: a×4, b×2 → V = 2
+    // bigrams: (a,b)×2, (b,a)×1, (a,a)×1
+    val d = Seq((1L, "a b a b"), (2L, "a a")).toDF("doc_id", "text")
+    val got = CorpusStats.bigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = (2.0 + 1) / (4 + 2) // c2(a,b)=2, c1(a)=4, V=2
+    val pBA = (1.0 + 1) / (2 + 2)
+    val pAA = (1.0 + 1) / (4 + 2)
+    // doc 1: bigrams (a,b),(b,a),(a,b)
+    val s1 = r6((-math.log(pAB) - math.log(pBA) - math.log(pAB)) / 3)
+    val s2 = r6(-math.log(pAA) / 1)
+    assert(got === Map(1L -> ((s1, 3L)), 2L -> ((s2, 1L))))
+    // shuffled text scores worse than natural order on a larger corpus
+    // is a statistical property, not asserted here; the oracle (q70)
+    // pins cross-engine equality at sf0.01.
+  }
+
   test("bpe train: classic low/lower/newest merges, hand-computed") {
     import spark.implicits._
     val d = Seq("low low low lower lower newest").toDF("text")
