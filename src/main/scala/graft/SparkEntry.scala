@@ -93,7 +93,9 @@ object SparkEntry {
     "q67_centroid_outliers" -> (T.centroidOutliersQ(_, _)),
     "q68_quality_auc" -> (T.qualityAucQ(_, _)),
     "q69_bpe_train" -> (T.bpeTrainQ(_, _)),
-    "q70_bigram_logprob" -> (T.bigramLogProbQ(_, _)))
+    "q70_bigram_logprob" -> (T.bigramLogProbQ(_, _)),
+    "q71_kmeans" -> (T.kmeansQ(_, _)),
+    "q72_cluster_sample" -> (T.clusterSampleQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

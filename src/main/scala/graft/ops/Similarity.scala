@@ -303,4 +303,90 @@ object Similarity {
         col("cos_centroid"),
         (col("cos_centroid") < col("thr")).as("is_outlier"))
   }
+
+  /** Deterministic Lloyd's k-means over the embedding column — the
+    * clustering primitive under SemDeDup buckets, cluster-balanced
+    * sampling, and a production IVF coarse quantizer. Unlike
+    * [[ivfTrainedTopK]]'s MLlib model (random k-means|| init, no
+    * cross-engine story), this variant pins every source of
+    * nondeterminism so a DuckDB oracle reproduces it bit-for-bit:
+    * init = the k lowest vec_ids' vectors, components cast
+    * float→double (exact), distance = strict left fold of squared
+    * diffs in index order, argmin tie-breaks on the lowest centroid
+    * index, centroid means round to 1e-6 (absorbs summation-order
+    * nondeterminism — the q67 rule), empty clusters retain their
+    * previous centroid, and the iteration count is fixed.
+    *
+    * Spark shape (the Spark ML KMeans contract, re-derived
+    * declaratively): centroids live on the driver (k×d doubles —
+    * trivially bounded) and enter each assignment pass as inline
+    * array literals, so assignment is a narrow zero-shuffle
+    * whole-stage-codegen'd zip/fold map over the corpus — nothing
+    * corpus-sized ever converges on one task. The update step
+    * posexplodes to (cluster, dim) and partial-aggregates map-side,
+    * so its shuffle is k×d rows per task regardless of corpus size;
+    * the driver collects k×d doubles per round. At 100 TB each round
+    * is one scan of the (persisted-once) projection plus one bounded
+    * agg. Catalyst's project collapse may re-evaluate the k-fold
+    * distance array for the argmin fields (≤3× k·d flops/row, still
+    * one narrow pass); a squeezed production build would fuse argmin
+    * into a single struct-min fold. */
+  def kmeansLloyd(embeddings: DataFrame, k: Int = 4, iters: Int = 3)
+      : DataFrame = {
+    val base = Dedup.persistOnce(embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e")))
+    var cents: IndexedSeq[Seq[Double]] = base.orderBy("vec_id")
+      .limit(k).collect().map(_.getSeq[Double](1)).toIndexedSeq
+    def distArr(cs: IndexedSeq[Seq[Double]]) =
+      array(cs.map(c => aggregate(
+        zip_with(col("e"), typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)): _*)
+    def assigned(cs: IndexedSeq[Seq[Double]]): DataFrame =
+      base.withColumn("ds", distArr(cs))
+        .withColumn("cluster",
+          (array_position(col("ds"), array_min(col("ds"))) - 1)
+            .cast("int"))
+    for (_ <- 1 to iters) {
+      val next = assigned(cents)
+        .select(col("cluster"), posexplode(col("e")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim")
+        .agg(round(avg("v"), 6).as("cv"))
+        .groupBy("cluster")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cv")))),
+          s => s.getField("cv")).as("cent"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      cents = (0 until k).map(j => next.getOrElse(j, cents(j)))
+    }
+    assigned(cents).select(col("vec_id"), col("cluster"),
+      round(array_min(col("ds")), 6).as("dist_sq"))
+  }
+
+  /** Cluster-balanced corpus downsampling: run [[kmeansLloyd]], then
+    * keep each cluster at rate min(1, perCluster / |cluster|) so hot
+    * clusters shed mass and small ones survive whole — the
+    * diversity-preserving sampler (DataComp-style cluster balancing)
+    * that a raw uniform sample cannot express.
+    *
+    * Scale-safe by construction: NO per-cluster top-m window (k
+    * partitions of n/k rows each is the skew trap) — cluster sizes
+    * come from one bounded agg, rates (rounded 1e-6 before the
+    * threshold, the q39 rule) broadcast back, and membership is the
+    * deterministic md5-bucket of vec_id ([[CorpusStats.hashSample]]'s
+    * contract: reproducible across engines AND task retries). Emits
+    * every row with its verdict so downstream audits see what was
+    * dropped and why. */
+  def clusterBalancedSample(embeddings: DataFrame, k: Int = 4,
+      iters: Int = 3, perCluster: Int = 100): DataFrame = {
+    val asg = kmeansLloyd(embeddings, k, iters)
+      .select("vec_id", "cluster")
+    val rates = asg.groupBy("cluster")
+      .agg(round(least(lit(1.0),
+        lit(perCluster.toDouble) / count(lit(1))), 6).as("keep_rate"))
+    asg.join(broadcast(rates), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("keep_rate"),
+        (CorpusStats.hashBucket(col("vec_id")) <
+          floor(col("keep_rate") * 4096).cast("int")).as("kept"))
+  }
 }

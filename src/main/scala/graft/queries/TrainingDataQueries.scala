@@ -435,6 +435,18 @@ object TrainingDataQueries {
     CorpusStats.bigramLogProb(docs(s, dir).select("doc_id", "text"))
       .orderBy("doc_id")
 
+  /** q71: deterministic Lloyd's k-means (k=4, 3 rounds) — the coarse
+    * quantizer / SemDeDup-bucket primitive, oracle-checked end to end
+    * (init, every assignment round, every centroid update). */
+  def kmeansQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansLloyd(embs(s, dir), k = 4, iters = 3)
+      .orderBy("vec_id")
+
+  /** q72: cluster-balanced downsampling on top of the q71 model. */
+  def clusterSampleQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterBalancedSample(embs(s, dir), k = 4, iters = 3,
+      perCluster = 100).orderBy("vec_id")
+
   // -----------------------------------------------------------------
   // DuckDB oracles
   // -----------------------------------------------------------------
@@ -1331,7 +1343,69 @@ object TrainingDataQueries {
       |FROM bg JOIN c2 USING (w1, w2) JOIN c1 ON bg.w1 = c1.tok, vv
       |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
+  /** q71/q72 shared CTE chain: deterministic Lloyd unrolled —
+    * mirrors Similarity.kmeansLloyd round for round. a{t} assigns
+    * against c{t-1} (strict left-fold squared-diff distance via
+    * list_reduce — NOT list_sum, which is not a left fold; first-min
+    * tie-break via ORDER BY d, c); m{t}/c{t} rebuild centroids as
+    * round(avg, 6) per dim with empty clusters retaining their
+    * previous centroid (the LEFT JOIN coalesce). Every stage
+    * MATERIALIZED: DuckDB re-inlines multiply-referenced CTEs
+    * otherwise (the q69 lesson). */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val head =
+      s"""e AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |c0 AS MATERIALIZED (SELECT
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+         |    e AS cent
+         |  FROM e ORDER BY vec_id LIMIT $k)""".stripMargin
+    def assign(t: Int) =
+      s"""a$t AS MATERIALIZED (SELECT vec_id, e, c AS cluster, d FROM (
+         |    SELECT vec_id, e, c, d, row_number()
+         |        OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |    FROM (SELECT v.vec_id, v.e, cc.c,
+         |        list_reduce(list_transform(list_zip(v.e, cc.cent),
+         |            x -> (x[1] - x[2]) * (x[1] - x[2])),
+         |          (acc, t2) -> acc + t2) AS d
+         |      FROM e v CROSS JOIN c${t - 1} cc))
+         |  WHERE rn = 1)""".stripMargin
+    def update(t: Int) =
+      s"""m$t AS MATERIALIZED (SELECT cluster, i,
+         |    round(avg(e[i]), 6) AS cv
+         |  FROM a$t, UNNEST(generate_series(1, len(e))) AS s(i)
+         |  GROUP BY cluster, i),
+         |c$t AS MATERIALIZED (SELECT p.c, coalesce(n.cent, p.cent)
+         |    AS cent
+         |  FROM c${t - 1} p LEFT JOIN (SELECT cluster AS c,
+         |      list(cv ORDER BY i) AS cent FROM m$t GROUP BY cluster) n
+         |    ON p.c = n.c)""".stripMargin
+    val rounds = (1 to iters).map(t => s"${assign(t)},\n${update(t)}")
+    (head +: rounds :+ assign(iters + 1)).mkString(",\n")
+  }
+
+  private def kmeansOracle(k: Int, iters: Int): String =
+    s"""WITH ${kmeansCtes(k, iters)}
+       |SELECT vec_id, cluster, round(d, 6) AS dist_sq
+       |FROM a${iters + 1} ORDER BY vec_id""".stripMargin
+
+  private def clusterSampleOracle(k: Int, iters: Int, m: Int): String =
+    s"""WITH ${kmeansCtes(k, iters)},
+       |r AS MATERIALIZED (SELECT cluster, round(least(
+       |      CAST(1 AS DOUBLE), CAST($m AS DOUBLE) / count(*)), 6)
+       |    AS keep_rate
+       |  FROM a${iters + 1} GROUP BY cluster)
+       |SELECT a.vec_id, a.cluster, r.keep_rate,
+       |  CAST('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 3)
+       |      AS INT) <
+       |    CAST(floor(r.keep_rate * 4096) AS INT) AS kept
+       |FROM a${iters + 1} a JOIN r ON a.cluster = r.cluster
+       |ORDER BY a.vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q71_kmeans" -> kmeansOracle(4, 3),
+    "q72_cluster_sample" -> clusterSampleOracle(4, 3, 100),
     "q70_bigram_logprob" -> bigramLogProbOracle,
     "q69_bpe_train" -> bpeTrainOracle(6),
     "q68_quality_auc" -> qualityAucOracle,

@@ -1618,4 +1618,94 @@ class OpsSpec extends AnyFunSuite {
       (3L, "date") -> ((3L, 3.295837, 1)),
       (3L, "cherry") -> ((1L, 0.405465, 2))))
   }
+
+  test("kmeans: equals driver Lloyd recompute; separates two blobs") {
+    import spark.implicits._
+    // two obvious blobs; init = vecs 1 and 2 (one from each blob)
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.1f, 0.0f)), (2L, Array(5.0f, 5.1f, 0.2f)),
+      (3L, Array(0.2f, -0.1f, 0.1f)), (4L, Array(4.8f, 5.0f, -0.1f)),
+      (5L, Array(-0.1f, 0.0f, -0.2f)), (6L, Array(5.2f, 4.9f, 0.0f)),
+      (7L, Array(0.1f, 0.2f, 0.15f)))
+    val d = vecs.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.kmeansLloyd(d, k = 2, iters = 2)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    // driver recompute, mirroring the pinned semantics exactly:
+    // left-fold squared-diff in index order, first-min argmin,
+    // round(mean, 6) per dim, empty cluster keeps its centroid
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dist(e: Array[Double], c: Array[Double]) =
+      e.indices.foldLeft(0.0)((a, i) =>
+        a + (e(i) - c(i)) * (e(i) - c(i)))
+    val es = vecs.map { case (id, v) => id -> v.map(_.toDouble) }
+    var cents = Vector(es(0)._2, es(1)._2)
+    def assign() = es.map { case (id, e) =>
+      val ds = cents.map(c => dist(e, c))
+      (id, e, ds.indexOf(ds.min), ds.min)
+    }
+    for (_ <- 1 to 2) {
+      val a = assign()
+      cents = cents.indices.map { j =>
+        val mine = a.filter(_._3 == j).map(_._2)
+        if (mine.isEmpty) cents(j)
+        else mine.head.indices
+          .map(i => r6(mine.map(_(i)).sum / mine.size)).toArray
+      }.toVector
+    }
+    val want = assign().map { case (id, _, c, dmin) =>
+      id -> ((c, r6(dmin))) }.toMap
+    assert(got === want)
+    // behavioral: the two blobs land in different clusters
+    assert(Set(1L, 3L, 5L, 7L).map(got(_)._1).size === 1)
+    assert(Set(2L, 4L, 6L).map(got(_)._1).size === 1)
+    assert(got(1L)._1 !== got(2L)._1)
+  }
+
+  test("kmeans: duplicate init vectors leave an empty cluster that " +
+      "retains its centroid") {
+    import spark.implicits._
+    // vecs 1 and 2 are identical → centroid 1 never wins the
+    // first-min tie-break, stays empty, and must keep its init
+    // centroid rather than vanish (k stays k)
+    val d = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(1.1f, 0.1f), 0), (4L, Array(0.9f, -0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.kmeansLloyd(d, k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.values.toSet === Set(0), "all rows tie-break to cluster 0")
+  }
+
+  test("cluster-balanced sample: rates from sizes, md5-bucket verdicts") {
+    import spark.implicits._
+    // blob A: 6 vectors, blob B: 2 vectors; perCluster=4 →
+    // A samples at 4/6, B keeps everything at rate 1.0
+    val vecs = (1L to 6L).map(i =>
+      (i, Array(0.0f + i * 0.01f, 0.1f * (i % 3), 0.0f))) ++
+      Seq((7L, Array(9.0f, 9.0f, 9.0f)), (8L, Array(9.1f, 8.9f, 9.0f)))
+    val d = vecs.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity
+      .clusterBalancedSample(d, k = 2, iters = 2, perCluster = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sizes = got.values.groupBy(_._1).map { case (c, xs) =>
+      c -> xs.size }
+    def bucket(id: Long) = Integer.parseInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(3), 16)
+    got.foreach { case (id, (c, rate, kept)) =>
+      assert(rate === r6(math.min(1.0, 4.0 / sizes(c))), s"rate vec $id")
+      assert(kept === (bucket(id) <
+        math.floor(rate * 4096).toInt), s"kept vec $id")
+    }
+    // the small blob keeps everything
+    assert(got(7L)._2 === 1.0 && got(7L)._3 && got(8L)._3)
+  }
 }

@@ -117,7 +117,15 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q68_quality_auc" -> 0,
       // the merge loop runs eagerly (bounded vocab, 1-row argmax per
       // round); the RETURNED plan is the local merge table + sort
-      "q69_bpe_train" -> 1)
+      "q69_bpe_train" -> 1,
+      // Lloyd rounds run eagerly (k×d-row aggs, centroids inlined as
+      // literals); the RETURNED assignment plan is a narrow zip-fold
+      // map + output sort — the whole point of the driver-held-
+      // centroid shape is that assignment never shuffles
+      "q71_kmeans" -> 1,
+      // assignment (narrow) + bounded cluster-size agg + its
+      // broadcast back + output sort
+      "q72_cluster_sample" -> 3)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
