@@ -95,7 +95,8 @@ object SparkEntry {
     "q69_bpe_train" -> (T.bpeTrainQ(_, _)),
     "q70_bigram_logprob" -> (T.bigramLogProbQ(_, _)),
     "q71_kmeans" -> (T.kmeansQ(_, _)),
-    "q72_cluster_sample" -> (T.clusterSampleQ(_, _)))
+    "q72_cluster_sample" -> (T.clusterSampleQ(_, _)),
+    "q73_bpe_encode" -> (T.bpeEncodeQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

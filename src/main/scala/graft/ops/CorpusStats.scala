@@ -669,6 +669,46 @@ object CorpusStats {
     merges.toSeq.toDF("iter", "lhs", "rhs", "pair_count")
   }
 
+  /** Apply a trained BPE model to the corpus — the other half of the
+    * tokenizer lifecycle ([[bpeTrain]] ships the merge table; this is
+    * the per-document encode that every downstream token-budget,
+    * packing, and cost estimate consumes). Per eligible word
+    * (the training eligibility: ^[a-z]+$, length ≥ 2): symbolize to
+    * chars + `</w>`, apply the learned merges IN TRAINING ORDER with
+    * the same double-space leftmost-non-overlapping replace as
+    * training, count surviving symbols. Ineligible words count 1
+    * (the byte-fallback stand-in). Returns per-doc
+    * (n_words, n_bpe_tokens).
+    *
+    * Scale: training runs eagerly (bounded vocab loop, see
+    * [[bpeTrain]]); the merge table — nMerges rows — collects to the
+    * driver and the encode chain inlines it as literals, so the
+    * RETURNED plan is one narrow whole-stage-codegen'd map over the
+    * corpus (per-word fold of plain `replace` calls inside a
+    * higher-order transform): zero shuffles beyond the output sort,
+    * embarrassingly parallel at any corpus size. */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 6): DataFrame = {
+    val merges = bpeTrain(docs.select("text"), nMerges).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val chain = merges.foldLeft(
+      "concat(regexp_replace(w, '(.)', '$1 '), '</w>')") {
+      case (acc, (l, r)) =>
+        s"trim(replace(replace(concat(' ', replace($acc, ' ', '  ')," +
+          s" ' '), ' $l  $r ', ' $l$r '), '  ', ' '))"
+    }
+    docs.select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("bigint").as("n_words"),
+        expr(s"""aggregate(
+                |  transform(ws, w -> IF(
+                |    w RLIKE '^[a-z]+$$' AND length(w) >= 2,
+                |    size(split($chain, ' ')), 1)),
+                |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+          .as("n_bpe_tokens"))
+  }
+
   /** Deterministic training-order shuffle + shard assignment — the
     * "global shuffle" stage between curation and training: every
     * document gets a pseudorandom but reproducible position, realized

@@ -447,6 +447,12 @@ object TrainingDataQueries {
     Similarity.clusterBalancedSample(embs(s, dir), k = 4, iters = 3,
       perCluster = 100).orderBy("vec_id")
 
+  /** q73: encode the corpus with the q69-trained BPE merges — the
+    * tokenizer's apply half (per-doc token budgets). */
+  def bpeEncodeQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.bpeEncode(docs(s, dir).select("doc_id", "text"),
+      nMerges = 6).orderBy("doc_id")
+
   // -----------------------------------------------------------------
   // DuckDB oracles
   // -----------------------------------------------------------------
@@ -1288,7 +1294,9 @@ object TrainingDataQueries {
     * deep, so DuckDB's default inlining re-evaluates the whole prefix
     * per reference — exponential at N=6 (minutes at sf0.1);
     * materialization makes each round run once. */
-  private def bpeTrainOracle(n: Int): String = {
+  /** BPE training CTE chain (v0 + per-round p/m/v tables) — shared by
+    * the q69 (train) and q73 (encode) oracles. */
+  private def bpeCtes(n: Int): String = {
     val v0 =
       """v0 AS MATERIALIZED (SELECT
         |    concat(regexp_replace(word, '(.)', '\1 ', 'g'), '</w>')
@@ -1315,11 +1323,39 @@ object TrainingDataQueries {
          |    ' ' || (SELECT l FROM m$k) || (SELECT r FROM m$k) || ' '),
          |    '  ', ' ')) AS syms, n_w FROM v$k)""".stripMargin
     }
+    s"$v0,\n${iters.mkString(",\n")}"
+  }
+
+  private def bpeTrainOracle(n: Int): String = {
     val union = (0 until n).map(k =>
       s"SELECT CAST($k AS INT) AS iter, l AS lhs, r AS rhs, " +
         s"CAST(cnt AS BIGINT) AS pair_count FROM m$k")
       .mkString("\n  UNION ALL ")
-    s"WITH $v0,\n${iters.mkString(",\n")}\n$union\nORDER BY iter"
+    s"WITH ${bpeCtes(n)}\n$union\nORDER BY iter"
+  }
+
+  /** q73 oracle: re-derives the merge table via [[bpeCtes]], then
+    * applies the identical symbolize + double-space replace chain per
+    * word (merges referenced as scalar subqueries on the m-tables). */
+  private def bpeEncodeOracle(n: Int): String = {
+    val chain = (0 until n).foldLeft(
+      """concat(regexp_replace(w, '(.)', '\1 ', 'g'), '</w>')""") {
+      case (acc, k) =>
+        s"trim(replace(replace(concat(' ', replace($acc, ' ', '  ')," +
+          s" ' '), ' ' || (SELECT l FROM m$k) || '  ' || " +
+          s"(SELECT r FROM m$k) || ' ', ' ' || (SELECT l FROM m$k) || " +
+          s"(SELECT r FROM m$k) || ' '), '  ', ' '))"
+    }
+    s"""WITH ${bpeCtes(n)},
+       |dw AS (SELECT doc_id,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(CASE WHEN regexp_matches(w, '^[a-z]+$$') AND
+       |        length(w) >= 2
+       |      THEN len(string_split($chain, ' ')) ELSE 1 END)
+       |    AS BIGINT) AS n_bpe_tokens
+       |FROM dw GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** q70: mirrors CorpusStats.bigramLogProb — same tokenization,
@@ -1406,6 +1442,7 @@ object TrainingDataQueries {
   val oracles: Map[String, String] = Map(
     "q71_kmeans" -> kmeansOracle(4, 3),
     "q72_cluster_sample" -> clusterSampleOracle(4, 3, 100),
+    "q73_bpe_encode" -> bpeEncodeOracle(6),
     "q70_bigram_logprob" -> bigramLogProbOracle,
     "q69_bpe_train" -> bpeTrainOracle(6),
     "q68_quality_auc" -> qualityAucOracle,

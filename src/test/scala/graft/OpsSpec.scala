@@ -1619,6 +1619,20 @@ class OpsSpec extends AnyFunSuite {
       (3L, "cherry") -> ((1L, 0.405465, 2))))
   }
 
+  test("bpe encode: hand-computed merge application, byte-fallback " +
+      "for ineligible words") {
+    import spark.implicits._
+    // vocab: aa(3), ab(1); x is ineligible (length 1).
+    // merge0 = (a, </w>) cnt 4; merge1 = (a, a</w>) cnt 3.
+    // encode: 'aa' -> 'aa</w>' = 1 token; 'ab' -> 'a b </w>' = 3
+    // (neither merge's needle occurs); 'x' -> 1 (fallback).
+    val d = Seq((1L, "aa ab aa"), (2L, "aa x"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.bpeEncode(d, nMerges = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((3L, 5L)), 2L -> ((2L, 2L))))
+  }
+
   test("kmeans: equals driver Lloyd recompute; separates two blobs") {
     import spark.implicits._
     // two obvious blobs; init = vecs 1 and 2 (one from each blob)

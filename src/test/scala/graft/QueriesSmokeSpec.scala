@@ -125,7 +125,11 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q71_kmeans" -> 1,
       // assignment (narrow) + bounded cluster-size agg + its
       // broadcast back + output sort
-      "q72_cluster_sample" -> 3)
+      "q72_cluster_sample" -> 3,
+      // training runs eagerly (q69's bounded vocab loop); the merge
+      // table inlines as literals, so the RETURNED encode plan is one
+      // narrow per-word fold + output sort
+      "q73_bpe_encode" -> 1)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
