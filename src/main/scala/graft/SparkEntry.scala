@@ -96,7 +96,8 @@ object SparkEntry {
     "q70_bigram_logprob" -> (T.bigramLogProbQ(_, _)),
     "q71_kmeans" -> (T.kmeansQ(_, _)),
     "q72_cluster_sample" -> (T.clusterSampleQ(_, _)),
-    "q73_bpe_encode" -> (T.bpeEncodeQ(_, _)))
+    "q73_bpe_encode" -> (T.bpeEncodeQ(_, _)),
+    "q74_ann_ivf_kmeans" -> (T.ivfKmeansQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -331,23 +331,36 @@ object Similarity {
     * distance array for the argmin fields (≤3× k·d flops/row, still
     * one narrow pass); a squeezed production build would fuse argmin
     * into a single struct-min fold. */
-  def kmeansLloyd(embeddings: DataFrame, k: Int = 4, iters: Int = 3)
-      : DataFrame = {
-    val base = Dedup.persistOnce(embeddings.select(col("vec_id"),
+  /** (vec_id, e: array<double>) projection, persisted once — shared by
+    * all Lloyd passes of one operator invocation. */
+  private def lloydBase(embeddings: DataFrame): DataFrame =
+    Dedup.persistOnce(embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("e")))
+
+  /** Squared-L2 distances of column `e` to each driver-held centroid,
+    * as an array column of inline literals (strict left fold in index
+    * order — the oracle-parity contract). */
+  private def lloydDists(cs: IndexedSeq[Seq[Double]]): Column =
+    array(cs.map(c => aggregate(
+      zip_with(col("e"), typedLit(c), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)): _*)
+
+  private def lloydAssign(base: DataFrame,
+      cs: IndexedSeq[Seq[Double]]): DataFrame =
+    base.withColumn("ds", lloydDists(cs))
+      .withColumn("cluster",
+        (array_position(col("ds"), array_min(col("ds"))) - 1)
+          .cast("int"))
+
+  /** Run the Lloyd rounds; returns the final centroids (k×d doubles on
+    * the driver). Init = the k lowest vec_ids' vectors; means round to
+    * 1e-6; empty clusters retain their previous centroid. */
+  private def lloydFit(base: DataFrame, k: Int, iters: Int)
+      : IndexedSeq[Seq[Double]] = {
     var cents: IndexedSeq[Seq[Double]] = base.orderBy("vec_id")
       .limit(k).collect().map(_.getSeq[Double](1)).toIndexedSeq
-    def distArr(cs: IndexedSeq[Seq[Double]]) =
-      array(cs.map(c => aggregate(
-        zip_with(col("e"), typedLit(c), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)): _*)
-    def assigned(cs: IndexedSeq[Seq[Double]]): DataFrame =
-      base.withColumn("ds", distArr(cs))
-        .withColumn("cluster",
-          (array_position(col("ds"), array_min(col("ds"))) - 1)
-            .cast("int"))
     for (_ <- 1 to iters) {
-      val next = assigned(cents)
+      val next = lloydAssign(base, cents)
         .select(col("cluster"), posexplode(col("e")).as(Seq("dim", "v")))
         .groupBy("cluster", "dim")
         .agg(round(avg("v"), 6).as("cv"))
@@ -359,7 +372,14 @@ object Similarity {
         .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
       cents = (0 until k).map(j => next.getOrElse(j, cents(j)))
     }
-    assigned(cents).select(col("vec_id"), col("cluster"),
+    cents
+  }
+
+  def kmeansLloyd(embeddings: DataFrame, k: Int = 4, iters: Int = 3)
+      : DataFrame = {
+    val base = lloydBase(embeddings)
+    val cents = lloydFit(base, k, iters)
+    lloydAssign(base, cents).select(col("vec_id"), col("cluster"),
       round(array_min(col("ds")), 6).as("dist_sq"))
   }
 
@@ -388,5 +408,54 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), col("keep_rate"),
         (CorpusStats.hashBucket(col("vec_id")) <
           floor(col("keep_rate") * 4096).cast("int")).as("kept"))
+  }
+
+  /** IVF ANN with the deterministic Lloyd coarse quantizer — the
+    * production IVF lifecycle ([[ivfTrainedTopK]]'s shape) made fully
+    * oracle-checkable: train (kmeansLloyd rounds), assign every
+    * corpus vector to its cell, probe each query's nProbe nearest
+    * cells by centroid distance, exact cosine re-rank inside the
+    * probed cells. nProbe = nCells degrades to exact search
+    * (asserted equal to [[bruteForceTopK]] in OpsSpec — valid because
+    * the float-kernel dot there and the double zip-fold here both
+    * accumulate double in index order over exactly-cast floats).
+    *
+    * Scale: centroids are driver literals, so BOTH the corpus cell
+    * assignment and the query probe ranking are narrow zero-shuffle
+    * maps (the probe top-nProbe is an in-row array sort over nCells
+    * struct elements — never a window); queries broadcast; the only
+    * corpus-wide work is one scan per side of the cell equi-join,
+    * and candidate evaluation touches ~nProbe/nCells of the corpus.
+    * Cosine folds are order-pinned and rounded 1e-6 with
+    * neighbor-id tie-break — reproducible across engines. Norms are
+    * evaluated inline per pair (d flops against the fold's 3d —
+    * acceptable; a squeezed build precomputes per-side norm columns
+    * as [[bruteForceTopK]] does). */
+  def ivfKmeansTopK(embeddings: DataFrame, nCells: Int = 8,
+      kmIters: Int = 2, nProbe: Int = 2, k: Int = 5,
+      nQueries: Int = 10): DataFrame = {
+    val base = lloydBase(embeddings)
+    val cents = lloydFit(base, nCells, kmIters)
+    val cand = lloydAssign(base, cents)
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+        col("cluster").as("cell"))
+    val probeCells = slice(transform(array_sort(
+      zip_with(col("ds"), sequence(lit(0), lit(nCells - 1)),
+        (d, i) => struct(d.as("d"), i.as("c")))),
+      s => s.getField("c")), 1, nProbe)
+    val probes = lloydAssign(base.filter(col("vec_id") < nQueries),
+        cents)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        explode(probeCells).as("cell"))
+    def norm2(c: Column) =
+      aggregate(c, lit(0.0), (acc, x) => acc + x * x)
+    val cos = round(
+      aggregate(zip_with(col("qe"), col("ce"), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x) /
+        (sqrt(norm2(col("qe"))) * sqrt(norm2(col("ce")))), 6)
+    val pairs = cand.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cos.as("cos_sim"))
+    ranked(pairs, k).orderBy(col("query_id"), col("rank"))
   }
 }

@@ -453,6 +453,12 @@ object TrainingDataQueries {
     CorpusStats.bpeEncode(docs(s, dir).select("doc_id", "text"),
       nMerges = 6).orderBy("doc_id")
 
+  /** q74: IVF ANN with the q71 Lloyd quantizer (8 cells, 2 rounds,
+    * probe 2) — the trained-IVF lifecycle, oracle-checked end to end. */
+  def ivfKmeansQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfKmeansTopK(embs(s, dir), nCells = 8, kmIters = 2,
+      nProbe = 2, k = 5, nQueries = 10)
+
   // -----------------------------------------------------------------
   // DuckDB oracles
   // -----------------------------------------------------------------
@@ -1426,6 +1432,46 @@ object TrainingDataQueries {
        |SELECT vec_id, cluster, round(d, 6) AS dist_sq
        |FROM a${iters + 1} ORDER BY vec_id""".stripMargin
 
+  /** q74 oracle: kmeans chain at (nCells, kmIters), then probe + exact
+    * cosine re-rank — folds order-pinned via list_reduce, cosine
+    * rounded 1e-6, ties on neighbor_id (mirrors Similarity.ranked). */
+  private def ivfKmeansOracle(nCells: Int, kmIters: Int, nProbe: Int,
+      k: Int, nQueries: Int): String = {
+    val aF = s"a${kmIters + 1}" // final assignment CTE
+    val cF = s"c$kmIters"       // final centroid CTE
+    def fold(zipped: String) =
+      s"list_reduce(list_transform($zipped, x -> x[1] * x[2])," +
+        " (acc, t2) -> acc + t2)"
+    def norm2(e: String) =
+      s"list_reduce(list_transform($e, v -> v * v)," +
+        " (acc, t2) -> acc + t2)"
+    s"""WITH ${kmeansCtes(nCells, kmIters)},
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe
+       |  FROM e WHERE vec_id < $nQueries),
+       |pd AS MATERIALIZED (SELECT q.query_id, q.qe, cc.c,
+       |    list_reduce(list_transform(list_zip(q.qe, cc.cent),
+       |        x -> (x[1] - x[2]) * (x[1] - x[2])),
+       |      (acc, t2) -> acc + t2) AS d
+       |  FROM q CROSS JOIN $cF cc),
+       |pr AS MATERIALIZED (SELECT query_id, qe, c AS cell FROM (
+       |    SELECT query_id, qe, c, row_number()
+       |        OVER (PARTITION BY query_id ORDER BY d, c) AS rn
+       |    FROM pd) WHERE rn <= $nProbe),
+       |pairs AS MATERIALIZED (SELECT pr.query_id,
+       |    a.vec_id AS neighbor_id,
+       |    round(${fold("list_zip(pr.qe, a.e)")} /
+       |      (sqrt(${norm2("pr.qe")}) * sqrt(${norm2("a.e")})), 6)
+       |      AS cos_sim
+       |  FROM pr JOIN $aF a
+       |    ON pr.cell = a.cluster AND pr.query_id <> a.vec_id)
+       |SELECT query_id, neighbor_id, rank, cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM pairs) WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private def clusterSampleOracle(k: Int, iters: Int, m: Int): String =
     s"""WITH ${kmeansCtes(k, iters)},
        |r AS MATERIALIZED (SELECT cluster, round(least(
@@ -1443,6 +1489,7 @@ object TrainingDataQueries {
     "q71_kmeans" -> kmeansOracle(4, 3),
     "q72_cluster_sample" -> clusterSampleOracle(4, 3, 100),
     "q73_bpe_encode" -> bpeEncodeOracle(6),
+    "q74_ann_ivf_kmeans" -> ivfKmeansOracle(8, 2, 2, 5, 10),
     "q70_bigram_logprob" -> bigramLogProbOracle,
     "q69_bpe_train" -> bpeTrainOracle(6),
     "q68_quality_auc" -> qualityAucOracle,

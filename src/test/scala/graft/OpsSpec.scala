@@ -1619,6 +1619,29 @@ class OpsSpec extends AnyFunSuite {
       (3L, "cherry") -> ((1L, 0.405465, 2))))
   }
 
+  test("ANN IVF with Lloyd quantizer: full probe equals brute force, " +
+      "partial probe keeps recall") {
+    // nProbe = nCells must degrade to exact search: every cell is
+    // probed, so the candidate set is the whole corpus. Bit-valid
+    // equality: bruteForceTopK's float-kernel dot and the Lloyd
+    // path's double zip-fold both accumulate double in index order
+    // over exactly-cast floats, so the rounded cosines are identical.
+    val brute = Similarity.bruteForceTopK(embs, k = 5, nQueries = 10)
+    val full = Similarity.ivfKmeansTopK(embs, nCells = 8, kmIters = 2,
+      nProbe = 8, k = 5, nQueries = 10)
+    assert(full.exceptAll(brute).count() === 0L)
+    assert(brute.exceptAll(full).count() === 0L)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probe2 = pairs(Similarity.ivfKmeansTopK(embs, nCells = 8,
+      kmIters = 2, nProbe = 2, k = 5, nQueries = 10))
+    val recall = probe2.intersect(pairs(brute)).size.toDouble /
+      pairs(brute).size
+    assert(recall >= 0.5,
+      s"nProbe=2/8 recall@5 fell to $recall — probing is broken")
+  }
+
   test("bpe encode: hand-computed merge application, byte-fallback " +
       "for ineligible words") {
     import spark.implicits._

@@ -129,7 +129,11 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // training runs eagerly (q69's bounded vocab loop); the merge
       // table inlines as literals, so the RETURNED encode plan is one
       // narrow per-word fold + output sort
-      "q73_bpe_encode" -> 1)
+      "q73_bpe_encode" -> 1,
+      // quantizer trains eagerly; centroids are literals, so cell
+      // assignment AND probe ranking are narrow — remaining exchanges:
+      // probe broadcast + rank window hash + output sort
+      "q74_ann_ivf_kmeans" -> 3)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
