@@ -95,10 +95,14 @@ object Similarity {
     * everywhere; assignment (model.transform) IS a full-corpus narrow
     * map, so the assigned table is persisted — both the query and the
     * candidate side consume it, and without the persist the transform
-    * would re-run per action. Not a `queries()` entry: k-means
-    * iterations aren't reasonably expressible as a DuckDB oracle — the
-    * nProbe=nCells == brute-force equality and measured-recall asserts
-    * stand in.
+    * would re-run per action. Not a `queries()` entry — MLlib's
+    * k-means|| init is engine-private; the ORACLE-CHECKED trained-IVF
+    * lifecycle is [[ivfKmeansTopK]] (q74), whose deterministic Lloyd
+    * quantizer ([[kmeansLloyd]], q71) reproduces round-for-round in
+    * DuckDB. This MLlib variant stays as the sampled-training
+    * (k-means||) production alternative, covered by the
+    * nProbe=nCells == brute-force equality and measured-recall
+    * asserts.
     */
   def ivfTrainedTopK(
       embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
