@@ -97,7 +97,10 @@ object SparkEntry {
     "q71_kmeans" -> (T.kmeansQ(_, _)),
     "q72_cluster_sample" -> (T.clusterSampleQ(_, _)),
     "q73_bpe_encode" -> (T.bpeEncodeQ(_, _)),
-    "q74_ann_ivf_kmeans" -> (T.ivfKmeansQ(_, _)))
+    "q74_ann_ivf_kmeans" -> (T.ivfKmeansQ(_, _)),
+    "q75_ann_ivf_pq" -> (T.ivfPqQ(_, _)),
+    "q76_edit_dist_verify" -> (T.editDistVerifyQ(_, _)),
+    "q77_pagerank" -> (T.pageRankQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

@@ -765,4 +765,40 @@ object Dedup {
     embeddings.select("vec_id")
       .join(drops, Seq("vec_id"), "left_anti")
   }
+
+  /** Edit-distance verification of near-dup candidate pairs — the
+    * exactness backstop behind the sketch: SimHash banding PROPOSES
+    * candidates ([[simhashPairs]]), character-level Levenshtein
+    * DISPOSES. `edit_sim = 1 - lev / max(|a|, |b|)` with a keep
+    * verdict at `minSim`, emitted per pair (not filtered) so audits
+    * see what the sketch proposed and why it was accepted/rejected.
+    *
+    * Scale: Levenshtein is O(|a|·|b|) per pair — running it all-pairs
+    * is impossible and running it on candidates is the whole design:
+    * cost is |candidates| · len², bounded by the banding selectivity,
+    * not the corpus. The two text-attach joins are shuffle equi-joins
+    * of the (small) candidate table against the corpus — each text
+    * moves once; built-in `levenshtein` is codegen'd (UTF8String
+    * kernel, no UDF). Determinism: lev is an integer, lengths are
+    * integers, the ratio divides doubles in one fixed order and
+    * rounds 1e-6 — bit-reproducible in DuckDB (`levenshtein` there is
+    * the same unit-cost character metric). */
+  def editDistanceVerify(docs: DataFrame, maxHamming: Int = 7,
+      nChunks: Int = 8, minSim: Double = 0.5): DataFrame = {
+    val cands = simhashPairs(docs, maxHamming, nChunks)
+    val t = docs.select(col("doc_id"), col("text"))
+    val sim = round(lit(1.0) -
+      col("lev").cast("double") /
+        greatest(length(col("ta")), length(col("tb"))).cast("double"),
+      6)
+    cands
+      .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+        Seq("doc_a"))
+      .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        Seq("doc_b"))
+      .withColumn("lev", levenshtein(col("ta"), col("tb")))
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("lev"),
+        sim.as("edit_sim"))
+      .withColumn("is_dup", col("edit_sim") >= lit(minSim))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CorpusStats, Dedup, Similarity, TextAnalysis}
+import graft.ops.{CorpusStats, Dedup, GraphOps, Similarity, TextAnalysis}
 
 /** Training-data pipeline queries over documents/embeddings, each with
   * a bit-exact DuckDB oracle — including the hash/LSH operators: the
@@ -458,6 +458,30 @@ object TrainingDataQueries {
   def ivfKmeansQ(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfKmeansTopK(embs(s, dir), nCells = 8, kmIters = 2,
       nProbe = 2, k = 5, nQueries = 10)
+
+  /** q75: IVF-PQ ANN — coarse Lloyd cells + product-quantization
+    * codes with ADC lookup-table scoring (the memory-compression
+    * scale path: codes, not floats, inside each probed cell). */
+  def ivfPqQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(embs(s, dir), nCells = 8, coarseIters = 2,
+      m = 4, codeK = 8, pqIters = 2, nProbe = 2, k = 5, nQueries = 10)
+
+  /** q76: edit-distance verification of the q33 SimHash candidates —
+    * sketch proposes, Levenshtein disposes (per-pair verdicts). */
+  def editDistVerifyQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistanceVerify(docs(s, dir).select("doc_id", "text"),
+      maxHamming = 7, nChunks = 8, minSim = 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  /** q77: PageRank over the q59 kNN graph (3 rounds, damping 85/100,
+    * dangling mass redistributed, fixed-point picos) — document
+    * centrality scoring. */
+  def pageRankQ(s: SparkSession, dir: String): DataFrame = {
+    val em = embs(s, dir)
+    GraphOps.pageRank(em.select("vec_id"),
+      Similarity.knnGraph(em, nPlanes = 4, k = 3).select("src", "dst"),
+      alphaPct = 85L, iters = 3).orderBy("vec_id")
+  }
 
   // -----------------------------------------------------------------
   // DuckDB oracles
@@ -1009,22 +1033,104 @@ object TrainingDataQueries {
        |  clf_score, clf_score >= 0.5 AS keep_clf
        |FROM sc ORDER BY doc_id""".stripMargin
 
-  /** q59: whole-corpus in-bucket all-pairs top-k — mirrors
-    * Similarity.knnGraph. */
-  private def knnGraphOracle(nPlanes: Int, k: Int, dim: Int): String = {
+  /** Shared s/p/r chain of the whole-corpus in-bucket kNN graph —
+    * mirrors Similarity.knnGraph; consumed by q59 and q77. */
+  private def knnCtes(nPlanes: Int, dim: Int): String = {
     val bucket = graft.ops.Hyperplanes.bucketSql("embedding", nPlanes, dim)
     val cos = cosSql("a.embedding", "b.embedding")
-    s"""WITH s AS (SELECT vec_id, embedding, $bucket AS bucket
+    s"""s AS (SELECT vec_id, embedding, $bucket AS bucket
        |  FROM embeddings),
        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst, $cos AS cos_sim
        |  FROM s a JOIN s b
        |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY src
        |    ORDER BY cos_sim DESC, dst) AS INTEGER) AS rank
-       |  FROM p)
+       |  FROM p)""".stripMargin
+  }
+
+  /** q59: whole-corpus in-bucket all-pairs top-k — mirrors
+    * Similarity.knnGraph. */
+  private def knnGraphOracle(nPlanes: Int, k: Int, dim: Int): String =
+    s"""WITH ${knnCtes(nPlanes, dim)}
        |SELECT src, dst, rank, cos_sim FROM r WHERE rank <= $k
        |ORDER BY src, rank""".stripMargin
+
+  /** q77 oracle: the q59 kNN edge chain, then fixed-point PageRank
+    * unrolled (3 rounds, damping 85/100) — all rank mass in integer
+    * picos (1e12 = 1.0), shares via `//` integer division, exact
+    * integer contribution sums (summation-order-immune, no float
+    * rounding anywhere; mirrors GraphOps.pageRank); the one double,
+    * pagerank = pico / 1e12, is a single exact-input IEEE division. */
+  private def pageRankOracle(nPlanes: Int, k: Int, dim: Int,
+      alphaPct: Long, iters: Int): String = {
+    val s = "1000000000000"
+    val rounds = (1 to iters).map { t =>
+      val prev = s"pr${t - 1}"
+      s"""d$t AS (SELECT coalesce(sum(pr), 0) AS dang
+         |  FROM $prev LEFT JOIN deg ON $prev.vec_id = deg.src
+         |  WHERE deg.src IS NULL),
+         |c$t AS (SELECT e.dst AS vec_id,
+         |    sum($prev.pr // deg.outdeg) AS c
+         |  FROM e2 e JOIN $prev ON e.src = $prev.vec_id
+         |    JOIN deg ON e.src = deg.src
+         |  GROUP BY e.dst),
+         |pr$t AS MATERIALIZED (SELECT nn.vec_id,
+         |    (($s * ${100 - alphaPct} // 100) // (SELECT nN FROM cnt)
+         |      + ((SELECT dang FROM d$t) * $alphaPct // 100)
+         |          // (SELECT nN FROM cnt)
+         |      + coalesce(c$t.c, 0) * $alphaPct // 100) AS pr
+         |  FROM nn LEFT JOIN c$t USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${knnCtes(nPlanes, dim)},
+       |e2 AS MATERIALIZED (SELECT src, dst FROM r WHERE rank <= $k),
+       |nn AS MATERIALIZED (SELECT vec_id FROM embeddings),
+       |cnt AS MATERIALIZED (SELECT count(*) AS nN FROM nn),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg
+       |  FROM e2 GROUP BY src),
+       |pr0 AS MATERIALIZED (SELECT vec_id,
+       |    $s // (SELECT nN FROM cnt) AS pr FROM nn),
+       |$rounds
+       |SELECT vec_id, CAST(pr AS BIGINT) AS pagerank_pico,
+       |  pr / 1000000000000.0 AS pagerank
+       |FROM pr$iters ORDER BY vec_id""".stripMargin
   }
+
+  /** q76 oracle: the q33 SimHash banding chain proposes candidate
+    * pairs; DuckDB's levenshtein (same unit-cost character metric as
+    * Spark's codegen'd kernel) disposes — integer lev, fixed-order
+    * ratio, round 1e-6, verdict on the rounded value. */
+  private def editDistVerifyOracle(maxHamming: Int,
+      minSim: Double): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(t.tok), 1, 16) AS UBIGINT) AS h
+       |  FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS t(tok)),
+       |bits AS (
+       |  SELECT doc_id, b.b AS b,
+       |    CASE WHEN sum(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+       |      THEN (CAST(1 AS UBIGINT) << b.b) ELSE CAST(0 AS UBIGINT) END AS bit
+       |  FROM tok, UNNEST(generate_series(0, 63)) AS b(b)
+       |  GROUP BY doc_id, b.b),
+       |sig AS (SELECT doc_id, bit_or(bit) AS sig FROM bits GROUP BY 1),
+       |chunks AS (
+       |  SELECT doc_id, sig, c.c AS chunk, (sig >> (c.c * 8)) & 255 AS cb
+       |  FROM sig, UNNEST(generate_series(0, 7)) AS c(c)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk = b.chunk AND a.cb = b.cb AND a.doc_id < b.doc_id),
+       |cand AS (SELECT doc_a, doc_b, hamming FROM pairs
+       |  WHERE hamming <= $maxHamming),
+       |v AS (SELECT c.doc_a, c.doc_b, c.hamming,
+       |    CAST(levenshtein(da.text, db.text) AS INTEGER) AS lev,
+       |    round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+       |      CAST(greatest(length(da.text), length(db.text)) AS DOUBLE),
+       |      6) AS edit_sim
+       |  FROM cand c JOIN documents da ON c.doc_a = da.doc_id
+       |    JOIN documents db ON c.doc_b = db.doc_id)
+       |SELECT doc_a, doc_b, hamming, lev, edit_sim,
+       |  edit_sim >= $minSim AS is_dup
+       |FROM v ORDER BY doc_a, doc_b""".stripMargin
 
   /** q60: same 48-bit md5-prefix permutation key and per-shard
     * row_number — mirrors CorpusStats.shardAssign at nShards=16. */
@@ -1394,34 +1500,36 @@ object TrainingDataQueries {
     * previous centroid (the LEFT JOIN coalesce). Every stage
     * MATERIALIZED: DuckDB re-inlines multiply-referenced CTEs
     * otherwise (the q69 lesson). */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, p: String = "",
+      eExpr: String = "list_transform(embedding, v -> CAST(v AS DOUBLE))")
+      : String = {
     val head =
-      s"""e AS MATERIALIZED (SELECT vec_id,
-         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      s"""${p}e AS MATERIALIZED (SELECT vec_id,
+         |    $eExpr AS e
          |  FROM embeddings),
-         |c0 AS MATERIALIZED (SELECT
+         |${p}c0 AS MATERIALIZED (SELECT
          |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
          |    e AS cent
-         |  FROM e ORDER BY vec_id LIMIT $k)""".stripMargin
+         |  FROM ${p}e ORDER BY vec_id LIMIT $k)""".stripMargin
     def assign(t: Int) =
-      s"""a$t AS MATERIALIZED (SELECT vec_id, e, c AS cluster, d FROM (
+      s"""${p}a$t AS MATERIALIZED (SELECT vec_id, e, c AS cluster, d FROM (
          |    SELECT vec_id, e, c, d, row_number()
          |        OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
          |    FROM (SELECT v.vec_id, v.e, cc.c,
          |        list_reduce(list_transform(list_zip(v.e, cc.cent),
          |            x -> (x[1] - x[2]) * (x[1] - x[2])),
          |          (acc, t2) -> acc + t2) AS d
-         |      FROM e v CROSS JOIN c${t - 1} cc))
+         |      FROM ${p}e v CROSS JOIN ${p}c${t - 1} cc))
          |  WHERE rn = 1)""".stripMargin
     def update(t: Int) =
-      s"""m$t AS MATERIALIZED (SELECT cluster, i,
+      s"""${p}m$t AS MATERIALIZED (SELECT cluster, i,
          |    round(avg(e[i]), 6) AS cv
-         |  FROM a$t, UNNEST(generate_series(1, len(e))) AS s(i)
+         |  FROM ${p}a$t, UNNEST(generate_series(1, len(e))) AS s(i)
          |  GROUP BY cluster, i),
-         |c$t AS MATERIALIZED (SELECT p.c, coalesce(n.cent, p.cent)
+         |${p}c$t AS MATERIALIZED (SELECT p.c, coalesce(n.cent, p.cent)
          |    AS cent
-         |  FROM c${t - 1} p LEFT JOIN (SELECT cluster AS c,
-         |      list(cv ORDER BY i) AS cent FROM m$t GROUP BY cluster) n
+         |  FROM ${p}c${t - 1} p LEFT JOIN (SELECT cluster AS c,
+         |      list(cv ORDER BY i) AS cent FROM ${p}m$t GROUP BY cluster) n
          |    ON p.c = n.c)""".stripMargin
     val rounds = (1 to iters).map(t => s"${assign(t)},\n${update(t)}")
     (head +: rounds :+ assign(iters + 1)).mkString(",\n")
@@ -1472,6 +1580,74 @@ object TrainingDataQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q75 oracle: the q74 coarse chain plus m prefixed sub-space Lloyd
+    * chains (sliced embeddings), PQ encode via the final sub-space
+    * assignments, per-query ADC lookup tables against the final
+    * codebooks, and the probe join — every distance the same
+    * order-pinned list_reduce fold, ADC summed in sub-space order
+    * (left-assoc, = Spark's fold from 0.0), rounded 1e-6, rank ties
+    * on neighbor_id. */
+  private def ivfPqOracle(nCells: Int, coarseIters: Int, m: Int,
+      codeK: Int, pqIters: Int, nProbe: Int, k: Int, nQueries: Int,
+      subDim: Int): String = {
+    val gaF = s"ga${coarseIters + 1}" // final coarse assignment
+    val gcF = s"gc$coarseIters"       // final coarse centroids
+    def saF(s: Int) = s"s${s}a${pqIters + 1}"
+    def scF(s: Int) = s"s${s}c$pqIters"
+    def sliceExpr(s: Int) =
+      s"list_transform(embedding[${s * subDim + 1}:${(s + 1) * subDim}]," +
+        " v -> CAST(v AS DOUBLE))"
+    val subChains = (0 until m)
+      .map(s => kmeansCtes(codeK, pqIters, s"s$s", sliceExpr(s)))
+      .mkString(",\n")
+    val encJoins = (0 until m)
+      .map(s => s"JOIN ${saF(s)} s$s USING (vec_id)").mkString(" ")
+    val codesList = (0 until m).map(s => s"s$s.cluster").mkString(", ")
+    def sqFold(a: String, b: String) =
+      s"""list_reduce(list_transform(list_zip($a, $b),
+         |        x -> (x[1] - x[2]) * (x[1] - x[2])),
+         |      (acc, t2) -> acc + t2)""".stripMargin
+    val lutBranches = (0 until m).map { s =>
+      s"""SELECT q.query_id, $s AS s, cc.c AS j,
+         |    ${sqFold(s"q.qe[${s * subDim + 1}:${(s + 1) * subDim}]",
+        "cc.cent")} AS dist
+         |  FROM q CROSS JOIN ${scF(s)} cc""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    val adcSum = (0 until m)
+      .map(s => s"l.lut[${s * codeK} + e2.codes[${s + 1}] + 1]")
+      .mkString(" + ")
+    s"""WITH ${kmeansCtes(nCells, coarseIters, "g")},
+       |$subChains,
+       |enc AS MATERIALIZED (SELECT g.vec_id AS neighbor_id,
+       |    g.cluster AS cell, [$codesList] AS codes
+       |  FROM $gaF g $encJoins),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe
+       |  FROM ge WHERE vec_id < $nQueries),
+       |pd AS MATERIALIZED (SELECT q.query_id, cc.c,
+       |    ${sqFold("q.qe", "cc.cent")} AS d
+       |  FROM q CROSS JOIN $gcF cc),
+       |pr AS MATERIALIZED (SELECT query_id, c AS cell FROM (
+       |    SELECT query_id, c, row_number()
+       |        OVER (PARTITION BY query_id ORDER BY d, c) AS rn
+       |    FROM pd) WHERE rn <= $nProbe),
+       |lutent AS MATERIALIZED (
+       |  $lutBranches),
+       |lut AS MATERIALIZED (SELECT query_id,
+       |    list(dist ORDER BY s, j) AS lut
+       |  FROM lutent GROUP BY query_id),
+       |pairs AS MATERIALIZED (SELECT pr.query_id, e2.neighbor_id,
+       |    round($adcSum, 6) AS adc_dist
+       |  FROM pr JOIN enc e2 ON pr.cell = e2.cell
+       |    AND pr.query_id <> e2.neighbor_id
+       |  JOIN lut l ON l.query_id = pr.query_id)
+       |SELECT query_id, neighbor_id, rank, adc_dist FROM (
+       |  SELECT query_id, neighbor_id, adc_dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+       |  FROM pairs) WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private def clusterSampleOracle(k: Int, iters: Int, m: Int): String =
     s"""WITH ${kmeansCtes(k, iters)},
        |r AS MATERIALIZED (SELECT cluster, round(least(
@@ -1490,6 +1666,9 @@ object TrainingDataQueries {
     "q72_cluster_sample" -> clusterSampleOracle(4, 3, 100),
     "q73_bpe_encode" -> bpeEncodeOracle(6),
     "q74_ann_ivf_kmeans" -> ivfKmeansOracle(8, 2, 2, 5, 10),
+    "q75_ann_ivf_pq" -> ivfPqOracle(8, 2, 4, 8, 2, 2, 5, 10, 16),
+    "q76_edit_dist_verify" -> editDistVerifyOracle(7, 0.5),
+    "q77_pagerank" -> pageRankOracle(4, 3, 64, 85L, 3),
     "q70_bigram_logprob" -> bigramLogProbOracle,
     "q69_bpe_train" -> bpeTrainOracle(6),
     "q68_quality_auc" -> qualityAucOracle,

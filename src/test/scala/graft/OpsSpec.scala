@@ -1745,4 +1745,117 @@ class OpsSpec extends AnyFunSuite {
     // the small blob keeps everything
     assert(got(7L)._2 === 1.0 && got(7L)._3 && got(8L)._3)
   }
+
+  test("ivf-pq: lossless codebooks make ADC exact; corpus recall holds") {
+    import spark.implicits._
+    // Sub-space values drawn from exactly codeK=2 points per sub-space
+    // → Lloyd converges to those points and quantization is LOSSLESS,
+    // so the ADC distance must equal the exact squared L2. d=4, m=2.
+    val sub = Map(0 -> Array(0.0f, 0.0f), 1 -> Array(1.0f, 1.0f))
+    val subB = Map(0 -> Array(0.0f, 1.0f), 1 -> Array(2.0f, 2.0f))
+    val vecs = for (i <- 0 until 4) yield
+      (i.toLong, sub(i % 2) ++ subB(i % 2), 0)
+    val d = vecs.toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfPqTopK(d, nCells = 1, coarseIters = 1,
+      m = 2, codeK = 2, pqIters = 2, nProbe = 1, k = 3, nQueries = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    def l2(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y) * (x.toDouble - y) }.sum
+    val byId = vecs.map(v => v._1 -> v._2).toMap
+    got.foreach { case ((q, n), adc) =>
+      assert(adc === l2(byId(q), byId(n)),
+        s"ADC($q,$n) diverged from exact squared L2")
+    }
+    // every query sees all 3 other vectors (single cell, full probe)
+    assert(got.keys.groupBy(_._1).values.forall(_.size == 3))
+    // lossy regime on the real corpus: PQ top-5 must overlap the
+    // EXACT squared-L2 top-5 (PQ's own metric), driver-recomputed
+    val all = embs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2d(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y) * (x.toDouble - y) }.sum
+    val exact = (0L until 10L).flatMap { q =>
+      all.keys.filter(_ != q).toSeq
+        .map(n => (q, n, l2d(all(q), all(n))))
+        .sortBy { case (_, n, dd) => (dd, n) }.take(5)
+        .map { case (_, n, _) => (q, n) }
+    }.toSet
+    // Bound is data-honest: these synthetic embeddings are near-
+    // isotropic in 64-dim, where distance concentration makes top-5
+    // genuinely hard for ANY 32-bit/vector sketch (numpy replication
+    // of this exact PQ plateaus at ~0.2 across m/codeK configs);
+    // CORRECTNESS of the ADC math is what the lossless half above
+    // proves, and the DuckDB oracle pins it bit-for-bit.
+    val pq = Similarity.ivfPqTopK(embs, nCells = 8, coarseIters = 2,
+      m = 4, codeK = 8, pqIters = 2, nProbe = 8, k = 5, nQueries = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.15,
+      s"full-probe PQ recall@5 fell to $recall — codes carry no signal")
+  }
+
+  test("edit-distance verify: lev disposes what simhash proposes") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again until the corpus repeats itself forever"
+    val d = Seq(
+      (1L, base),
+      (2L, base.replace("forever", "foreves")), // 1 char edit
+      (3L, "completely unrelated text about spark catalyst plans " +
+        "and shuffle exchanges nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistanceVerify(d, maxHamming = 20,
+      nChunks = 8, minSim = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got.contains((1L, 2L)), "near-identical pair not proposed")
+    val (lev, sim, dup) = got((1L, 2L))
+    assert(lev === 1)
+    val len = base.length.toDouble
+    assert(sim === BigDecimal(1.0 - 1.0 / len)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(dup)
+    // the unrelated doc never verifies as a dup even if banding
+    // accidentally proposed it
+    got.filter { case ((a, b), _) => a == 3L || b == 3L }
+      .foreach { case (_, (_, _, isDup)) => assert(!isDup) }
+  }
+
+  test("pagerank: cycle is uniform; dangling mass redistributes; " +
+      "fixed-point recompute exact; mass conserved to pico leakage") {
+    import spark.implicits._
+    val nodes = Seq(0L, 1L, 2L).toDF("vec_id")
+    // pure cycle: stationary = uniform from round 0, every round
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val uni = graft.ops.GraphOps.pageRank(nodes, cyc, 85L, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uni.values.toSet.size === 1, s"cycle not uniform: $uni")
+    assert(math.abs(uni.values.sum - 1000000000000L) < 100L)
+    // dangling node 2 (no out-edges): exact integer driver recompute
+    val dang = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val got = graft.ops.GraphOps.pageRank(nodes, dang, 85L, 3)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val S = 1000000000000L
+    var pr = Map(0L -> S / 3, 1L -> S / 3, 2L -> S / 3)
+    for (_ <- 1 to 3) {
+      val dm = pr(2L)
+      val base = S * 15L / 100L / 3L + dm * 85L / 100L / 3L
+      pr = Map(
+        0L -> (base + (pr(1L) / 1L) * 85L / 100L),
+        1L -> (base + (pr(0L) / 1L) * 85L / 100L),
+        2L -> base)
+    }
+    assert(got.view.mapValues(_._1).toMap === pr)
+    // the double face is the single exact division pico / 1e12
+    got.foreach { case (_, (pico, d)) =>
+      assert(d === pico / 1.0e12)
+    }
+    // floor divisions leak <1 pico per edge+node per round
+    assert(math.abs(got.values.map(_._1).sum - S) < 100L,
+      "dangling mass leaked beyond pico floor loss")
+  }
 }
