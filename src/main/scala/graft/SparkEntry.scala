@@ -100,7 +100,9 @@ object SparkEntry {
     "q74_ann_ivf_kmeans" -> (T.ivfKmeansQ(_, _)),
     "q75_ann_ivf_pq" -> (T.ivfPqQ(_, _)),
     "q76_edit_dist_verify" -> (T.editDistVerifyQ(_, _)),
-    "q77_pagerank" -> (T.pageRankQ(_, _)))
+    "q77_pagerank" -> (T.pageRankQ(_, _)),
+    "q78_zipf_fit" -> (T.zipfFitQ(_, _)),
+    "q79_source_kl" -> (T.sourceKlQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

@@ -985,4 +985,83 @@ object CorpusStats {
       gumbel.as("gumbel"))
       .withColumn("score", round(col("log_weight") + col("gumbel"), 6))
   }
+
+  /** Zipf-law fit over the token frequency distribution — the
+    * vocabulary health diagnostic (natural-language corpora follow
+    * freq ∝ rank^slope with slope ≈ -1; templated/synthetic/spammy
+    * corpora deviate hard, so the slope is a cheap corpus-level
+    * quality alarm). Least-squares fit of ln(freq) on ln(rank) over
+    * the top `topN` tokens.
+    *
+    * Spark shape (the q68 eager-bounded pattern): ONE groupBy(tok)
+    * partial-agg builds the vocabulary, TakeOrderedAndProject (per-
+    * partition heaps, never a global sort or a partition-less window)
+    * lands the topN rows on the driver, and the fit is driver
+    * arithmetic over ≤topN doubles; the RETURNED plan is a 1-row
+    * literal — zero exchanges. Determinism: ranking ties break on
+    * token; sums fold the rank-ordered list (strict left fold), and
+    * the slope/intercept round 1e-6, absorbing the oracle's
+    * different summation order (~1e-13). */
+  def zipfFit(docs: DataFrame, topN: Int = 100): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val top = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(topN)
+      .collect()
+    val pts = top.zipWithIndex.map { case (r, i) =>
+      (math.log((i + 1).toDouble), math.log(r.getLong(1).toDouble))
+    }
+    val n = pts.length.toDouble
+    val sx = pts.foldLeft(0.0)(_ + _._1)
+    val sy = pts.foldLeft(0.0)(_ + _._2)
+    val sxy = pts.foldLeft(0.0)((a, p) => a + p._1 * p._2)
+    val sxx = pts.foldLeft(0.0)((a, p) => a + p._1 * p._1)
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((pts.length.toLong, r6(slope), r6(intercept)))
+      .toDF("n_fit", "zipf_slope", "zipf_intercept")
+  }
+
+  /** Per-source unigram KL divergence vs the whole-corpus
+    * distribution — the data-mixing drift diagnostic: a source whose
+    * token distribution diverges from the corpus (high KL) is either
+    * a genre outlier worth upweighting for diversity or contamination
+    * worth inspecting; the per-source number is what corpus cards
+    * report. KL(source ‖ corpus) = Σ_tok p_s ln(p_s / p_c), summed
+    * over the source's own support (p_s > 0 everywhere it's defined,
+    * and p_c > 0 there too since the corpus contains the source).
+    *
+    * Spark shape: ONE explode+groupBy(source, tok) builds per-source
+    * counts; per-source totals are a bounded second agg of THAT table
+    * (never a second corpus scan) broadcast back; corpus token counts
+    * groupBy(tok) + a scalar grand total literal (the q19 rule — no
+    * partition-less window); the (source,tok)⋈(tok) equi-join is
+    * vocabulary-sized, not corpus-sized. Per-source sum rounds 1e-6
+    * (the q67 rule). */
+  def sourceKlDivergence(docs: DataFrame): DataFrame = {
+    val st = Dedup.persistOnce(docs
+      .select(col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n_st")))
+    val srcTot = st.groupBy("source")
+      .agg(sum(col("n_st")).as("n_s"))
+    val ct = Dedup.persistOnce(
+      st.groupBy("tok").agg(sum(col("n_st")).as("n_t")))
+    val totalRow = ct.agg(sum(col("n_t"))).head()
+    val nTot =
+      lit(if (totalRow.isNullAt(0)) Double.NaN else totalRow.getLong(0))
+    val ps = col("n_st").cast("double") / col("n_s").cast("double")
+    val pc = col("n_t").cast("double") / nTot.cast("double")
+    st.join(broadcast(srcTot), Seq("source"))
+      .join(ct, Seq("tok"))
+      .groupBy("source")
+      .agg(
+        round(sum(ps * log(ps / pc)), 6).as("kl_div"),
+        count(lit(1)).as("n_terms"))
+  }
 }

@@ -466,6 +466,17 @@ object TrainingDataQueries {
     Similarity.ivfPqTopK(embs(s, dir), nCells = 8, coarseIters = 2,
       m = 4, codeK = 8, pqIters = 2, nProbe = 2, k = 5, nQueries = 10)
 
+  /** q78: Zipf-law fit over the top-100 token frequencies — the
+    * vocabulary health diagnostic (slope ≈ -1 for natural language). */
+  def zipfFitQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.zipfFit(docs(s, dir).select("text"), topN = 100)
+
+  /** q79: per-source unigram KL divergence vs the corpus
+    * distribution — the data-mixing drift diagnostic. */
+  def sourceKlQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.sourceKlDivergence(docs(s, dir)
+      .select("source", "text")).orderBy("source")
+
   /** q76: edit-distance verification of the q33 SimHash candidates —
     * sketch proposes, Levenshtein disposes (per-pair verdicts). */
   def editDistVerifyQ(s: SparkSession, dir: String): DataFrame =
@@ -1648,6 +1659,48 @@ object TrainingDataQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q78 oracle: same vocabulary, rank ties on token, least-squares
+    * sums over the top-topN points; slope/intercept round 1e-6
+    * (absorbs the Spark side's rank-ordered strict-fold vs SQL's
+    * arbitrary summation order, ~1e-13). */
+  private def zipfFitOracle(topN: Int): String =
+    s"""WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+       |    AS tok FROM documents),
+       |v AS (SELECT tok, count(*) AS cnt FROM w GROUP BY tok),
+       |t AS (SELECT cnt, row_number()
+       |    OVER (ORDER BY cnt DESC, tok) AS rnk FROM v),
+       |f AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x,
+       |    ln(CAST(cnt AS DOUBLE)) AS y FROM t WHERE rnk <= $topN),
+       |a AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+       |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM f)
+       |SELECT CAST(n AS BIGINT) AS n_fit,
+       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+       |    AS zipf_slope,
+       |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+       |    / n, 6) AS zipf_intercept
+       |FROM a""".stripMargin
+
+  /** q79 oracle: per-source counts re-aggregate to source totals and
+    * corpus token counts (one token scan), grand total as a scalar
+    * subquery; per-term p_s ln(p_s/p_c) is deterministic, the
+    * per-source sum rounds 1e-6. */
+  private val sourceKlOracle: String =
+    """WITH w AS (SELECT source,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |st AS (SELECT source, tok, count(*) AS n_st FROM w GROUP BY 1, 2),
+      |s AS (SELECT source, sum(n_st) AS n_s FROM st GROUP BY 1),
+      |ct AS (SELECT tok, sum(n_st) AS n_t FROM st GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_t) AS DOUBLE) AS n FROM ct)
+      |SELECT st.source,
+      |  round(sum((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+      |    ln((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE)) /
+      |       (CAST(n_t AS DOUBLE) / (SELECT n FROM tot)))), 6)
+      |    AS kl_div,
+      |  CAST(count(*) AS BIGINT) AS n_terms
+      |FROM st JOIN s USING (source) JOIN ct USING (tok)
+      |GROUP BY st.source ORDER BY st.source""".stripMargin
+
   private def clusterSampleOracle(k: Int, iters: Int, m: Int): String =
     s"""WITH ${kmeansCtes(k, iters)},
        |r AS MATERIALIZED (SELECT cluster, round(least(
@@ -1669,6 +1722,8 @@ object TrainingDataQueries {
     "q75_ann_ivf_pq" -> ivfPqOracle(8, 2, 4, 8, 2, 2, 5, 10, 16),
     "q76_edit_dist_verify" -> editDistVerifyOracle(7, 0.5),
     "q77_pagerank" -> pageRankOracle(4, 3, 64, 85L, 3),
+    "q78_zipf_fit" -> zipfFitOracle(100),
+    "q79_source_kl" -> sourceKlOracle,
     "q70_bigram_logprob" -> bigramLogProbOracle,
     "q69_bpe_train" -> bpeTrainOracle(6),
     "q68_quality_auc" -> qualityAucOracle,

@@ -1858,4 +1858,46 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(got.values.map(_._1).sum - S) < 100L,
       "dangling mass leaked beyond pico floor loss")
   }
+
+  test("zipf fit: hand-computed least squares on a 3-rank vocabulary") {
+    import spark.implicits._
+    // counts: a=6, b=3, c=2 → exactly freq = 6/rank (perfect Zipf)
+    val d = Seq("a a a a a a b b b c c").toDF("text")
+    val got = CorpusStats.zipfFit(d, topN = 100).collect().head
+    val pts = Seq((math.log(1.0), math.log(6.0)),
+      (math.log(2.0), math.log(3.0)), (math.log(3.0), math.log(2.0)))
+    val n = 3.0
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) === 3L)
+    assert(got.getDouble(1) === r6(slope))
+    assert(got.getDouble(2) === r6((sy - slope * sx) / n))
+    // perfect Zipf (freq = C/rank) fits slope exactly -1
+    assert(math.abs(slope - (-1.0)) < 1e-9,
+      s"counts 6/3/2 should fit -1 exactly, got $slope")
+  }
+
+  test("source KL divergence: hand-computed two-source drift") {
+    import spark.implicits._
+    // X: a a b → p=(2/3, 1/3); Y: b b b → p=(0, 1)
+    // corpus: a=2, b=4, N=6 → p_c=(1/3, 2/3)
+    val d = Seq((1L, "src-X", "a a b"), (2L, "src-Y", "b b b"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusStats.sourceKlDivergence(d).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2))))
+      .toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val klX = (2.0 / 3) * math.log((2.0 / 3) / (2.0 / 6)) +
+      (1.0 / 3) * math.log((1.0 / 3) / (4.0 / 6))
+    val klY = 1.0 * math.log(1.0 / (4.0 / 6))
+    assert(got("src-X") === ((r6(klX), 2L)))
+    assert(got("src-Y") === ((r6(klY), 1L)))
+    // the genre outlier (all-b) diverges more than the mixed source
+    assert(got("src-Y")._1 > got("src-X")._1)
+  }
 }

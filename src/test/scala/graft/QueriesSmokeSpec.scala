@@ -115,6 +115,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // histogram agg runs eagerly (bounded collect); the RETURNED
       // plan is a 1-row literal — zero exchanges
       "q68_quality_auc" -> 0,
+      // vocabulary top-N lands on the driver via
+      // TakeOrderedAndProject (eager, bounded); the RETURNED plan is
+      // a 1-row literal — zero exchanges
+      "q78_zipf_fit" -> 0,
       // the merge loop runs eagerly (bounded vocab, 1-row argmax per
       // round); the RETURNED plan is the local merge table + sort
       "q69_bpe_train" -> 1,
