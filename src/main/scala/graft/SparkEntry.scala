@@ -102,7 +102,9 @@ object SparkEntry {
     "q76_edit_dist_verify" -> (T.editDistVerifyQ(_, _)),
     "q77_pagerank" -> (T.pageRankQ(_, _)),
     "q78_zipf_fit" -> (T.zipfFitQ(_, _)),
-    "q79_source_kl" -> (T.sourceKlQ(_, _)))
+    "q79_source_kl" -> (T.sourceKlQ(_, _)),
+    "q80_containment" -> (T.containmentQ(_, _)),
+    "q81_turn_latency" -> (P.turnLatency(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

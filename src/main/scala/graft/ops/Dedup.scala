@@ -117,7 +117,40 @@ object Dedup {
     * scale). Jaccard is over the FILTERED shingle sets. */
   def ngramJaccardPairs(
       docs: DataFrame, k: Int = 3, minJaccard: Double = 0.1,
-      maxDocFreq: Int = 100): DataFrame = {
+      maxDocFreq: Int = 100): DataFrame =
+    shingleIntersections(docs, k, maxDocFreq)
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+
+  /** Directed shingle CONTAINMENT per candidate pair — the asymmetric
+    * near-dup measure Jaccard can't express: a short doc quoted whole
+    * inside a long one has containment(short→long) ≈ 1 but Jaccard
+    * ≈ |short|/|long| ≈ 0, so symmetric thresholds miss exactly the
+    * quotation/subset duplication web corpora are full of. Emits both
+    * directions per unordered pair; keeps pairs where either side is
+    * mostly contained in the other. Same df-capped intersection
+    * machinery (and scale posture) as [[ngramJaccardPairs]]. */
+  def containmentPairs(
+      docs: DataFrame, k: Int = 3, minContainment: Double = 0.25,
+      maxDocFreq: Int = 100): DataFrame =
+    shingleIntersections(docs, k, maxDocFreq)
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double") / col("n_a"), 6)
+          .as("containment_a"),
+        round(col("n_inter").cast("double") / col("n_b"), 6)
+          .as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >=
+        minContainment)
+
+  /** Shared candidate machinery of [[ngramJaccardPairs]] and
+    * [[containmentPairs]]: (doc_a, doc_b, n_inter, n_a, n_b) over
+    * df-capped k-shingles. */
+  private def shingleIntersections(
+      docs: DataFrame, k: Int, maxDocFreq: Int): DataFrame = {
     // df-filter as partial-agg groupBy + ANTI-join against the HOT set
     // (df > maxDocFreq) — not a count window over the shingle partition
     // (a hot stop-shingle would form one window group a single task
@@ -157,11 +190,6 @@ object Dedup {
         .withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .select(
-        col("doc_a"), col("doc_b"),
-        round(col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
   }
 
   /** Wide MinHash signatures: one row per doc with numHashes minhash

@@ -149,6 +149,36 @@ object PipelineQueries {
     * user are order-ambiguous under lag(), but tie rows always land in
     * the SAME session (gap 0 ≤ gapMs), so session boundaries and all
     * aggregates are deterministic cross-engine. */
+  /** q81: user→assistant response-latency percentiles — the turn-gap
+    * SLA analytics every serving/log pipeline reports. Adjacent-turn
+    * gaps via lag() windows PARTITIONED BY conv_id (billions of small
+    * partitions at scale, never a global sort); percentiles are the
+    * q13 exact R-7 form (ships as approx_percentile at 100 TB, the
+    * q14-proven sketch); the final agg is one bounded partial+final
+    * reduce. avg over integer-ms gaps is an exact double sum
+    * (< 2^53), so no rounding hazard in any summation order. */
+  def turnLatency(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val gaps = transcripts(s, dir)
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        col("ts_ms"))
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(w))
+      .filter(col("role") === "assistant" && col("prev_role") === "user")
+      .select((col("ts_ms") - col("prev_ts")).as("gap_ms"))
+    gaps.agg(
+        count(lit(1)).as("n_gaps"),
+        expr("percentile(CAST(gap_ms AS DOUBLE), " +
+          "array(0.5D, 0.9D, 0.99D))").as("p"),
+        round(avg(col("gap_ms")), 4).as("mean_ms"))
+      .select(
+        col("n_gaps"),
+        round(element_at(col("p"), 1), 4).as("p50_ms"),
+        round(element_at(col("p"), 2), 4).as("p90_ms"),
+        round(element_at(col("p"), 3), 4).as("p99_ms"),
+        col("mean_ms"))
+  }
+
   def sessions(s: SparkSession, dir: String): DataFrame =
     graft.ops.Temporal.gapSessions(
         s.read.parquet(s"$dir/events.parquet")
@@ -316,6 +346,27 @@ object Oracles {
          |  CAST(row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
          |  role, tool, epoch_ms(ts) AS ts_ms, text
          |FROM t ORDER BY conv_id, turn_idx""".stripMargin,
+    // q81: lag() windows inside each conversation + R-7 percentiles
+    // (quantile_cont parity, the q13 contract); avg over integer-ms
+    // gaps is an exact double sum in any order
+    "q81_turn_latency" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id, role, epoch_ms(ts) AS ts_ms,
+         |    lag(role) OVER w AS prev_role,
+         |    lag(epoch_ms(ts)) OVER w AS prev_ts
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)),
+         |g AS (SELECT ts_ms - prev_ts AS gap_ms FROM o
+         |  WHERE role = 'assistant' AND prev_role = 'user')
+         |SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+         |  round(quantile_cont(CAST(gap_ms AS DOUBLE), 0.5), 4)
+         |    AS p50_ms,
+         |  round(quantile_cont(CAST(gap_ms AS DOUBLE), 0.9), 4)
+         |    AS p90_ms,
+         |  round(quantile_cont(CAST(gap_ms AS DOUBLE), 0.99), 4)
+         |    AS p99_ms,
+         |  round(avg(gap_ms), 4) AS mean_ms
+         |FROM g""".stripMargin,
     "q02_route_counts" ->
       s"""WITH t AS ($T)
          |SELECT role, coalesce(tool, 'none') AS tool, count(*) AS n_rows

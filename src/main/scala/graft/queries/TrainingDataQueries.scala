@@ -264,6 +264,12 @@ object TrainingDataQueries {
     Dedup.ngramJaccardPairs(docs(s, dir), k = 3, minJaccard = 0.1)
       .orderBy("doc_a", "doc_b")
 
+  /** q80: directed shingle containment — the asymmetric near-dup
+    * measure (quotation/subset duplication) Jaccard misses. */
+  def containmentQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(s, dir), k = 3, minContainment = 0.25)
+      .orderBy("doc_a", "doc_b")
+
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshCandidates(docs(s, dir), numHashes = 8,
       minEstSim = 0.25).orderBy("doc_a", "doc_b")
@@ -720,6 +726,32 @@ object TrainingDataQueries {
        |JOIN sz sa ON sa.doc_id = doc_a
        |JOIN sz sb ON sb.doc_id = doc_b
        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q80 oracle: the q31 intersection chain, containment both ways,
+    * verdict threshold on the ROUNDED values (mirrors
+    * Dedup.containmentPairs' filter-after-round). */
+  private val containmentOracle: String =
+    s"""WITH $SH,
+       |rare AS (SELECT shingle FROM
+       |  (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+       |  WHERE df <= 100),
+       |shf AS (SELECT sh.doc_id, sh.shingle
+       |  FROM sh JOIN rare USING (shingle)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    count(*) AS i
+       |  FROM shf a JOIN shf b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(i AS DOUBLE) / sa.n, 6) AS containment_a,
+       |  round(CAST(i AS DOUBLE) / sb.n, 6) AS containment_b
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE greatest(round(CAST(i AS DOUBLE) / sa.n, 6),
+       |  round(CAST(i AS DOUBLE) / sb.n, 6)) >= 0.25
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q47: q36's recursive-CTE components + token counts + the
@@ -1724,6 +1756,7 @@ object TrainingDataQueries {
     "q77_pagerank" -> pageRankOracle(4, 3, 64, 85L, 3),
     "q78_zipf_fit" -> zipfFitOracle(100),
     "q79_source_kl" -> sourceKlOracle,
+    "q80_containment" -> containmentOracle,
     "q70_bigram_logprob" -> bigramLogProbOracle,
     "q69_bpe_train" -> bpeTrainOracle(6),
     "q68_quality_auc" -> qualityAucOracle,

@@ -1881,6 +1881,54 @@ class OpsSpec extends AnyFunSuite {
       s"counts 6/3/2 should fit -1 exactly, got $slope")
   }
 
+  test("containment: quoted-subset doc scores 1.0 where jaccard " +
+      "sees 0.25") {
+    import spark.implicits._
+    // A's 2 shingles all appear in B (A quoted inside B):
+    // containment_a = 1.0, containment_b = 2/8, jaccard = 2/(2+8-2)
+    val d = Seq(
+      (1L, "w1 w2 w3 w4"),
+      (2L, "w1 w2 w3 w4 x1 x2 x3 x4 x5 x6"),
+      (3L, "z1 z2 z3 z4 z5"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, k = 3, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got === Map((1L, 2L) -> ((1.0, 0.25))),
+      "quotation pair must survive a 0.9 bar that jaccard 0.25 fails")
+    // symmetric jaccard at the same bar misses it
+    val j = Dedup.ngramJaccardPairs(d, k = 3, minJaccard = 0.9)
+    assert(j.count() === 0L)
+  }
+
+  test("turn latency: driver recompute of gaps, R-7 percentiles, mean") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = graft.queries.PipelineQueries.transcripts(spark, sfDir)
+      .select("conv_id", "turn_idx", "role", "ts_ms").collect()
+    val gaps = rows.groupBy(_.getString(0)).values.flatMap { conv =>
+      conv.sortBy(_.getInt(1)).sliding(2).collect {
+        case Array(p, c)
+          if p.getString(2) == "user" && c.getString(2) == "assistant" =>
+          (c.getLong(3) - p.getLong(3)).toDouble
+      }
+    }.toSeq.sorted
+    def r7(p: Double) = {
+      val h = (gaps.size - 1) * p
+      val lo = h.toInt
+      gaps(lo) + (h - lo) * (gaps(math.min(lo + 1, gaps.size - 1)) -
+        gaps(lo))
+    }
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.queries.PipelineQueries.turnLatency(spark, sfDir)
+      .collect().head
+    assert(got.getLong(0) === gaps.size.toLong)
+    assert(got.getDouble(1) === r4(r7(0.5)))
+    assert(got.getDouble(2) === r4(r7(0.9)))
+    assert(got.getDouble(3) === r4(r7(0.99)))
+    assert(got.getDouble(4) === r4(gaps.sum / gaps.size))
+  }
+
   test("source KL divergence: hand-computed two-source drift") {
     import spark.implicits._
     // X: a a b → p=(2/3, 1/3); Y: b b b → p=(0, 1)
