@@ -36,6 +36,22 @@ object Dedup {
     else df
   }
 
+  /** Release a superseded per-round vector REGARDLESS of which loop
+    * arm produced it. `Dataset.unpersist()` only consults the
+    * CacheManager, so it is a silent no-op on a localCheckpoint'ed
+    * frame — the checkpoint blocks would stay pinned until the
+    * ContextCleaner GCs the Dataset, which in an iterative loop means
+    * one stranded snapshot per checkpoint round. For checkpoint-backed
+    * frames (analyzed plan is a LogicalRDD) this unpersists the
+    * underlying RDD's blocks directly; for plain persisted frames it
+    * falls through to the normal cache-manager path. */
+  private[ops] def freeRound(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => df.unpersist()
+    }
+
   /** Distinct word k-shingles per doc (k=3). Codegen'd expression
     * (graft.functions.WordShingles) — the HOF equivalent measured ~8 s
     * per evaluation over 5000 docs, and join plans evaluate this on
@@ -478,7 +494,7 @@ object Dedup {
         if ((i + 1) % 8 == 0) nextRaw.localCheckpoint(true)
         else nextRaw.persist(lvl)
       val s = labelSum(next)
-      labels.unpersist()
+      freeRound(labels)
       labels = next
       converged = s == prevSum
       prevSum = s
@@ -505,7 +521,7 @@ object Dedup {
     // the labels should write them to the table store instead — the
     // canonical dedup flow does exactly that.
     val out = labels.localCheckpoint(true)
-    labels.unpersist()
+    freeRound(labels)
     edges.unpersist()
     out
   }

@@ -32,44 +32,80 @@ object GraphOps {
     * `pagerank = pr_pico / 1e12` — is a single exact-input division,
     * identical in any IEEE engine.
     *
-    * Spark shape: each round is ONE shuffle equi-join of the edge
-    * table against the rank vector (hash on src) plus ONE groupBy(dst)
-    * sum — the canonical O(iters) iterative-join pattern; the rank
-    * vector is persisted per round so the bounded dangling-mass agg
-    * (one long to the driver, the lloydFit contract) doesn't re-run
-    * the chain, and nothing corpus-sized ever converges on one task.
-    * At 100 TB the edge join would pre-bucket both sides on src so
-    * rounds reuse one partitioning — noted, not needed at demo scale.
+    * Spark shape — ONE action and TWO exchanges per round, with every
+    * reusable partitioning paid once up front:
+    *
+    *  - the edge table is repartitioned on `src` ONCE before the loop
+    *    and persisted, so every round's contribution join reuses that
+    *    exchange (the 100-TB deployment buckets the edge table on src
+    *    for exactly this reason); only the fresh rank vector shuffles
+    *    to meet it;
+    *  - `outdeg` rides IN the rank vector (null = dangling), so the
+    *    round needs no separate degree join and the dangling-mass
+    *    scalar is a filter-sum over the vector itself;
+    *  - the node/degree frame is pre-partitioned on `vec_id` and
+    *    persisted, so rebuilding the rank vector from the
+    *    groupBy(dst) output (already hash(vec_id)) adds no exchange;
+    *  - each round's single driver action is the dangling-mass agg
+    *    over the NEW vector — it materializes the round's persist and
+    *    hands back the one bounded long the NEXT round's base term
+    *    needs (the final round's call is the materialization step);
+    *  - the superseded rank vector is unpersisted as soon as its
+    *    successor is materialized, and every 8th round the vector is
+    *    eagerly localCheckpoint'ed instead of persisted so the logical
+    *    plan cannot double per round at production iteration counts
+    *    (10–50) — the [[Dedup.connectedComponents]] loop discipline.
+    *
+    * The returned frame is an eager localCheckpoint snapshot, so the
+    * loop leaves NOTHING in the session cache (the OpsSpec
+    * cache-hygiene test pins this); checkpoint blocks are released by
+    * the ContextCleaner when the result is GC'd.
     *
     * Returns (vec_id, pagerank_pico, pagerank) for every node. */
   def pageRank(nodes: DataFrame, edges: DataFrame,
       alphaPct: Long = 85L, iters: Int = 3): DataFrame = {
     require(alphaPct > 0 && alphaPct < 100, s"alphaPct $alphaPct")
-    val n = nodes.select(col("vec_id"))
-    val e = Dedup.persistOnce(edges.select(col("src"), col("dst")))
-    val nN = n.count()
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist(lvl)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    var r = Dedup.persistOnce(
-      n.select(col("vec_id"), lit(S / nN).as("pr")))
-    for (_ <- 1 to iters) {
-      // dangling mass: rank parked on nodes with no out-edges
-      val dang = r.join(deg, r("vec_id") === deg("src"), "left_anti")
-        .agg(coalesce(sum("pr"), lit(0L))).head.getLong(0)
+    val nd = nodes.select(col("vec_id"))
+      .join(deg, col("vec_id") === col("src"), "left")
+      .select(col("vec_id"), col("outdeg"))
+      .repartition(col("vec_id")).persist(lvl)
+    val nN = nd.count() // one setup action; materializes nd AND e
+    // rank parked on nodes with no out-edges; the ONE driver action
+    // per round (materializes df as a side effect of scanning it)
+    def danglingMass(df: DataFrame): Long =
+      df.agg(coalesce(sum(when(col("outdeg").isNull, col("pr"))),
+        lit(0L)).as("dang")).head.getLong(0)
+    var r = nd.select(col("vec_id"), col("outdeg"),
+      lit(S / nN).as("pr")).persist(lvl)
+    var dang = danglingMass(r)
+    for (i <- 1 to iters) {
       val base = S * (100L - alphaPct) / 100L / nN +
         dang * alphaPct / 100L / nN
       val contrib = e
         .join(r.withColumnRenamed("vec_id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .groupBy(col("dst").as("vec_id"))
         .agg(sum(expr("pr div outdeg")).as("c"))
-      r = Dedup.persistOnce(n
+      val nextRaw = nd
         .join(contrib, Seq("vec_id"), "left")
-        .select(col("vec_id"),
+        .select(col("vec_id"), col("outdeg"),
           (lit(base) +
             expr(s"coalesce(c, 0L) * $alphaPct div 100"))
-            .as("pr")))
+            .as("pr"))
+      val next =
+        if (i % 8 == 0) nextRaw.localCheckpoint(true)
+        else nextRaw.persist(lvl)
+      dang = danglingMass(next)
+      Dedup.freeRound(r)
+      r = next
     }
-    r.select(col("vec_id"), col("pr").as("pagerank_pico"),
+    val out = r.select(col("vec_id"), col("pr").as("pagerank_pico"),
       (col("pr") / lit(1.0e12)).as("pagerank"))
+      .localCheckpoint(true)
+    Dedup.freeRound(r); nd.unpersist(); e.unpersist()
+    out
   }
 }

@@ -895,7 +895,7 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(user_id"), plan)
   }
 
-  test("cache hygiene: connectedComponents and ivfTrainedTopK leave no cached tables") {
+  test("cache hygiene: connectedComponents, ivfTrainedTopK and pageRank leave no cached tables") {
     import spark.implicits._
     spark.catalog.clearCache()
     val before = spark.sparkContext.getPersistentRDDs.keySet
@@ -908,12 +908,21 @@ class OpsSpec extends AnyFunSuite {
     val ivf = Similarity.ivfTrainedTopK(embs, k = 3, nQueries = 3,
       nCells = 4, nProbe = 2)
     assert(ivf.collect().nonEmpty)
+    // iters = 9 crosses the every-8th-round checkpoint boundary, so
+    // both the persist and the localCheckpoint arms of the round loop
+    // run (and both superseded vectors must be dropped)
+    val pr = graft.ops.GraphOps.pageRank(
+      embs.select("vec_id"),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"),
+      alphaPct = 85L, iters = 9)
+    assert(pr.collect().nonEmpty)
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
-    // the two eager localCheckpoint snapshots of the RETURNED results
-    // are the only persistent blocks allowed to remain (freed by the
-    // ContextCleaner when the results are GC'd); the internal edge /
-    // round-label / assignment caches must all be gone
-    assert(leaked.size <= 2,
+    // the three eager localCheckpoint snapshots of the RETURNED
+    // results are the only persistent blocks allowed to remain (freed
+    // by the ContextCleaner when the results are GC'd); the internal
+    // edge / round-label / rank-vector / assignment caches must all
+    // be gone
+    assert(leaked.size <= 3,
       s"internal caches leaked: ${leaked.size} persistent RDDs remain")
   }
 
