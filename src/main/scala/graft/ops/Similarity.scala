@@ -496,49 +496,85 @@ object Similarity {
     * round to 1e-6 before ranking, and rank ties break on neighbor_id
     * — bit-reproducible across engines.
     *
+    * Residual encoding (`byResidual = true`, the FAISS production
+    * default): PQ codebooks are trained on, and codes index,
+    * `e − coarseCentroid(cell(e))` rather than absolute coordinates.
+    * Absolute-coordinate codebooks must spread their codeK codewords
+    * across the FULL inter-cell spread of the corpus, wasting
+    * precision on structure the coarse quantizer already captured;
+    * residuals concentrate near zero, so the same m/codeK budget
+    * resolves the fine within-cell offsets that actually rank
+    * neighbors (OpsSpec pins residual recall ≥ absolute on a
+    * clustered corpus). Cost shape is IDENTICAL — the residual
+    * subtraction is a zip_with against the same driver-literal
+    * centroids already in the row's plan, and the query LUT moves
+    * after the probe explode (nProbe × m × codeK bounded folds per
+    * query, still narrow) because the residual depends on which cell
+    * is probed.
+    *
     * Returns (query_id, neighbor_id, rank, adc_dist) — rank 1 =
     * nearest by approximate squared-L2. */
   def ivfPqTopK(embeddings: DataFrame, nCells: Int = 8,
       coarseIters: Int = 2, m: Int = 4, codeK: Int = 4,
       pqIters: Int = 2, nProbe: Int = 2, k: Int = 5,
-      nQueries: Int = 10): DataFrame = {
+      nQueries: Int = 10, byResidual: Boolean = false): DataFrame = {
     val base = lloydBase(embeddings)
     val d = base.select(size(col("e"))).head.getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val subDim = d / m
-    def sub(s: Int): Column = slice(col("e"), s * subDim + 1, subDim)
+    def subOf(v: Column, s: Int): Column =
+      slice(v, s * subDim + 1, subDim)
+    def sub(s: Int): Column = subOf(col("e"), s)
 
     val coarse = lloydFit(base, nCells, coarseIters)
+    val centsLit = typedLit(coarse.map(_.toSeq).toSeq)
+    // e − assigned-cell centroid, all driver literals — narrow
+    def residOf(e: Column, cell: Column): Column =
+      zip_with(e, element_at(centsLit, cell + 1), (a, b) => a - b)
+
+    val assigned = lloydAssign(base, coarse)
+      .select(col("vec_id"), col("e"), col("cluster").as("cell"))
+    // the vector the PQ stage sees (training + encode): residual or
+    // absolute; persisted when residual so the m × pqIters training
+    // scans don't re-derive the subtraction chain
+    val encBase =
+      if (byResidual) Dedup.persistOnce(
+        assigned.withColumn("e", residOf(col("e"), col("cell"))))
+      else assigned
     // per-sub-space codebooks, each trained by the same pinned Lloyd
     val books: IndexedSeq[IndexedSeq[Seq[Double]]] =
       (0 until m).map { s =>
-        lloydFit(base.select(col("vec_id"), sub(s).as("e")),
+        lloydFit(encBase.select(col("vec_id"), sub(s).as("e")),
           codeK, pqIters)
       }
 
     // corpus encode: coarse cell + m PQ codes, one narrow pass
-    val enc = (0 until m).foldLeft(
-        lloydAssign(base, coarse)
-          .select(col("vec_id"), col("e"), col("cluster").as("cell"))) {
-        (df, s) =>
-          val ds = array(books(s).map(cw => sqDistFold(sub(s), cw)): _*)
-          df.withColumn(s"code$s",
-            (array_position(ds, array_min(ds)) - 1).cast("int"))
+    val enc = (0 until m).foldLeft(encBase) { (df, s) =>
+        val ds = array(books(s).map(cw => sqDistFold(sub(s), cw)): _*)
+        df.withColumn(s"code$s",
+          (array_position(ds, array_min(ds)) - 1).cast("int"))
       }
       .select(col("vec_id").as("neighbor_id"), col("cell"),
         array((0 until m).map(s => col(s"code$s")): _*).as("codes"))
 
-    // query side: probe cells by coarse-centroid distance + ADC LUT
+    // query side: probe cells by coarse-centroid distance + ADC LUT.
+    // The LUT is built AFTER the probe explode: under residual
+    // encoding it depends on the probed cell (q − that cell's
+    // centroid); absolute mode computes the same values it always did,
+    // just once per (query, cell) row — bounded either way.
     val probeCells = slice(transform(array_sort(
       zip_with(col("ds"), sequence(lit(0), lit(nCells - 1)),
         (dd, i) => struct(dd.as("d"), i.as("c")))),
       st => st.getField("c")), 1, nProbe)
+    val qVec =
+      if (byResidual) residOf(col("e"), col("cell")) else col("e")
     val lut = array((for (s <- 0 until m; j <- 0 until codeK)
-      yield sqDistFold(sub(s), books(s)(j))): _*)
+      yield sqDistFold(subOf(qVec, s), books(s)(j))): _*)
     val probes = lloydAssign(base.filter(col("vec_id") < nQueries),
         coarse)
-      .select(col("vec_id").as("query_id"), lut.as("lut"),
+      .select(col("vec_id").as("query_id"), col("e"),
         explode(probeCells).as("cell"))
+      .select(col("query_id"), lut.as("lut"), col("cell"))
 
     // ADC: m table lookups + adds per candidate, folded in s order
     val adc = round(aggregate(

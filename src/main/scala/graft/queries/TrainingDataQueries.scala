@@ -472,6 +472,17 @@ object TrainingDataQueries {
     Similarity.ivfPqTopK(embs(s, dir), nCells = 8, coarseIters = 2,
       m = 4, codeK = 8, pqIters = 2, nProbe = 2, k = 5, nQueries = 10)
 
+  /** q82: residual-encoded IVF-PQ — q75 at the same m/codeK budget but
+    * with PQ codebooks trained on and codes indexing the within-cell
+    * residual `e − coarseCentroid(cell)`, the FAISS `by_residual=true`
+    * production default (absolute-coordinate codebooks waste precision
+    * re-describing inter-cell structure the coarse quantizer already
+    * captured). */
+  def ivfPqResidualQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(embs(s, dir), nCells = 8, coarseIters = 2,
+      m = 4, codeK = 8, pqIters = 2, nProbe = 2, k = 5, nQueries = 10,
+      byResidual = true)
+
   /** q78: Zipf-law fit over the top-100 token frequencies — the
     * vocabulary health diagnostic (slope ≈ -1 for natural language). */
   def zipfFitQ(s: SparkSession, dir: String): DataFrame =
@@ -1544,12 +1555,13 @@ object TrainingDataQueries {
     * MATERIALIZED: DuckDB re-inlines multiply-referenced CTEs
     * otherwise (the q69 lesson). */
   private def kmeansCtes(k: Int, iters: Int, p: String = "",
-      eExpr: String = "list_transform(embedding, v -> CAST(v AS DOUBLE))")
+      eExpr: String = "list_transform(embedding, v -> CAST(v AS DOUBLE))",
+      from: String = "embeddings")
       : String = {
     val head =
       s"""${p}e AS MATERIALIZED (SELECT vec_id,
          |    $eExpr AS e
-         |  FROM embeddings),
+         |  FROM $from),
          |${p}c0 AS MATERIALIZED (SELECT
          |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
          |    e AS cent
@@ -1691,6 +1703,84 @@ object TrainingDataQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q82 oracle: [[ivfPqOracle]] with the residual subtraction — a
+    * `res` CTE materializes e − assigned-cell centroid once, the m
+    * sub-space Lloyd chains train FROM res (slices of `r`), encode
+    * joins the residual-trained assignments, and the per-query LUT is
+    * computed per PROBED cell from q − that cell's centroid (the LUT
+    * depends on the cell under residual encoding, so lut/pairs key on
+    * (query_id, cell)). Folds, rounding and tie-breaks identical to
+    * q75. */
+  private def ivfPqResidualOracle(nCells: Int, coarseIters: Int,
+      m: Int, codeK: Int, pqIters: Int, nProbe: Int, k: Int,
+      nQueries: Int, subDim: Int): String = {
+    val gaF = s"ga${coarseIters + 1}" // final coarse assignment
+    val gcF = s"gc$coarseIters"       // final coarse centroids
+    def saF(s: Int) = s"s${s}a${pqIters + 1}"
+    def scF(s: Int) = s"s${s}c$pqIters"
+    def sliceExpr(s: Int) =
+      s"r[${s * subDim + 1}:${(s + 1) * subDim}]"
+    val subChains = (0 until m)
+      .map(s => kmeansCtes(codeK, pqIters, s"s$s", sliceExpr(s), "res"))
+      .mkString(",\n")
+    val encJoins = (0 until m)
+      .map(s => s"JOIN ${saF(s)} s$s USING (vec_id)").mkString(" ")
+    val codesList = (0 until m).map(s => s"s$s.cluster").mkString(", ")
+    def sqFold(a: String, b: String) =
+      s"""list_reduce(list_transform(list_zip($a, $b),
+         |        x -> (x[1] - x[2]) * (x[1] - x[2])),
+         |      (acc, t2) -> acc + t2)""".stripMargin
+    val qres =
+      "list_transform(list_zip(q.qe, gc.cent), x -> x[1] - x[2])"
+    val lutBranches = (0 until m).map { s =>
+      s"""SELECT q.query_id, pr.cell, $s AS s, cc.c AS j,
+         |    ${sqFold(
+        s"($qres)[${s * subDim + 1}:${(s + 1) * subDim}]",
+        "cc.cent")} AS dist
+         |  FROM q JOIN pr USING (query_id)
+         |  JOIN $gcF gc ON gc.c = pr.cell
+         |  CROSS JOIN ${scF(s)} cc""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    val adcSum = (0 until m)
+      .map(s => s"l.lut[${s * codeK} + e2.codes[${s + 1}] + 1]")
+      .mkString(" + ")
+    s"""WITH ${kmeansCtes(nCells, coarseIters, "g")},
+       |res AS MATERIALIZED (SELECT a.vec_id,
+       |    list_transform(list_zip(a.e, cc.cent), x -> x[1] - x[2])
+       |      AS r,
+       |    a.cluster AS cell
+       |  FROM $gaF a JOIN $gcF cc ON a.cluster = cc.c),
+       |$subChains,
+       |enc AS MATERIALIZED (SELECT g.vec_id AS neighbor_id,
+       |    g.cell, [$codesList] AS codes
+       |  FROM res g $encJoins),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe
+       |  FROM ge WHERE vec_id < $nQueries),
+       |pd AS MATERIALIZED (SELECT q.query_id, cc.c,
+       |    ${sqFold("q.qe", "cc.cent")} AS d
+       |  FROM q CROSS JOIN $gcF cc),
+       |pr AS MATERIALIZED (SELECT query_id, c AS cell FROM (
+       |    SELECT query_id, c, row_number()
+       |        OVER (PARTITION BY query_id ORDER BY d, c) AS rn
+       |    FROM pd) WHERE rn <= $nProbe),
+       |lutent AS MATERIALIZED (
+       |  $lutBranches),
+       |lut AS MATERIALIZED (SELECT query_id, cell,
+       |    list(dist ORDER BY s, j) AS lut
+       |  FROM lutent GROUP BY query_id, cell),
+       |pairs AS MATERIALIZED (SELECT pr.query_id, e2.neighbor_id,
+       |    round($adcSum, 6) AS adc_dist
+       |  FROM pr JOIN enc e2 ON pr.cell = e2.cell
+       |    AND pr.query_id <> e2.neighbor_id
+       |  JOIN lut l ON l.query_id = pr.query_id AND l.cell = pr.cell)
+       |SELECT query_id, neighbor_id, rank, adc_dist FROM (
+       |  SELECT query_id, neighbor_id, adc_dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+       |  FROM pairs) WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q78 oracle: same vocabulary, rank ties on token, least-squares
     * sums over the top-topN points; slope/intercept round 1e-6
     * (absorbs the Spark side's rank-ordered strict-fold vs SQL's
@@ -1752,6 +1842,8 @@ object TrainingDataQueries {
     "q73_bpe_encode" -> bpeEncodeOracle(6),
     "q74_ann_ivf_kmeans" -> ivfKmeansOracle(8, 2, 2, 5, 10),
     "q75_ann_ivf_pq" -> ivfPqOracle(8, 2, 4, 8, 2, 2, 5, 10, 16),
+    "q82_ann_ivf_pq_residual" ->
+      ivfPqResidualOracle(8, 2, 4, 8, 2, 2, 5, 10, 16),
     "q76_edit_dist_verify" -> editDistVerifyOracle(7, 0.5),
     "q77_pagerank" -> pageRankOracle(4, 3, 64, 85L, 3),
     "q78_zipf_fit" -> zipfFitOracle(100),

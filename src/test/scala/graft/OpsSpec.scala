@@ -1806,6 +1806,50 @@ class OpsSpec extends AnyFunSuite {
       s"full-probe PQ recall@5 fell to $recall — codes carry no signal")
   }
 
+  test("ivf-pq residual: recall beats absolute encoding on a clustered corpus") {
+    import spark.implicits._
+    // The corpus residual encoding exists for: well-separated clusters
+    // (centers 50 apart per dim) with small within-cluster offsets
+    // (±1) that determine neighbor ranking. Absolute-coordinate
+    // codebooks must spread codeK codewords across the inter-cluster
+    // spread, collapsing each cluster to ~one codeword and erasing
+    // the offsets; residual codebooks see ONLY the offsets. Fixed
+    // seed — the corpus and both recalls are deterministic.
+    val rnd = new scala.util.Random(42)
+    val nClusters = 4; val dim = 8; val perCluster = 40
+    val vecs = for (i <- 0 until nClusters * perCluster) yield {
+      val c = i % nClusters
+      (i.toLong,
+        Array.fill(dim)(c * 50.0f + (rnd.nextFloat() * 2 - 1)), c)
+    }
+    val d = vecs.toDF("vec_id", "embedding", "label")
+    def l2(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y) * (x.toDouble - y) }.sum
+    val byId = vecs.map(v => v._1 -> v._2).toMap
+    val nQ = 8; val k = 5
+    val exact = (0L until nQ.toLong).flatMap { q =>
+      byId.keys.filter(_ != q).toSeq
+        .map(n => (q, n, l2(byId(q), byId(n))))
+        .sortBy { case (_, n, dd) => (dd, n) }.take(k)
+        .map { case (_, n, _) => (q, n) }
+    }.toSet
+    def recallOf(byResidual: Boolean): Double = {
+      val got = Similarity.ivfPqTopK(d, nCells = nClusters,
+        coarseIters = 2, m = 2, codeK = 8, pqIters = 3,
+        nProbe = nClusters, k = k, nQueries = nQ,
+        byResidual = byResidual)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val abs = recallOf(false)
+    val res = recallOf(true)
+    assert(res >= abs,
+      s"residual recall $res below absolute $abs — the subtraction " +
+        "is not buying the precision it exists for")
+    assert(res >= 0.5, s"residual recall $res — codes carry no signal")
+  }
+
   test("edit-distance verify: lev disposes what simhash proposes") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and " +

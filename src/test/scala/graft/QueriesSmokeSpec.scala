@@ -143,6 +143,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // scan are narrow — probe broadcast + rank window hash + output
       // sort, nothing corpus-wide beyond the probe join
       "q75_ann_ivf_pq" -> 3,
+      // q75's plan with the residual subtraction folded into the same
+      // narrow encode/LUT projections (the LUT moves after the probe
+      // explode but stays a per-row fold) — same three exchanges
+      "q82_ann_ivf_pq_residual" -> 3,
       // SimHash banding proposes, Levenshtein disposes: persisted
       // signature table's band self-join (bucket hash ×2) + the two
       // text join-backs onto the candidate pairs + output sort; the
