@@ -105,7 +105,8 @@ object SparkEntry {
     "q79_source_kl" -> (T.sourceKlQ(_, _)),
     "q80_containment" -> (T.containmentQ(_, _)),
     "q81_turn_latency" -> (P.turnLatency(_, _)),
-    "q82_ann_ivf_pq_residual" -> (T.ivfPqResidualQ(_, _)))
+    "q82_ann_ivf_pq_residual" -> (T.ivfPqResidualQ(_, _)),
+    "q83_semantic_decontam" -> (T.semanticDecontamQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

@@ -706,6 +706,63 @@ object Dedup {
       .filter(col("cos_sim") >= minCosine)
   }
 
+  /** SEMANTIC decontamination — the paraphrase-robust complement of
+    * [[CorpusStats.decontaminate]]: string 3-shingles catch verbatim
+    * eval leakage, but a paraphrased benchmark question shares no
+    * shingle with its source while its EMBEDDING stays nearly
+    * parallel. This flags every corpus doc whose embedding cosine to
+    * ANY eval vector reaches minCosine, using the q35 banded sign-LSH
+    * machinery so the corpus never shuffles before the probe join.
+    *
+    * Shape: both sides band via the deterministic [[Hyperplanes]]
+    * explode (narrow, codegen'd); the eval side — a benchmark set,
+    * executor-memory-small by definition — broadcasts WITH its
+    * embeddings, so the probe is a BroadcastHashJoin with ZERO corpus
+    * exchange and the exact cosine verify runs streaming on bucket
+    * collisions only. Everything after the probe join is bounded by
+    * banding selectivity: one groupBy(vec_id, eval_id) dedupes
+    * multi-band collisions, one groupBy(vec_id) reduces to the
+    * per-doc verdict via the semilattice struct-max (no per-doc
+    * window). Recall follows the banded-LSH curve (see
+    * [[embeddingNearDupsLsh]]); production decontamination runs at
+    * high τ (0.8+) where recall is near 1.
+    *
+    * Returns (vec_id, eval_id, max_cos, n_eval_hits): the most
+    * similar eval vector (ties → lowest eval_id), its cosine, and how
+    * many eval vectors cleared τ — the drop/audit record. */
+  def semanticDecontaminate(corpus: DataFrame, eval: DataFrame,
+      minCosine: Double = 0.8, rowsPerBand: Int = 6, nBands: Int = 12,
+      dim: Int = 64): DataFrame = {
+    def banded(df: DataFrame): DataFrame = {
+      val bandStructs = array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          Hyperplanes.bucket(col("embedding"), rowsPerBand, dim,
+            firstPlane = b * rowsPerBand).as("bits"))
+      }: _*)
+      df.select(col("vec_id"), col("embedding"),
+          explode(bandStructs).as("bd"))
+        .select(col("vec_id"), col("embedding"),
+          col("bd.band").as("band"), col("bd.bits").as("bits"))
+    }
+    val evalB = banded(eval).select(col("vec_id").as("eval_id"),
+      col("embedding").as("ee"), col("band"), col("bits"))
+    val cos = round(graft.functions.vec_dot(col("embedding"), col("ee")) /
+      (sqrt(graft.functions.vec_norm2(col("embedding"))) *
+        sqrt(graft.functions.vec_norm2(col("ee")))), 6)
+    banded(corpus).join(broadcast(evalB), Seq("band", "bits"))
+      .select(col("vec_id"), col("eval_id"), cos.as("cos_sim"))
+      .groupBy("vec_id", "eval_id")
+      .agg(max(col("cos_sim")).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+      .groupBy("vec_id")
+      .agg(
+        count(lit(1)).as("n_eval_hits"),
+        max(struct(col("cos_sim"), (-col("eval_id")).as("neg_id")))
+          .as("m"))
+      .select(col("vec_id"), (-col("m.neg_id")).as("eval_id"),
+        col("m.cos_sim").as("max_cos"), col("n_eval_hits"))
+  }
+
   /** Canonical-representative selection — the step that turns
     * duplicate CLUSTERS into a deduplicated corpus: for every cluster
     * from [[connectedComponents]], keep the "best" member (longest by

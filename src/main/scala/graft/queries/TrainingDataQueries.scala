@@ -94,6 +94,28 @@ object TrainingDataQueries {
       .orderBy("doc_id", "eval_id")
   }
 
+  /** q83: SEMANTIC decontamination over the q37 injection convention —
+    * eval vectors = every 97th embedding (capped like q37's eval set);
+    * corpus = the rest plus each eval vector re-keyed at +10^12 (an
+    * embedding-identical "paraphrase" stand-in: cosine exactly 1, so
+    * the contaminated stripe is flagged at any τ and any sf). Banded
+    * sign-LSH probe (r=3, b=12 — high recall down to the synthetic
+    * corpus's ~0.4 cross-pair cosines), τ = 0.4. q37 catches none of
+    * the re-keyed stripe BY STRING at shingle level when paraphrased —
+    * the OpsSpec paraphrase fixture pins the q37-misses/q83-catches
+    * split explicitly. */
+  def semanticDecontamQ(s: SparkSession, dir: String): DataFrame = {
+    val em = embs(s, dir).select("vec_id", "embedding")
+    val eval = em.filter(
+      pmod(col("vec_id"), lit(97)) === 0 && col("vec_id") < 100000L)
+    val corpus = em.filter(
+        pmod(col("vec_id"), lit(97)) =!= 0 || col("vec_id") >= 100000L)
+      .unionByName(
+        eval.withColumn("vec_id", col("vec_id") + 1000000000000L))
+    Dedup.semanticDecontaminate(corpus, eval, minCosine = 0.4,
+      rowsPerBand = 3, nBands = 12, dim = 64).orderBy("vec_id")
+  }
+
   /** Exact dedup demo over a corpus with a synthetic duplicate stripe
     * (every 10th doc duplicated under doc_id+100000). */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
@@ -1781,6 +1803,50 @@ object TrainingDataQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q83 oracle: the q37 injection convention over embeddings, then
+    * the q35 banded-LSH candidate machinery (same Hyperplanes matrix
+    * as literal SQL) restricted to corpus×eval, exact cosine on bucket
+    * collisions, τ filter on the ROUNDED cosine, and the per-doc
+    * verdict via rn=1 on (cos DESC, eval_id) — the SQL twin of Spark's
+    * struct-max with count() OVER as n_eval_hits. */
+  private def semanticDecontamOracle(minCos: Double, rowsPerBand: Int,
+      nBands: Int, dim: Int): String = {
+    def bandSelects(src: String, idCol: String) =
+      (0 until nBands).map { b =>
+        val bits = graft.ops.Hyperplanes.bucketSql("embedding",
+          rowsPerBand, dim, firstPlane = b * rowsPerBand)
+        s"SELECT $idCol, $b AS band, $bits AS bits FROM $src"
+      }.mkString("\nUNION ALL\n")
+    val cos = cosSql("co.embedding", "ev.ee")
+    s"""WITH evs AS (SELECT vec_id AS eval_id, embedding AS ee,
+       |    embedding FROM embeddings
+       |  WHERE vec_id % 97 = 0 AND vec_id < 100000),
+       |co AS (SELECT vec_id, embedding FROM embeddings
+       |    WHERE vec_id % 97 <> 0 OR vec_id >= 100000
+       |  UNION ALL
+       |  SELECT vec_id + 1000000000000, embedding FROM embeddings
+       |    WHERE vec_id % 97 = 0 AND vec_id < 100000),
+       |cb AS (
+       |${bandSelects("co", "vec_id")}),
+       |eb AS (
+       |${bandSelects("evs", "eval_id")}),
+       |cand AS (SELECT DISTINCT cb.vec_id, eb.eval_id
+       |  FROM cb JOIN eb ON cb.band = eb.band AND cb.bits = eb.bits),
+       |hits AS (SELECT c.vec_id, c.eval_id, $cos AS cos_sim
+       |  FROM cand c
+       |  JOIN co ON co.vec_id = c.vec_id
+       |  JOIN evs ev ON ev.eval_id = c.eval_id
+       |  WHERE $cos >= $minCos)
+       |SELECT vec_id, eval_id, max_cos, n_eval_hits FROM (
+       |  SELECT vec_id, eval_id, cos_sim AS max_cos,
+       |    CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT)
+       |      AS n_eval_hits,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_sim DESC, eval_id) AS rn
+       |  FROM hits) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** q78 oracle: same vocabulary, rank ties on token, least-squares
     * sums over the top-topN points; slope/intercept round 1e-6
     * (absorbs the Spark side's rank-ordered strict-fold vs SQL's
@@ -1844,6 +1910,8 @@ object TrainingDataQueries {
     "q75_ann_ivf_pq" -> ivfPqOracle(8, 2, 4, 8, 2, 2, 5, 10, 16),
     "q82_ann_ivf_pq_residual" ->
       ivfPqResidualOracle(8, 2, 4, 8, 2, 2, 5, 10, 16),
+    "q83_semantic_decontam" ->
+      semanticDecontamOracle(0.4, 3, 12, 64),
     "q76_edit_dist_verify" -> editDistVerifyOracle(7, 0.5),
     "q77_pagerank" -> pageRankOracle(4, 3, 64, 85L, 3),
     "q78_zipf_fit" -> zipfFitOracle(100),

@@ -1850,6 +1850,52 @@ class OpsSpec extends AnyFunSuite {
     assert(res >= 0.5, s"residual recall $res — codes carry no signal")
   }
 
+  test("semantic decontamination catches the paraphrase string shingles miss") {
+    import spark.implicits._
+    // an eval question and a PARAPHRASED corpus leak: zero shared
+    // 3-shingles (every 3-gram differs), but the "embedding model"
+    // (stand-in: near-parallel vectors) sees them as the same content
+    val evalDocs = Seq(
+      (0L, "what is the capital city of france")).toDF("doc_id", "text")
+    val corpusDocs = Seq(
+      (10L, "paris has been the french seat of government forever"),
+      (11L, "tide tables for the northern atlantic coastline region"))
+      .toDF("doc_id", "text")
+    // q37's operator: string-shingle overlap — the paraphrase shares
+    // no 3-shingle with the eval doc, so NOTHING is flagged
+    val stringHits = CorpusStats.decontaminate(
+      corpusDocs, evalDocs, k = 3, minOverlapFrac = 0.05).collect()
+    assert(stringHits.isEmpty,
+      "paraphrase unexpectedly caught at string level — fixture broken")
+    // q83's operator: embedding cosine via banded LSH — doc 10's
+    // vector is near-parallel to the eval vector (cos ≈ 0.999),
+    // doc 11 orthogonal
+    val dim = 64
+    val evalVec = Array.tabulate(dim)(i => if (i < 8) 1.0f else 0.1f)
+    val paraVec = Array.tabulate(dim)(i =>
+      (if (i < 8) 1.0f else 0.1f) + (if (i % 2 == 0) 0.01f else -0.01f))
+    val orthoVec = Array.tabulate(dim)(i => if (i >= 56) 1.0f else -0.1f)
+    val evalEmb = Seq((0L, evalVec)).toDF("vec_id", "embedding")
+    val corpusEmb = Seq((10L, paraVec), (11L, orthoVec))
+      .toDF("vec_id", "embedding")
+    val semHits = Dedup.semanticDecontaminate(corpusEmb, evalEmb,
+      minCosine = 0.8, rowsPerBand = 3, nBands = 12, dim = dim)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(semHits.contains(10L),
+      "paraphrased leak NOT flagged by the embedding path")
+    val (evalId, cosv, nHits) = semHits(10L)
+    assert(evalId === 0L && cosv >= 0.99 && nHits === 1L)
+    assert(!semHits.contains(11L), "orthogonal doc falsely flagged")
+    // plan guard: the corpus side reaches the probe join without an
+    // exchange (broadcast eval only) — the no-corpus-shuffle contract
+    spark.catalog.clearCache()
+    val plan = Dedup.semanticDecontaminate(corpusEmb, evalEmb,
+      minCosine = 0.8, rowsPerBand = 3, nBands = 12, dim = dim)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("edit-distance verify: lev disposes what simhash proposes") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and " +

@@ -147,6 +147,12 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // narrow encode/LUT projections (the LUT moves after the probe
       // explode but stays a per-row fold) — same three exchanges
       "q82_ann_ivf_pq_residual" -> 3,
+      // corpus bands narrow into a BroadcastHashJoin probe (1
+      // BroadcastExchange of the banded eval side), then everything is
+      // bounded by banding selectivity: pair-dedup groupBy + per-doc
+      // verdict groupBy + output sort — the corpus itself NEVER
+      // hash-exchanges
+      "q83_semantic_decontam" -> 4,
       // SimHash banding proposes, Levenshtein disposes: persisted
       // signature table's band self-join (bucket hash ×2) + the two
       // text join-backs onto the candidate pairs + output sort; the
