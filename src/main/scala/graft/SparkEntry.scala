@@ -106,7 +106,8 @@ object SparkEntry {
     "q80_containment" -> (T.containmentQ(_, _)),
     "q81_turn_latency" -> (P.turnLatency(_, _)),
     "q82_ann_ivf_pq_residual" -> (T.ivfPqResidualQ(_, _)),
-    "q83_semantic_decontam" -> (T.semanticDecontamQ(_, _)))
+    "q83_semantic_decontam" -> (T.semanticDecontamQ(_, _)),
+    "q84_dup_span_removal" -> (T.dupSpanRemovalQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

@@ -409,6 +409,59 @@ object CorpusStats {
           .as("dup_frac"))
   }
 
+  /** Duplicated-span REMOVAL — the actual Lee et al. intervention
+    * ([[dupSpans]] is the detector; this emits the training corpus
+    * with the duplicated spans excised). A token is removed iff it is
+    * covered by at least one k-token window whose hash occurs more
+    * than once corpus-wide; the cleaned text is the surviving tokens
+    * joined by single spaces (whitespace-normalized — the tokenizer's
+    * inverse), so overlapping duplicated windows merge into one
+    * excised span and every document, span-duplicated or not, comes
+    * out exactly once.
+    *
+    * Scale — [[dupSpans]]'s two passes plus ZERO extra corpus
+    * shuffles: pass 1 is the same duplicated-hash groupBy; pass 2
+    * re-explodes with positions, LEFT SEMI joins the dup-hash table
+    * and reduces to (doc_id, sorted dup window starts) — only MATCHED
+    * windows shuffle, and that per-doc index table is bounded by
+    * span-duplicated docs, so the join back onto the corpus is
+    * AQE-broadcastable and the corpus text never exchanges (the
+    * [[Dedup.clusterRepresentatives]] posture). The excision itself
+    * is a narrow per-row array HOF: token j survives iff no dup
+    * window starts in [j−k+1, j] (an exists over the doc's OWN dup
+    * starts — cost |tokens|·|dup windows in doc|, and a doc's dup
+    * list is at most its window count; a squeezed build would merge
+    * starts into disjoint ranges first). */
+  def dupSpanRemoval(docs: DataFrame, k: Int = 8): DataFrame = {
+    def windows = docs
+      .select(col("doc_id"),
+        graft.functions.word_ngrams(col("text"), k).as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "win")))
+      .select(col("doc_id"), (col("p") + 1).as("i"),
+        md5(col("win").cast("binary")).as("h"))
+    val dupHashes = windows.groupBy("h")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+    val dupIdx = windows
+      .join(dupHashes.select("h"), Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("i"))).as("dup_i"))
+    docs.join(dupIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("toks"),
+        coalesce(col("dup_i"),
+          array().cast("array<int>")).as("dup_i"))
+      .select(col("doc_id"), col("toks"),
+        filter(col("toks"), (_, j0) =>
+          !exists(col("dup_i"), i =>
+            i >= greatest(lit(1), j0 + lit(2 - k)) && i <= j0 + 1))
+          .as("kept"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        (size(col("toks")) - size(col("kept"))).cast("long")
+          .as("n_removed_tokens"))
+  }
+
   /** Perplexity bucketing — the CCNet corpus-partitioning step: score
     * every document with the unigram LM ([[unigramLogProb]]), then
     * split the corpus into head / middle / tail quality buckets at

@@ -116,6 +116,13 @@ object TrainingDataQueries {
       rowsPerBand = 3, nBands = 12, dim = 64).orderBy("vec_id")
   }
 
+  /** q84: duplicated-span REMOVAL (q45's detector turned into the
+    * Lee et al. intervention) — the full corpus with every token
+    * covered by a corpus-duplicated 8-token window excised. */
+  def dupSpanRemovalQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.dupSpanRemoval(docs(s, dir).select("doc_id", "text"),
+      k = 8).orderBy("doc_id")
+
   /** Exact dedup demo over a corpus with a synthetic duplicate stripe
     * (every 10th doc duplicated under doc_id+100000). */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
@@ -708,6 +715,31 @@ object TrainingDataQueries {
       |  n_dup_windows,
       |  round(CAST(n_dup_windows AS DOUBLE) / n_windows, 6) AS dup_frac
       |FROM a ORDER BY doc_id""".stripMargin
+
+  /** q84 oracle: q45's duplicated-window derivation with positions
+    * kept, reduced to per-doc sorted start lists, then the identical
+    * excision rule as a DuckDB indexed list_filter (1-based j on both
+    * engines: token j survives iff no dup start in [j-7, j]) and
+    * single-space rejoin; md5-equality of clean_text is implied by the
+    * driver's value hash. */
+  private val dupSpanRemovalOracle: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |g AS (SELECT doc_id, i,
+      |    md5(list_aggregate(w[i:i+7], 'string_agg', ' ')) AS h
+      |  FROM w, UNNEST(generate_series(1, greatest(len(w)-7, 0))) AS t(i)),
+      |d AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+      |di AS (SELECT doc_id, list_sort(list(i)) AS idxs
+      |  FROM g JOIN d USING (h) GROUP BY doc_id),
+      |sel AS (SELECT w.doc_id, w.w AS toks,
+      |    list_filter(w.w, (tk, j) -> len(list_filter(
+      |      coalesce(di.idxs, CAST([] AS BIGINT[])),
+      |      i -> i >= greatest(1, j - 7) AND i <= j)) = 0) AS kept
+      |  FROM w LEFT JOIN di USING (doc_id))
+      |SELECT doc_id, coalesce(array_to_string(kept, ' '), '')
+      |    AS clean_text,
+      |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed_tokens
+      |FROM sel ORDER BY doc_id""".stripMargin
 
   /** q49: word-frequency vocabulary → adjacent char pairs weighted by
     * frequency (ASCII-only words, so substr semantics are portable). */
@@ -1912,6 +1944,7 @@ object TrainingDataQueries {
       ivfPqResidualOracle(8, 2, 4, 8, 2, 2, 5, 10, 16),
     "q83_semantic_decontam" ->
       semanticDecontamOracle(0.4, 3, 12, 64),
+    "q84_dup_span_removal" -> dupSpanRemovalOracle,
     "q76_edit_dist_verify" -> editDistVerifyOracle(7, 0.5),
     "q77_pagerank" -> pageRankOracle(4, 3, 64, 85L, 3),
     "q78_zipf_fit" -> zipfFitOracle(100),

@@ -1850,6 +1850,31 @@ class OpsSpec extends AnyFunSuite {
     assert(res >= 0.5, s"residual recall $res — codes carry no signal")
   }
 
+  test("dup-span removal: covered tokens excised, overlaps merge, clean docs pass") {
+    import spark.implicits._
+    // k=3 windows; "a b c d" duplicated across docs 1 and 2 → in doc 1
+    // windows starting at 3 and 4 are duplicated, covering tokens
+    // 3..6 ("a b c d"), and the two overlapping windows merge into one
+    // excised span. Doc 3 shares no window and must pass through
+    // byte-identical (modulo single-space normalization).
+    val docsDf = Seq(
+      (1L, "x1 x2 a b c d x3 x4"),
+      (2L, "y1  a b c d y2"), // double space: tokenizer normalizes
+      (3L, "totally unique words with no duplication at all"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.dupSpanRemoval(docsDf, k = 3)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 1: dup windows start at 3 ("a b c") and 4 ("b c d") →
+    // tokens 3-6 removed
+    assert(got(1L) === ("x1 x2 x3 x4", 4L))
+    // doc 2: dup windows start at 2 and 3 → tokens 2-5 removed
+    assert(got(2L) === ("y1 y2", 4L))
+    // doc 3: untouched, whitespace-normalized
+    assert(got(3L) ===
+      ("totally unique words with no duplication at all", 0L))
+  }
+
   test("semantic decontamination catches the paraphrase string shingles miss") {
     import spark.implicits._
     // an eval question and a PARAPHRASED corpus leak: zero shared

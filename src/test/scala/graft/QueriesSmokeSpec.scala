@@ -153,6 +153,12 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // verdict groupBy + output sort — the corpus itself NEVER
       // hash-exchanges
       "q83_semantic_decontam" -> 4,
+      // q45's two-pass shape with positions: dup-hash groupBy + the
+      // semi-joined window stream's per-doc groupBy (matched windows
+      // only shuffle) + the bounded dup-index table's join back onto
+      // the corpus (AQE-broadcastable side, corpus text never
+      // exchanges) + output sort; the excision is a narrow array HOF
+      "q84_dup_span_removal" -> 5,
       // SimHash banding proposes, Levenshtein disposes: persisted
       // signature table's band self-join (bucket hash ×2) + the two
       // text join-backs onto the candidate pairs + output sort; the
