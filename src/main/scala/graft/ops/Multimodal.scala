@@ -355,6 +355,109 @@ object Multimodal {
           }
         }
     }
+
+    /** Codec backed by an EXTERNAL decoder process — the
+      * ffmpeg/ffprobe integration point made concrete and testable
+      * (OpsSpec drives it end-to-end with a stub subprocess and gets
+      * VIDEO features back `measured = true` through the same
+      * MediaFeature contract the JVM codecs use).
+      *
+      * Invocation shape matches the [[Codec]] batch contract: ONE
+      * process per batch (per-batch spawn amortizes decoder startup
+      * exactly like `mapInPandas` amortizes interpreter startup;
+      * batchSize bounds both pipe backlog and child memory). Protocol
+      * is deliberately dumb — line-oriented, order-preserving, blobs
+      * base64 on stdin:
+      *
+      * {{{
+      * stdin:  <n>\n  then per record: "<media_id> <kind> <mime>\n"
+      *         + base64(content) + "\n"
+      * stdout: exactly n lines, record-ordered —
+      *   meta mode:     "<width> <height> <duration_ms>" | "ERR"
+      *   features mode: "OK <f1>,<f2>,..." | "ERR"
+      * }}}
+      *
+      * Error isolation is two-level, never task-fatal: a record-level
+      * "ERR"/malformed line falls back PER RECORD (meta → -1
+      * sentinels, features → [[Fake]] with `measured = false`, the
+      * can't-masquerade rule); a process-level failure (spawn error,
+      * nonzero exit, wrong line count) falls back for the whole batch
+      * the same way. stdout is drained on a reader thread while stdin
+      * streams, so a child that emits as it reads cannot deadlock the
+      * pipe pair. */
+    final case class ExternalProcess(command: Seq[String])
+        extends Codec {
+
+      /** One batch through the child; None = process-level failure. */
+      private def run(batch: Seq[MediaRecord],
+          args: Seq[String]): Option[Seq[String]] =
+        try {
+          import scala.jdk.CollectionConverters._
+          val p = new ProcessBuilder((command ++ args).asJava).start()
+          val lines =
+            scala.collection.mutable.ArrayBuffer.empty[String]
+          val reader = new Thread(() => {
+            val src = scala.io.Source
+              .fromInputStream(p.getInputStream, "UTF-8")
+            try src.getLines().foreach(l => lines.synchronized {
+              lines += l
+            })
+            finally src.close()
+          })
+          reader.setDaemon(true)
+          reader.start()
+          val w = new java.io.BufferedWriter(
+            new java.io.OutputStreamWriter(p.getOutputStream, "UTF-8"))
+          val enc = java.util.Base64.getEncoder
+          try {
+            w.write(s"${batch.size}\n")
+            batch.foreach { r =>
+              w.write(s"${r.media_id} ${r.kind} ${r.mime}\n")
+              w.write(enc.encodeToString(r.content))
+              w.write("\n")
+            }
+          } finally w.close()
+          val code = p.waitFor()
+          reader.join(60000L)
+          val out = lines.synchronized(lines.toVector)
+          if (code == 0 && out.size == batch.size) Some(out) else None
+        } catch { case _: Exception => None }
+
+      override def decodeMeta(batch: Seq[MediaRecord]): Seq[MediaMeta] =
+        run(batch, Seq("meta")) match {
+          case Some(out) => batch.zip(out).map { case (r, ln) =>
+            val parsed = ln.trim.split("\\s+") match {
+              case Array(w, h, d) =>
+                try Some((w.toInt, h.toInt, d.toLong))
+                catch { case _: NumberFormatException => None }
+              case _ => None
+            }
+            val (w, h, d) = parsed.getOrElse((-1, -1, -1L))
+            MediaMeta(r.media_id, r.kind, r.content.length.toLong,
+              w, h, d)
+          }
+          case None => batch.map(r =>
+            MediaMeta(r.media_id, r.kind, r.content.length.toLong,
+              -1, -1, -1L))
+        }
+
+      override def extractFeatures(
+          batch: Seq[MediaRecord], dim: Int): Seq[MediaFeature] =
+        run(batch, Seq("features", dim.toString)) match {
+          case Some(out) => batch.zip(out).map { case (r, ln) =>
+            val parsed =
+              if (!ln.startsWith("OK ")) None
+              else try {
+                val f = ln.drop(3).split(",").map(_.trim.toFloat)
+                if (f.length == dim) Some(f) else None
+              } catch { case _: NumberFormatException => None }
+            parsed
+              .map(f => MediaFeature(r.media_id, f, measured = true))
+              .getOrElse(Fake.extractFeatures(Seq(r), dim).head)
+          }
+          case None => Fake.extractFeatures(batch, dim)
+        }
+    }
   }
 
   /** Deterministic media corpus derived from the documents table:

@@ -621,6 +621,78 @@ class OpsSpec extends AnyFunSuite {
       .getLong(0) <= 4)
   }
 
+  test("multimodal Codec.ExternalProcess: stub decoder proves the ffmpeg seam") {
+    import spark.implicits._
+    // stand-in for ffmpeg/ffprobe: a subprocess speaking the
+    // ExternalProcess batch protocol — computes deterministic "video
+    // features" (per-cell byte sums) and fixed meta, ERRs on blobs
+    // containing CORRUPT, and logs one marker line per invocation so
+    // the per-BATCH amortization contract is assertable
+    val dir = java.nio.file.Files.createTempDirectory("graft-codec")
+    val stub = dir.resolve("stub_codec.py")
+    val invLog = dir.resolve("invocations.log")
+    java.nio.file.Files.writeString(stub,
+      s"""import sys, base64
+         |with open(${"\"" + invLog + "\""}, "a") as lg: lg.write("x\\n")
+         |mode = sys.argv[1]
+         |dim = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+         |n = int(sys.stdin.readline())
+         |for _ in range(n):
+         |    hdr = sys.stdin.readline().split()
+         |    data = base64.b64decode(sys.stdin.readline().strip())
+         |    if b"CORRUPT" in data:
+         |        print("ERR"); continue
+         |    if mode == "meta":
+         |        print(f"640 480 {len(data) * 10}")
+         |    else:
+         |        cells = [sum(data[i::dim]) % 256 for i in range(dim)]
+         |        print("OK " + ",".join(f"{c / 255.0:.6f}" for c in cells))
+         |""".stripMargin)
+    val codec = Multimodal.Codec.ExternalProcess(
+      Seq("python3", stub.toString))
+    val recs = (0 until 5).map(i => Multimodal.MediaRecord(
+      i.toLong, "video",
+      (if (i == 3) s"CORRUPT-blob-$i" else s"fake-mp4-bytes-$i")
+        .getBytes("UTF-8"),
+      "video/mp4"))
+    val media = recs.toDS().repartition(1)
+    // VIDEO features arrive measured=true through the same
+    // MediaFeature contract — the gap Codec.Real documents
+    val feats = Multimodal.extractFeatures(media, dim = 4,
+        codec = codec, batchSize = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats.size === 5)
+    recs.filter(_.media_id != 3L).foreach { r =>
+      val f = feats(r.media_id)
+      assert(f.measured, s"video feature ${r.media_id} not measured")
+      val dim = 4
+      val expected = (0 until dim).map(i =>
+        "%.6f".format((r.content.indices.filter(_ % dim == i)
+          .map(j => r.content(j) & 0xff).sum % 256) / 255.0).toFloat)
+      assert(f.feature.toSeq === expected, s"media ${r.media_id}")
+    }
+    // record-level error isolation: the CORRUPT row falls back to the
+    // flagged Fake vector, its batch-mates unaffected
+    assert(!feats(3L).measured)
+    // per-batch invocation: 5 records at batchSize=2 in 1 partition =
+    // 3 feature spawns (+ more below for meta; count them separately)
+    val featSpawns = java.nio.file.Files.readAllLines(invLog).size
+    assert(featSpawns === 3, s"expected 3 per-batch spawns, $featSpawns")
+    val meta = Multimodal.decodeMeta(media, codec = codec,
+        batchSize = 64)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(meta(0L).width === 640 && meta(0L).height === 480 &&
+      meta(0L).duration_ms === recs(0).content.length * 10L)
+    assert(meta(3L).width === -1 && meta(3L).duration_ms === -1L)
+    // process-level failure: unspawnable command → whole batch falls
+    // back flagged, never task-fatal
+    val dead = Multimodal.Codec.ExternalProcess(
+      Seq("/nonexistent-decoder-binary"))
+    val fb = Multimodal.extractFeatures(media, dim = 4, codec = dead)
+      .collect()
+    assert(fb.length === 5 && fb.forall(!_.measured))
+  }
+
   test("streaming: windowed counts equal the batch aggregation") {
     // file streaming source needs a directory: stage the events file
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
