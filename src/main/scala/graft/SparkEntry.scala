@@ -107,7 +107,8 @@ object SparkEntry {
     "q81_turn_latency" -> (P.turnLatency(_, _)),
     "q82_ann_ivf_pq_residual" -> (T.ivfPqResidualQ(_, _)),
     "q83_semantic_decontam" -> (T.semanticDecontamQ(_, _)),
-    "q84_dup_span_removal" -> (T.dupSpanRemovalQ(_, _)))
+    "q84_dup_span_removal" -> (T.dupSpanRemovalQ(_, _)),
+    "q85_tokenizer_fertility" -> (T.tokenizerFertilityQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

@@ -740,26 +740,76 @@ object CorpusStats {
     * corpus (per-word fold of plain `replace` calls inside a
     * higher-order transform): zero shuffles beyond the output sort,
     * embarrassingly parallel at any corpus size. */
-  def bpeEncode(docs: DataFrame, nMerges: Int = 6): DataFrame = {
+  def bpeEncode(docs: DataFrame, nMerges: Int = 6): DataFrame =
+    docs.select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("bigint").as("n_words"),
+        bpeTokenCount(bpeMergeChain(docs, nMerges)).as("n_bpe_tokens"))
+
+  /** Train [[bpeTrain]]'s merge table eagerly and fold it into a SQL
+    * expression string applying the merges to a word `w` in training
+    * order — the driver-literal half shared by [[bpeEncode]] and
+    * [[tokenizerFertility]]. */
+  private def bpeMergeChain(docs: DataFrame, nMerges: Int): String = {
     val merges = bpeTrain(docs.select("text"), nMerges).collect()
       .sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    val chain = merges.foldLeft(
+    merges.foldLeft(
       "concat(regexp_replace(w, '(.)', '$1 '), '</w>')") {
       case (acc, (l, r)) =>
         s"trim(replace(replace(concat(' ', replace($acc, ' ', '  ')," +
           s" ' '), ' $l  $r ', ' $l$r '), '  ', ' '))"
     }
-    docs.select(col("doc_id"),
-        split(lower(trim(col("text"))), "\\s+").as("ws"))
-      .select(col("doc_id"),
-        size(col("ws")).cast("bigint").as("n_words"),
-        expr(s"""aggregate(
-                |  transform(ws, w -> IF(
-                |    w RLIKE '^[a-z]+$$' AND length(w) >= 2,
-                |    size(split($chain, ' ')), 1)),
-                |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
-          .as("n_bpe_tokens"))
+  }
+
+  /** BPE token count of a whitespace-token array column `ws` under an
+    * inlined merge chain: eligible words fold through the chain,
+    * ineligible words count 1 (the byte-fallback stand-in). */
+  private def bpeTokenCount(chain: String) =
+    expr(s"""aggregate(
+            |  transform(ws, w -> IF(
+            |    w RLIKE '^[a-z]+$$' AND length(w) >= 2,
+            |    size(split($chain, ' ')), 1)),
+            |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+
+  /** Tokenizer fertility per language bucket — the multilingual-
+    * tokenizer fairness metric (tokens per word and tokens per byte
+    * by language): a BPE vocabulary trained on a mixed corpus encodes
+    * under-represented scripts into more, shorter pieces, inflating
+    * their training cost and effective context budget. Composes the
+    * [[bpeTrain]]/[[bpeEncode]] lifecycle with
+    * [[TextAnalysis.langGuess]]: per document, count BPE tokens under
+    * the trained merges, bucket by language, report
+    * Σtokens/Σwords (fertility) and Σtokens/Σbytes per bucket.
+    *
+    * Scale: training is [[bpeTrain]]'s bounded eager loop; the merge
+    * chain inlines as literals, so the RETURNED plan is ONE narrow
+    * pass over the corpus (token fold + language classify + byte
+    * length in a single whole-stage-codegen'd projection — no
+    * self-join of per-doc derivations) into a partial agg that
+    * hash-exchanges only n_langs rows per partition. At 100 TB the
+    * wire cost is the language-cardinality agg, not the corpus. */
+  def tokenizerFertility(docs: DataFrame, nMerges: Int = 6): DataFrame = {
+    val chain = bpeMergeChain(docs, nMerges)
+    docs.select(
+        TextAnalysis.langGuess(col("text")).as("lang_guess"),
+        split(lower(trim(col("text"))), "\\s+").as("ws"),
+        octet_length(col("text")).cast("long").as("nb"))
+      .select(col("lang_guess"), col("nb"),
+        size(col("ws")).cast("long").as("nw"),
+        bpeTokenCount(chain).as("ntok"))
+      .groupBy("lang_guess")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").as("n_tokens"),
+        sum("nw").as("n_words"),
+        sum("nb").as("n_bytes"),
+        round(sum("ntok").cast("double") /
+          greatest(sum("nw").cast("double"), lit(1.0)), 6)
+          .as("fertility"),
+        round(sum("ntok").cast("double") /
+          greatest(sum("nb").cast("double"), lit(1.0)), 6)
+          .as("tokens_per_byte"))
   }
 
   /** Deterministic training-order shuffle + shard assignment — the

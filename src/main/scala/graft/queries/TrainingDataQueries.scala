@@ -488,6 +488,14 @@ object TrainingDataQueries {
     CorpusStats.bpeEncode(docs(s, dir).select("doc_id", "text"),
       nMerges = 6).orderBy("doc_id")
 
+  /** q85: tokenizer fertility per language — the q69/q73 BPE
+    * lifecycle composed with q21's language ID into the multilingual
+    * fairness report (tokens/word and tokens/byte per language
+    * bucket). */
+  def tokenizerFertilityQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.tokenizerFertility(docs(s, dir).select("doc_id", "text"),
+      nMerges = 6).orderBy("lang_guess")
+
   /** q74: IVF ANN with the q71 Lloyd quantizer (8 cells, 2 rounds,
     * probe 2) — the trained-IVF lifecycle, oracle-checked end to end. */
   def ivfKmeansQ(s: SparkSession, dir: String): DataFrame =
@@ -1578,6 +1586,46 @@ object TrainingDataQueries {
        |FROM dw GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** q85 oracle: bpeEncodeOracle's per-doc token counts joined with
+    * langIdOracle's buckets, aggregated per language — sums are exact
+    * BIGINTs, the two ratios are single same-operand divisions rounded
+    * 1e-6 (engine-identical IEEE doubles). */
+  private def tokenizerFertilityOracle(n: Int): String = {
+    val chain = (0 until n).foldLeft(
+      """concat(regexp_replace(w, '(.)', '\1 ', 'g'), '</w>')""") {
+      case (acc, k) =>
+        s"trim(replace(replace(concat(' ', replace($acc, ' ', '  ')," +
+          s" ' '), ' ' || (SELECT l FROM m$k) || '  ' || " +
+          s"(SELECT r FROM m$k) || ' ', ' ' || (SELECT l FROM m$k) || " +
+          s"(SELECT r FROM m$k) || ' '), '  ', ' '))"
+    }
+    s"""WITH ${bpeCtes(n)},
+       |dw AS (SELECT doc_id,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents),
+       |tok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+       |    CAST(sum(CASE WHEN regexp_matches(w, '^[a-z]+$$') AND
+       |          length(w) >= 2
+       |        THEN len(string_split($chain, ' ')) ELSE 1 END)
+       |      AS BIGINT) AS ntok
+       |  FROM dw GROUP BY doc_id),
+       |pd AS (SELECT l.lang_guess,
+       |    CAST(octet_length(encode(d.text)) AS BIGINT) AS nb,
+       |    tok.nw, tok.ntok
+       |  FROM documents d
+       |  JOIN ($langIdOracle) l ON l.doc_id = d.doc_id
+       |  JOIN tok ON tok.doc_id = d.doc_id)
+       |SELECT lang_guess, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(nw) AS BIGINT) AS n_words,
+       |  CAST(sum(nb) AS BIGINT) AS n_bytes,
+       |  round(CAST(sum(ntok) AS DOUBLE) /
+       |    greatest(CAST(sum(nw) AS DOUBLE), 1), 6) AS fertility,
+       |  round(CAST(sum(ntok) AS DOUBLE) /
+       |    greatest(CAST(sum(nb) AS DOUBLE), 1), 6) AS tokens_per_byte
+       |FROM pd GROUP BY lang_guess ORDER BY lang_guess""".stripMargin
+  }
+
   /** q70: mirrors CorpusStats.bigramLogProb — same tokenization,
     * Laplace smoothing, V = distinct unigram count. */
   private val bigramLogProbOracle: String =
@@ -1938,6 +1986,7 @@ object TrainingDataQueries {
     "q71_kmeans" -> kmeansOracle(4, 3),
     "q72_cluster_sample" -> clusterSampleOracle(4, 3, 100),
     "q73_bpe_encode" -> bpeEncodeOracle(6),
+    "q85_tokenizer_fertility" -> tokenizerFertilityOracle(6),
     "q74_ann_ivf_kmeans" -> ivfKmeansOracle(8, 2, 2, 5, 10),
     "q75_ann_ivf_pq" -> ivfPqOracle(8, 2, 4, 8, 2, 2, 5, 10, 16),
     "q82_ann_ivf_pq_residual" ->

@@ -1737,6 +1737,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> ((3L, 5L)), 2L -> ((2L, 2L))))
   }
 
+  test("tokenizer fertility: per-language sums and ratios hand-checked " +
+      "on a mixed latin/cjk corpus") {
+    import spark.implicits._
+    // Latin docs reuse the bpe-encode fixture (same eligible vocab,
+    // so the same two merges train; CJK words are training-ineligible
+    // and fall back to 1 token each). Hand-computed:
+    //   latin_other: docs 1+2, tokens 5+2, words 3+2, bytes 8+4
+    //   cjk: doc 3, tokens 3, words 3, bytes 9+1+9+1+6 = 26 (UTF-8)
+    val d = Seq((1L, "aa ab aa"), (2L, "aa x"),
+        (3L, "これは 日本語 です"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.tokenizerFertility(d, nMerges = 2)
+      .orderBy("lang_guess").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq === Seq(
+      ("cjk", 1L, 3L, 3L, 26L, 1.0, 0.115385),
+      ("latin_other", 2L, 7L, 5L, 12L, 1.4, 0.583333)))
+  }
+
   test("kmeans: equals driver Lloyd recompute; separates two blobs") {
     import spark.implicits._
     // two obvious blobs; init = vecs 1 and 2 (one from each blob)

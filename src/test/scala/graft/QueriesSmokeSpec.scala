@@ -134,6 +134,11 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // table inlines as literals, so the RETURNED encode plan is one
       // narrow per-word fold + output sort
       "q73_bpe_encode" -> 1,
+      // q73's eager training + a single narrow corpus pass (token
+      // fold, language classify, byte length in ONE projection — no
+      // self-join of per-doc derivations); language-cardinality agg
+      // hash exchange + output sort
+      "q85_tokenizer_fertility" -> 2,
       // quantizer trains eagerly; centroids are literals, so cell
       // assignment AND probe ranking are narrow — remaining exchanges:
       // probe broadcast + rank window hash + output sort
