@@ -108,7 +108,14 @@ object SparkEntry {
     "q82_ann_ivf_pq_residual" -> (T.ivfPqResidualQ(_, _)),
     "q83_semantic_decontam" -> (T.semanticDecontamQ(_, _)),
     "q84_dup_span_removal" -> (T.dupSpanRemovalQ(_, _)),
-    "q85_tokenizer_fertility" -> (T.tokenizerFertilityQ(_, _)))
+    "q85_tokenizer_fertility" -> (T.tokenizerFertilityQ(_, _)),
+    "q86_funnel" -> (P.funnelQ(_, _)),
+    "q87_bm25" -> (T.bm25Q(_, _)),
+    "q88_log_odds" -> (T.logOddsQ(_, _)),
+    "q89_ngram_novelty" -> (T.ngramNoveltyQ(_, _)),
+    "q90_weighted_sample" -> (T.weightedSampleQ(_, _)),
+    "q91_mojibake" -> (T.mojibakeQ(_, _)),
+    "q92_conv_structure" -> (P.convStructure(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

@@ -1167,4 +1167,66 @@ object CorpusStats {
         round(sum(ps * log(ps / pc)), 6).as("kl_div"),
         count(lit(1)).as("n_terms"))
   }
+
+  /** Per-document n-gram NOVELTY — the memorization-risk diagnostic
+    * dual of [[dupSpans]]: for each document with at least one
+    * k-token window, the fraction of its DISTINCT k-gram fingerprints
+    * that occur in no other part of the corpus (corpus document
+    * frequency exactly 1 — a window repeated only inside the same
+    * document still counts as novel). Low novelty marks documents
+    * assembled from corpus-common spans (boilerplate, quotes, mirror
+    * shards) that inflate memorization; the Lee et al. dedup papers
+    * report exactly this distribution before/after span removal.
+    *
+    * Plan ([[dupSpans]]'s posture): explode to DISTINCT (doc,
+    * 16-byte-hash) rows — text never shuffles, hashes do; ONE
+    * persisted shingle table feeds both the df aggregate and the
+    * per-doc reduce; the df table joins back hash-keyed. Output:
+    * (doc_id, n_distinct, n_novel, novelty_frac). */
+  def ngramNovelty(docs: DataFrame, k: Int = 8): DataFrame = {
+    val sh = Dedup.persistOnce(docs
+      .select(col("doc_id"),
+        explode(graft.functions.word_ngrams(col("text"), k)).as("win"))
+      .select(col("doc_id"), md5(col("win").cast("binary")).as("h"))
+      .distinct())
+    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("h"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_distinct"), col("n_novel"),
+        round(col("n_novel").cast("double") /
+          col("n_distinct").cast("double"), 6).as("novelty_frac"))
+  }
+
+  /** Weighted sampling WITHOUT replacement, Efraimidis–Spirakis 2006:
+    * each row draws the deterministic uniform u = (h+1)/2^48 from the
+    * first 12 md5 hex digits of its key (exact dyadic double on both
+    * engines) and scores key = ln(u)/w — taking the top `n` by score
+    * is EXACTLY a weight-proportional sample without replacement (the
+    * u^(1/w) order statistic, monotone-log transformed). The md5 draw
+    * replaces rand() for the [[hashSample]] reasons: task-retry-safe
+    * and oracle-reproducible.
+    *
+    * Plan: one narrow zero-shuffle scoring pass + TakeOrderedAndProject
+    * (per-partition top-n, n rows to the driver) — the distributed
+    * weighted-reservoir replacement, no global sort at any scale.
+    * Output: (doc_id, weight, es_key [round-9; magnitudes are ~1/w]). */
+  def weightedSample(docs: DataFrame, weightCol: String,
+      n: Int = 100): DataFrame = {
+    val h = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
+      .cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(281474976710656.0) // 2^48
+    val esKey = log(u) / col(weightCol).cast("double")
+    docs
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col("doc_id"), col(weightCol).cast("long").as("weight"),
+        esKey.as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id").asc)
+      .limit(n)
+      .select(col("doc_id"), col("weight"),
+        round(col("es_key"), 9).as("es_key"))
+  }
 }

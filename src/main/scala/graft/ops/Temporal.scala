@@ -150,4 +150,76 @@ object Temporal {
         min(col(tsCol)).as("first_ts_ms"),
         max(col(tsCol)).as("last_ts_ms"))
   }
+
+  /** Ordered-sequence funnel: for each step i of `steps`, the number
+    * of keys (users) that performed step i STRICTLY AFTER their
+    * earliest qualifying occurrence of step i−1 (the classic
+    * view→click→purchase conversion funnel; strict `>` means a
+    * same-millisecond pair does not count as progression — ties are
+    * order-ambiguous in an event log).
+    *
+    * Shape: the relational min-timestamp cascade — stage i is
+    * `events[type=step_i] ⋈_key stage_{i−1}` filtered to
+    * `ts > reach_ts`, reduced by groupBy(key).min(ts). Every join is
+    * key-equi (co-partitioned on the same key hash, so AQE reuses one
+    * exchange per side and skew-splits hot users), and each stage's
+    * output is ≤ one row per key that reached it — monotonically
+    * shrinking. The step-typed event slices come from one persisted
+    * pre-filter of the raw stream (events not matching any step never
+    * enter the cascade). Counts are eager single-row aggregates of
+    * the per-key stage tables (k bounded driver actions, k = number
+    * of steps); conversion rates are exact small-integer divisions in
+    * the literal k-row report.
+    *
+    * Output: (step_idx [1-based], step, n_keys, conv_from_prev,
+    * conv_from_first), ordered by step_idx.
+    */
+  def funnel(events: DataFrame, key: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val relevant = graft.ops.Dedup.persistOnce(
+      events
+        .select(col(key), col(tsCol).cast("long").as(tsCol),
+          col(typeCol))
+        .filter(col(key).isNotNull && col(tsCol).isNotNull &&
+          col(typeCol).isin(steps.map(x => x: Any): _*)))
+    def slice(step: String): DataFrame =
+      relevant.filter(col(typeCol) === step).select(col(key), col(tsCol))
+    val first = slice(steps.head)
+      .groupBy(col(key)).agg(min(col(tsCol)).as("reach_ts"))
+    val stages = steps.tail.scanLeft(first) { (prev, step) =>
+      slice(step).as("e")
+        .join(prev.as("p"), col(s"e.$key") === col(s"p.$key"))
+        .filter(col(s"e.$tsCol") > col("p.reach_ts"))
+        .groupBy(col(s"e.$key").as(key))
+        .agg(min(col(s"e.$tsCol")).as("reach_ts"))
+    }
+    // per-stage counts: one single-row aggregate per step (bounded by
+    // the literal step list — the q19 scalar-agg pattern, never a
+    // partition-less window). Each stage table is read twice (its own
+    // count + the next stage's join side), so persist once. The k-row
+    // report with its exact small-integer rate divisions is then a
+    // literal local relation — zero further cluster work.
+    val cached = stages.map(graft.ops.Dedup.persistOnce)
+    val ns = cached.map(_.agg(count(lit(1))).head().getLong(0))
+    def r6(x: Double): Double =
+      if (x.isNaN) x
+      else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = steps.zipWithIndex.map { case (step, i) =>
+      val prev = if (i == 0) ns(0) else ns(i - 1)
+      val convPrev =
+        if (i == 0) 1.0
+        else if (prev == 0L) Double.NaN
+        else ns(i).toDouble / prev.toDouble
+      val convFirst =
+        if (ns(0) == 0L) Double.NaN
+        else ns(i).toDouble / ns(0).toDouble
+      (i + 1, step, ns(i), r6(convPrev), r6(convFirst))
+    }
+    rows.toDF("step_idx", "step", "n_keys", "conv_from_prev",
+      "conv_from_first")
+  }
 }

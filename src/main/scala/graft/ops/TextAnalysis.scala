@@ -436,4 +436,27 @@ object TextAnalysis {
     spark.range(1).select(
       lit(p).as("n_pos"), lit(n).as("n_neg"), lit(auc).as("auc"))
   }
+
+  /** Encoding-artifact (mojibake) detection — the web-scrape hygiene
+    * filter: UTF-8 bytes decoded as Latin-1 leave 'Ã'/'Â' lead-byte
+    * characters (e.g. "café" → "cafÃ©", NBSP → "Â "), and lossy
+    * transcodes leave U+FFFD replacement characters. Counts each
+    * artifact class per document via the length-difference of a
+    * single-char translate — a narrow zero-shuffle codegen'd pass, no
+    * regex dialect to keep in cross-engine sync (`length` is
+    * CHARACTER count on both engines, so multi-byte text is safe).
+    * Output: (doc_id, n_c3 ['Ã'], n_c2 ['Â'], n_fffd [U+FFFD],
+    * is_suspect). */
+  def encodingArtifacts(docs: DataFrame): DataFrame = {
+    def occ(ch: String): Column =
+      (length(col("text")) -
+        length(translate(col("text"), ch, ""))).cast("long")
+    docs.select(
+      col("doc_id"),
+      occ("\u00c3").as("n_c3"),
+      occ("\u00c2").as("n_c2"),
+      occ("\ufffd").as("n_fffd"),
+      (occ("\u00c3") + occ("\u00c2") + occ("\ufffd") > 0L)
+        .as("is_suspect"))
+  }
 }

@@ -179,6 +179,46 @@ object PipelineQueries {
         col("mean_ms"))
   }
 
+  /** q86: ordered view→click→purchase conversion funnel over the raw
+    * event stream (graft.ops.Temporal.funnel — the min-timestamp
+    * cascade, strict-after semantics, one persisted typed slice). */
+  def funnelQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Temporal.funnel(
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"),
+          unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
+          col("event_type")),
+      key = "user_id", tsCol = "ts_ms", typeCol = "event_type",
+      steps = Seq("view", "click", "purchase"))
+
+  /** q92: conversation-structure validation — the transcript hygiene
+    * report an instruction-tuning pipeline gates on: per conversation,
+    * turn count, first/last role, the number of adjacent same-role
+    * turn pairs (role-alternation violations — regeneration or
+    * tool-loop artifacts), and the composite ok flag (starts with
+    * user, strictly alternating). ONE exchange on conv_id: the lag
+    * window, the per-partition count, and the final groupBy all share
+    * the conv_id hash partitioning (billions of small conversations at
+    * scale — never a global sort). */
+  def convStructure(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val wAll = Window.partitionBy(col("conv_id"))
+    val t = transcripts(s, dir).select("conv_id", "turn_idx", "role")
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+    t.groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        max(when(col("turn_idx") === 0, col("role"))).as("first_role"),
+        max(when(col("turn_idx") === col("n") - 1, col("role")))
+          .as("last_role"),
+        sum(when(col("role") === col("prev_role"), 1L).otherwise(0L))
+          .as("n_same_role_adjacent"))
+      .withColumn("alternation_ok",
+        col("first_role") === "user" && col("n_same_role_adjacent") === 0L)
+      .orderBy(col("conv_id"))
+  }
+
   def sessions(s: SparkSession, dir: String): DataFrame =
     graft.ops.Temporal.gapSessions(
         s.read.parquet(s"$dir/events.parquet")
@@ -491,5 +531,49 @@ object Oracles {
     "q12_top_brands" ->
       """SELECT p_brand, count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY 1 ORDER BY n_items DESC, p_brand ASC LIMIT 10""".stripMargin)
+        |GROUP BY 1 ORDER BY n_items DESC, p_brand ASC LIMIT 10""".stripMargin,
+    // q86: min-timestamp cascade with strict-after progression; rates
+    // are exact small-integer double divisions (both engines IEEE)
+    "q86_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_type
+        |    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s1 AS (SELECT user_id, min(ts_ms) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts_ms) AS t FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_ms > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts_ms) AS t FROM e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_ms > s2.t GROUP BY 1),
+        |c AS (SELECT 1 AS step_idx, 'view' AS step,
+        |    (SELECT count(*) FROM s1) AS n_keys
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |SELECT step_idx, step, n_keys,
+        |  round(CASE WHEN step_idx = 1 THEN CAST(1.0 AS DOUBLE)
+        |    ELSE CAST(n_keys AS DOUBLE) /
+        |      CAST(lag(n_keys) OVER (ORDER BY step_idx) AS DOUBLE)
+        |    END, 6) AS conv_from_prev,
+        |  round(CAST(n_keys AS DOUBLE) /
+        |    CAST((SELECT n_keys FROM c WHERE step_idx = 1) AS DOUBLE), 6)
+        |    AS conv_from_first
+        |FROM c ORDER BY step_idx""".stripMargin,
+    // q92: same lag()-window turn walk as q81, aggregated per conv
+    "q92_conv_structure" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id, role,
+         |    CAST(row_number() OVER w - 1 AS INTEGER) AS turn_idx,
+         |    count(*) OVER (PARTITION BY conv_id) AS n,
+         |    lag(role) OVER w AS prev_role
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id))
+         |SELECT conv_id, count(*) AS n_turns,
+         |  max(CASE WHEN turn_idx = 0 THEN role END) AS first_role,
+         |  max(CASE WHEN turn_idx = n - 1 THEN role END) AS last_role,
+         |  CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_same_role_adjacent,
+         |  (max(CASE WHEN turn_idx = 0 THEN role END) = 'user' AND
+         |    CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END)
+         |      AS BIGINT) = 0) AS alternation_ok
+         |FROM o GROUP BY conv_id ORDER BY conv_id""".stripMargin)
 }

@@ -123,6 +123,53 @@ object TrainingDataQueries {
     CorpusStats.dupSpanRemoval(docs(s, dir).select("doc_id", "text"),
       k = 8).orderBy("doc_id")
 
+  /** q87: BM25 top-5 retrieval for the 10 most document-frequent
+    * terms of length ≥ 5 (graft.ops.Retrieval.bm25TopK — inverted-
+    * index access pattern: one corpus tokenize, broadcast query side,
+    * per-query rank windows). */
+  def bm25Q(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.bm25TopK(docs(s, dir).select("doc_id", "text"))
+      .orderBy("term", "rank")
+
+  /** q88: per-source distinctive terms by prior-smoothed log-odds
+    * z-score (Monroe et al. "Fightin' Words" — the subcorpus-drift
+    * diagnostic; graft.ops.Retrieval.logOddsTerms). */
+  def logOddsQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.logOddsTerms(
+        docs(s, dir).select("source", "text"))
+      .orderBy("source", "rank")
+
+  /** q89: per-doc 8-gram novelty (fraction of distinct fingerprints
+    * unique to the doc corpus-wide) — the memorization-risk dual of
+    * q45's duplicated-span detector. */
+  def ngramNoveltyQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.ngramNovelty(docs(s, dir).select("doc_id", "text"))
+      .orderBy("doc_id")
+
+  /** q90: Efraimidis–Spirakis weighted sampling without replacement —
+    * 100 docs drawn proportional to n_chars via the deterministic
+    * md5-uniform, ln(u)/w order statistic (task-retry-safe, exact
+    * DuckDB reproduction; TakeOrdered top-n, zero shuffle). */
+  def weightedSampleQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.weightedSample(
+        docs(s, dir).select("doc_id", "n_chars"),
+        weightCol = "n_chars", n = 100)
+      .orderBy("doc_id")
+
+  /** q91: encoding-artifact (mojibake) scan over a corpus with a
+    * deterministic injected stripe — every 13th doc gains the classic
+    * UTF-8-as-Latin-1 artifacts ("cafÃ©", "Â½") plus a U+FFFD — so
+    * detection counts are non-trivial (the q26 injection pattern). */
+  def mojibakeQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val corpus = d.withColumn("text",
+      when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(col("text"),
+          lit(" caf\u00c3\u00a9 \u00c2\u00bd \ufffd")))
+        .otherwise(col("text")))
+    TextAnalysis.encodingArtifacts(corpus).orderBy("doc_id")
+  }
+
   /** Exact dedup demo over a corpus with a synthetic duplicate stripe
     * (every 10th doc duplicated under doc_id+100000). */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
@@ -1982,7 +2029,136 @@ object TrainingDataQueries {
        |FROM a${iters + 1} a JOIN r ON a.cluster = r.cluster
        |ORDER BY a.vec_id""".stripMargin
 
+  /** q87 oracle — BM25 with the exact Spark expression tree: every
+    * fractional literal is CAST AS DOUBLE (a bare DuckDB decimal
+    * literal is DECIMAL-typed and would fold (k1+1) in exact decimal
+    * instead of IEEE), every add/multiply association mirrors
+    * Retrieval.bm25TopK, and the per-term idf is a common factor so a 1-ulp
+    * `ln` divergence cannot reorder docs within a term. */
+  private def bm25Oracle(nQueryTerms: Int, k: Int,
+      minTermLen: Int, k1: Double, b: Double): String =
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |tok AS (SELECT doc_id, len(w) AS dl, t.term
+       |  FROM w, UNNEST(w) AS t(term)),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM tok GROUP BY 1, 2, 3),
+       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |qt AS (SELECT term, df FROM dfr WHERE length(term) >= $minTermLen
+       |  ORDER BY df DESC, term LIMIT $nQueryTerms),
+       |st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+       |  (SELECT avg(len(w)) FROM w) AS avgdl),
+       |sc AS (SELECT q.term, t.doc_id,
+       |    ln(CAST(1.0 AS DOUBLE) +
+       |        ((SELECT n FROM st) - q.df + CAST(0.5 AS DOUBLE)) /
+       |        (q.df + CAST(0.5 AS DOUBLE))) *
+       |      (CAST(t.tf AS DOUBLE) *
+       |        (CAST($k1 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+       |      (CAST(t.tf AS DOUBLE) + CAST($k1 AS DOUBLE) *
+       |        ((CAST(1.0 AS DOUBLE) - CAST($b AS DOUBLE)) +
+       |          CAST($b AS DOUBLE) * CAST(t.dl AS DOUBLE) /
+       |            (SELECT avgdl FROM st))) AS score
+       |  FROM tf t JOIN qt q USING (term)),
+       |r AS (SELECT term, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY term
+       |      ORDER BY score DESC, doc_id) AS INTEGER) AS rank, score
+       |  FROM sc)
+       |SELECT term, doc_id, rank, round(score, 6) AS score
+       |FROM r WHERE rank <= $k ORDER BY term, rank""".stripMargin
+
+  /** q88 oracle — Monroe et al. log-odds z with the exact Spark tree
+    * (same CAST-AS-DOUBLE discipline as q87; counts are integer-valued
+    * doubles so every sum is order-immune). */
+  private def logOddsOracle(alpha: Double, topN: Int): String =
+    s"""WITH tok AS (SELECT source, t.term FROM
+       |    (SELECT source, string_split_regex(trim(text), '\\s+') AS w
+       |     FROM documents) x, UNNEST(w) AS t(term)),
+       |ysi AS (SELECT source, term, CAST(count(*) AS DOUBLE) AS y_si
+       |  FROM tok GROUP BY 1, 2),
+       |yi AS (SELECT term, sum(y_si) AS y_i FROM ysi GROUP BY 1),
+       |ns AS (SELECT source, sum(y_si) AS n_s FROM ysi GROUP BY 1),
+       |st AS (SELECT sum(y_i) AS n_total,
+       |    CAST($alpha AS DOUBLE) *
+       |      CAST((SELECT count(*) FROM yi) AS DOUBLE) AS big_a
+       |  FROM yi),
+       |sc AS (SELECT s.source, s.term,
+       |    (ln((s.y_si + CAST($alpha AS DOUBLE)) /
+       |        (n.n_s + (SELECT big_a FROM st) - s.y_si -
+       |          CAST($alpha AS DOUBLE))) -
+       |     ln(((i.y_i - s.y_si) + CAST($alpha AS DOUBLE)) /
+       |        ((SELECT n_total FROM st) - n.n_s +
+       |          (SELECT big_a FROM st) - (i.y_i - s.y_si) -
+       |          CAST($alpha AS DOUBLE)))) /
+       |    sqrt(CAST(1.0 AS DOUBLE) / (s.y_si + CAST($alpha AS DOUBLE)) +
+       |      CAST(1.0 AS DOUBLE) / ((i.y_i - s.y_si) +
+       |        CAST($alpha AS DOUBLE))) AS z
+       |  FROM ysi s JOIN yi i USING (term) JOIN ns n USING (source)),
+       |r AS (SELECT source, term,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY z DESC, term) AS INTEGER) AS rank, z
+       |  FROM sc)
+       |SELECT source, term, rank, round(z, 6) AS z
+       |FROM r WHERE rank <= $topN ORDER BY source, rank""".stripMargin
+
+  /** q89 oracle — distinct 8-gram fingerprints, corpus df, per-doc
+    * novel fraction (q45's window derivation, DISTINCT per doc). */
+  private val ngramNoveltyOracle: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |    md5(list_aggregate(w[i:i+7], 'string_agg', ' ')) AS h
+      |  FROM w, UNNEST(generate_series(1, greatest(len(w)-7, 0))) AS t(i)),
+      |dfr AS (SELECT h, count(*) AS df FROM g GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_distinct,
+      |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(count(*) AS DOUBLE), 6) AS novelty_frac
+      |FROM g JOIN dfr USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q90 oracle — the Efraimidis–Spirakis key from the identical
+    * md5-derived dyadic uniform ((h+1)/2^48 is exact on both engines;
+    * ln sees bit-identical input). */
+  private val weightedSampleOracle: String =
+    """WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+      |    ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+      |          AS BIGINT) + 1) / CAST(281474976710656.0 AS DOUBLE)) /
+      |      CAST(n_chars AS DOUBLE) AS es_key
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |r AS (SELECT * FROM s ORDER BY es_key DESC, doc_id LIMIT 100)
+      |SELECT doc_id, weight, round(es_key, 9) AS es_key
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** q91 oracle — same injected stripe, same length-difference count
+    * (length/replace are CHARACTER-semantics on both engines). */
+  private val mojibakeOracle: String =
+    """WITH c AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0
+      |      THEN text || ' caf' || chr(195) || chr(169) || ' ' ||
+      |        chr(194) || chr(189) || ' ' || chr(65533)
+      |      ELSE text END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(text) - length(replace(text, chr(195), ''))
+      |    AS BIGINT) AS n_c3,
+      |  CAST(length(text) - length(replace(text, chr(194), ''))
+      |    AS BIGINT) AS n_c2,
+      |  CAST(length(text) - length(replace(text, chr(65533), ''))
+      |    AS BIGINT) AS n_fffd,
+      |  (CAST(length(text) - length(replace(text, chr(195), ''))
+      |      AS BIGINT) +
+      |    CAST(length(text) - length(replace(text, chr(194), ''))
+      |      AS BIGINT) +
+      |    CAST(length(text) - length(replace(text, chr(65533), ''))
+      |      AS BIGINT) > 0) AS is_suspect
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q87_bm25" -> bm25Oracle(10, 5, 5, 1.2, 0.75),
+    "q88_log_odds" -> logOddsOracle(0.01, 3),
+    "q89_ngram_novelty" -> ngramNoveltyOracle,
+    "q90_weighted_sample" -> weightedSampleOracle,
+    "q91_mojibake" -> mojibakeOracle,
     "q71_kmeans" -> kmeansOracle(4, 3),
     "q72_cluster_sample" -> clusterSampleOracle(4, 3, 100),
     "q73_bpe_encode" -> bpeEncodeOracle(6),

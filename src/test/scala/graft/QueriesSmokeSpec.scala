@@ -190,7 +190,37 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // lag window hash-partitioned on conv_id (billions of SMALL
       // partitions — never a global window) + the two-phase global
       // percentile agg funneling one bounded row + output projection
-      "q81_turn_latency" -> 4)
+      "q81_turn_latency" -> 4,
+      // the min-ts cascade runs eagerly (k bounded scalar counts over
+      // persisted per-key stage tables); the RETURNED report is a
+      // k-row literal — zero exchanges
+      "q86_funnel" -> 0,
+      // persisted tf table's build agg (printed in the cache subtree)
+      // + df agg + broadcast query side + rank window hash (one
+      // partition per query term) + output sort; the corpus
+      // tokenizes/shuffles exactly once, scoring touches only query-
+      // term postings
+      "q87_bm25" -> 6,
+      // structural pin (q79's rationale — the persisted (source,term)
+      // branch's printed subtree counts): vocab-bounded y_i re-agg +
+      // source-bounded n_s broadcast + term-keyed join-back + rank
+      // window on source + output sort; the corpus shuffles once
+      "q88_log_odds" -> 12,
+      // persisted DISTINCT (doc, hash) shingle table (printed build
+      // subtree) + df agg + hash-keyed join-back + per-doc agg +
+      // output sort — q45's posture, text never shuffles
+      "q89_ngram_novelty" -> 6,
+      // ES scoring is a narrow zero-shuffle map; top-n is
+      // TakeOrderedAndProject and the re-sort of 100 rows stays
+      // single-partition — zero exchanges
+      "q90_weighted_sample" -> 0,
+      // translate length-diffs are a pure narrow map + output sort
+      "q91_mojibake" -> 1,
+      // ONE conv_id hash partitioning shared by the lag window, the
+      // per-conv count window and the final groupBy + output sort
+      // (the extra prints are the transcripts derivation's row_number
+      // exchange, shared with every P.* query)
+      "q92_conv_structure" -> 4)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
