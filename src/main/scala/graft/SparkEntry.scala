@@ -115,7 +115,14 @@ object SparkEntry {
     "q89_ngram_novelty" -> (T.ngramNoveltyQ(_, _)),
     "q90_weighted_sample" -> (T.weightedSampleQ(_, _)),
     "q91_mojibake" -> (T.mojibakeQ(_, _)),
-    "q92_conv_structure" -> (P.convStructure(_, _)))
+    "q92_conv_structure" -> (P.convStructure(_, _)),
+    "q93_cross_source_dups" -> (T.crossSourceDupsQ(_, _)),
+    "q94_lexical_diversity" -> (T.lexicalDiversityQ(_, _)),
+    "q95_blocklist" -> (T.blocklistQ(_, _)),
+    "q96_leakage_split" -> (T.leakageSplitQ(_, _)),
+    "q97_cdc_chunks" -> (T.cdcChunksQ(_, _)),
+    "q98_script_mix" -> (T.scriptMixQ(_, _)),
+    "q99_lsh_audit" -> (T.lshAuditQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

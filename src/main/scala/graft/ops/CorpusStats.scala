@@ -1229,4 +1229,79 @@ object CorpusStats {
       .select(col("doc_id"), col("weight"),
         round(col("es_key"), 9).as("es_key"))
   }
+
+  /** Per-source lexical diversity — the corpus-health dual of q24's
+    * within-doc repetition: type-token ratio and distinct-bigram ratio
+    * per source expose template farms and boilerplate-heavy sources
+    * (low TTR at high volume) before they dominate a training mix.
+    *
+    * Scale: unigrams and bigrams each shuffle ONCE into a
+    * (source, gram) partial-agg groupBy (map-side combine collapses
+    * repeats before the wire), then re-aggregate to the bounded
+    * per-source table; the final join of the two per-source frames is
+    * bounded by source cardinality (AQE-broadcastable). No
+    * countDistinct over the corpus (its Expand doubles the shuffle
+    * volume); distinct-counting falls out of the two-level agg. */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    def grams(k: Int): DataFrame = {
+      val g =
+        if (k == 1) explode(split(trim(col("text")), "\\s+"))
+        else explode(graft.functions.word_ngrams(col("text"), k))
+      docs.select(col("source"), g.as("gram"))
+        .groupBy("source", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as(s"n_grams_$k"),
+          count(lit(1)).as(s"n_types_$k"))
+    }
+    grams(1).join(grams(2), Seq("source"))
+      .select(col("source"),
+        col("n_grams_1").as("n_tokens"),
+        col("n_types_1").as("n_types"),
+        round(col("n_types_1").cast("double") /
+          col("n_grams_1").cast("double"), 6).as("ttr"),
+        col("n_grams_2").as("n_bigrams"),
+        col("n_types_2").as("n_bigram_types"),
+        round(col("n_types_2").cast("double") /
+          col("n_grams_2").cast("double"), 6).as("bigram_ttr"))
+  }
+
+  /** Content-defined chunking (the FastCDC/rsync posture at token
+    * granularity): a chunk ends at every token whose md5-derived
+    * 16-bit hash ≡ 0 (mod `modulus`) — boundaries depend only on LOCAL
+    * content, so an insertion early in a document shifts ONE chunk
+    * instead of re-cutting every fixed-width window (the property that
+    * makes chunk-hash dedup robust to edits; contrast [[chunkDocs]]'s
+    * fixed windows). Emits (doc_id, chunk_idx, n_tokens, chunk_hash).
+    *
+    * Plan: tokens explode with position, the boundary flag is a narrow
+    * md5 map, and chunk_idx is a running count of PRIOR boundaries —
+    * a lag-frame window partitioned on doc_id (bounded per-doc
+    * partitions, the q81 posture — never global), then one
+    * (doc_id, chunk_idx) groupBy rebuilds each chunk in token order
+    * deterministically via array_sort on (pos, token) structs. Two
+    * keyed exchanges total, both on doc-bounded keys; text bytes move
+    * once. */
+  def cdcChunks(docs: DataFrame, modulus: Int = 8): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+"))
+          .as(Seq("pos", "tok")))
+      .withColumn("bnd",
+        when(conv(substring(md5(col("tok").cast("binary")), 1, 4),
+          16, 10).cast("int") % modulus === 0, 1L).otherwise(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    tok
+      .withColumn("chunk_idx",
+        coalesce(sum(col("bnd")).over(w), lit(0L)))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").cast("binary"))
+          .as("chunk_hash"))
+  }
 }

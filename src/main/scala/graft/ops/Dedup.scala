@@ -902,4 +902,103 @@ object Dedup {
         sim.as("edit_sim"))
       .withColumn("is_dup", col("edit_sim") >= lit(minSim))
   }
+
+  /** Cross-source near-duplicate matrix — the governance view of the
+    * dedup pipeline: which SOURCE PAIRS share near-duplicate content
+    * (mirror sites, syndicated feeds, scraped re-posts). MinHash-LSH
+    * candidate pairs ([[minhashLshCandidates]]) are annotated with each
+    * side's source and rolled up to an unordered (src_lo, src_hi) cell
+    * with a pair count and mean estimated similarity.
+    *
+    * Scale: the pair table is bounded by LSH banding selectivity (never
+    * corpus²); the two source-attach joins are shuffle equi-joins of
+    * that small table against the (doc_id, source) projection — text
+    * never moves; the output is bounded by n_sources². Determinism:
+    * est_sim is already rounded 1e-6, so the mean is computed over
+    * EXACT integers (est_sim·10⁶ is integral by construction) and
+    * divided once — summation-order-immune, bit-equal in DuckDB. */
+  def crossSourceDupMatrix(docs: DataFrame, numHashes: Int = 8,
+      minEstSim: Double = 0.25): DataFrame = {
+    val pairs = minhashLshCandidates(
+      docs.select("doc_id", "text"), numHashes, minEstSim)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.toDF("doc_a", "source_a"), Seq("doc_a"))
+      .join(src.toDF("doc_b", "source_b"), Seq("doc_b"))
+      .select(
+        least(col("source_a"), col("source_b")).as("src_lo"),
+        greatest(col("source_a"), col("source_b")).as("src_hi"),
+        round(col("est_sim") * 1000000d).cast("long").as("sim6"))
+      .groupBy("src_lo", "src_hi")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round((sum(col("sim6")).cast("double") / lit(1000000d)) /
+          count(lit(1)).cast("double"), 6).as("avg_est_sim"))
+  }
+
+  /** Leakage-safe train/validation split: a random doc-level split
+    * puts one member of a near-dup cluster in train and its twin in
+    * val, silently inflating every eval metric — the split unit must
+    * be the DUP CLUSTER, not the document. Exact-Jaccard pairs
+    * ([[ngramJaccardPairs]]) → min-label connected components; docs
+    * outside any pair are their own singleton cluster (cluster_id =
+    * doc_id); the whole cluster lands in val iff the cluster id's
+    * deterministic md5-bucket ([[CorpusStats.hashBucket]], 0..4095)
+    * falls under valPerMille·4096/1000 — same-key-same-fate, so
+    * cluster coherence is structural, not probabilistic.
+    *
+    * Scale: the component table is bounded by the number of docs IN
+    * pairs (AQE broadcasts it when small; an equi-join either way);
+    * the corpus itself never shuffles — assignment is a left join +
+    * narrow hash map. Retry-safe/deterministic for the
+    * [[CorpusStats.hashSample]] reasons. */
+  def leakageSafeSplit(docs: DataFrame, k: Int = 3,
+      minJaccard: Double = 0.1, valPerMille: Int = 100): DataFrame = {
+    val cc = connectedComponents(
+      ngramJaccardPairs(docs.select("doc_id", "text"), k, minJaccard)
+        .select("doc_a", "doc_b"))
+    val threshold = (valPerMille * 4096) / 1000
+    docs.select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("split",
+        when(CorpusStats.hashBucket(col("cluster_id")) <
+          lit(threshold), "val").otherwise("train"))
+  }
+
+  /** LSH recall/precision audit — the dedup pipeline measuring ITSELF:
+    * exact df-capped Jaccard pairs at τ ([[ngramJaccardPairs]]) are
+    * ground truth; MinHash-LSH candidates at the same τ
+    * ([[minhashLshCandidates]]) are the approximation under test. A
+    * full-outer join on the unordered pair key buckets every pair into
+    * hit / miss (truth-only) / spurious (candidate-only); the returned
+    * 1-row report carries recall and precision — the numbers that
+    * decide whether a given (numHashes, banding) config may replace
+    * the exact path at the next scale-up.
+    *
+    * Scale: this is intentionally the SUM of its two inputs' costs (an
+    * audit runs on a sampled slice at 100 TB — the composition shape is
+    * what matters: both sides keyed (doc_a, doc_b), one equi-join, one
+    * bounded two-phase agg to a single row; nothing all-pairs beyond
+    * what the audited operators themselves do). */
+  def lshRecallAudit(docs: DataFrame, tau: Double = 0.25,
+      numHashes: Int = 8, k: Int = 3): DataFrame = {
+    val truth = ngramJaccardPairs(docs.select("doc_id", "text"), k, tau)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
+    val cand = minhashLshCandidates(
+        docs.select("doc_id", "text"), numHashes, tau)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("c"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("t"), lit(0))).cast("long").as("n_truth"),
+        sum(coalesce(col("c"), lit(0))).cast("long").as("n_cand"),
+        sum(when(col("t").isNotNull && col("c").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        round(col("n_hit").cast("double") /
+          col("n_truth").cast("double"), 6).as("recall"),
+        round(col("n_hit").cast("double") /
+          col("n_cand").cast("double"), 6).as("precision"))
+  }
 }

@@ -459,4 +459,71 @@ object TextAnalysis {
       (occ("\u00c3") + occ("\u00c2") + occ("\ufffd") > 0L)
         .as("is_suspect"))
   }
+
+  /** The default bad-term list for [[blocklistFilter]] \u2014 a stand-in
+    * for the (much larger) NSFW/spam wordlists production filters
+    * broadcast; terms chosen to occur in the synthetic corpus so
+    * counts are non-trivial. */
+  val DefaultBlocklist: Seq[String] = Seq("slow", "dup", "crash", "leak")
+
+  /** Blocklist (bad-word) filter \u2014 the wordlist gate every production
+    * corpus pipeline runs (NSFW lists, spam markers, boilerplate
+    * phrases): per-doc count and fraction of tokens on the list plus a
+    * keep verdict at `maxBadFrac`. The list is inlined as an array
+    * literal (the broadcast-small-side degenerate case: at production
+    * list sizes the same shape ships via broadcast variable \u2014 either
+    * way the corpus never shuffles); the membership test is an
+    * array_contains inside a filter HOF over the token array \u2014 one
+    * narrow codegen'd pass. */
+  def blocklistFilter(docs: DataFrame,
+      blocklist: Seq[String] = DefaultBlocklist,
+      maxBadFrac: Double = 0.05): DataFrame = {
+    val toks = tokens(col("text"))
+    val bad = size(filter(toks,
+      t => array_contains(typedLit(blocklist), t))).cast("long")
+    docs.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        bad.as("n_bad"))
+      .withColumn("bad_frac",
+        round(col("n_bad").cast("double") /
+          col("n_tokens").cast("double"), 6))
+      .withColumn("keep", col("bad_frac") <= lit(maxBadFrac))
+  }
+
+  /** Unicode-script composition per document \u2014 the code-switching /
+    * wrong-corpus-routing detector: counts codepoints in the Latin,
+    * Cyrillic, CJK and digit ranges (BMP ranges; the corpus contract \u2014
+    * astral plane would need codepoint pairs) and flags documents
+    * mixing \u2265 2 writing systems. Language-ID (q21) answers "which
+    * language"; this answers "is the byte stream even ONE script" \u2014
+    * mixed-script docs are where mojibake, spam keyword-stuffing and
+    * wrong-encoding routing concentrate.
+    *
+    * Plan: split-to-chars \u2192 codepoint transform \u2192 three range-count
+    * filters, all inside one narrow codegen'd projection (verified
+    * cross-engine: Spark `split(text,'')`+`ascii` \u2261 DuckDB
+    * `string_split(text,'')`+`unicode` on BMP input \u2014 no regex
+    * dialect in play). Zero shuffle. */
+  def scriptMix(docs: DataFrame): DataFrame = {
+    val cps = transform(split(col("text"), ""), c => ascii(c))
+    def inRange(lo: Int, hi: Int): Column =
+      size(filter(cps, p => p >= lo && p <= hi)).cast("long")
+    val nLatin = (inRange(0x41, 0x5a) + inRange(0x61, 0x7a))
+      .as("n_latin")
+    val nCyr = inRange(0x400, 0x4ff).as("n_cyrillic")
+    val nCjk = inRange(0x4e00, 0x9fff).as("n_cjk")
+    val nDigit = inRange(0x30, 0x39).as("n_digit")
+    docs.select(col("doc_id"), nLatin, nCyr, nCjk, nDigit)
+      .withColumn("n_scripts",
+        (col("n_latin") > 0L).cast("int") +
+          (col("n_cyrillic") > 0L).cast("int") +
+          (col("n_cjk") > 0L).cast("int"))
+      .withColumn("main_script",
+        when(col("n_latin") >= col("n_cyrillic") &&
+          col("n_latin") >= col("n_cjk"), "latin")
+          .when(col("n_cyrillic") >= col("n_cjk"), "cyrillic")
+          .otherwise("cjk"))
+      .withColumn("is_mixed", col("n_scripts") >= 2)
+  }
 }

@@ -170,6 +170,54 @@ object TrainingDataQueries {
     TextAnalysis.encodingArtifacts(corpus).orderBy("doc_id")
   }
 
+  /** q93: cross-source near-duplicate matrix — which source pairs
+    * share near-dup content (syndication/mirror detection), rolled up
+    * from q32's LSH candidates. */
+  def crossSourceDupsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossSourceDupMatrix(docs(s, dir), numHashes = 8,
+      minEstSim = 0.25).orderBy("src_lo", "src_hi")
+
+  /** q94: per-source lexical diversity (type-token + distinct-bigram
+    * ratios) — the template-farm / boilerplate detector. */
+  def lexicalDiversityQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.lexicalDiversity(docs(s, dir)).orderBy("source")
+
+  /** q95: blocklist (bad-word) gate with the default inlined list. */
+  def blocklistQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.blocklistFilter(docs(s, dir)).orderBy("doc_id")
+
+  /** q96: leakage-safe train/val split — split unit = dup cluster
+    * (q31 pairs → q36 components), singletons their own cluster,
+    * ~10% val by the md5-bucket of the cluster id. */
+  def leakageSplitQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.leakageSafeSplit(docs(s, dir)).orderBy("doc_id")
+
+  /** q97: content-defined chunking (token-level FastCDC posture). */
+  def cdcChunksQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.cdcChunks(docs(s, dir).select("doc_id", "text"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** q98: Unicode-script composition over a corpus with deterministic
+    * injected Cyrillic (every 11th doc) and CJK (every 17th doc)
+    * stripes — the q91 injection pattern, so mixed-script detection
+    * is non-trivial. */
+  def scriptMixQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val corpus = d.withColumn("text",
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(col("text"), lit(" данные запрос")))
+        .when(pmod(col("doc_id"), lit(17)) === 0,
+          concat(col("text"), lit(" 数据 查询")))
+        .otherwise(col("text")))
+    TextAnalysis.scriptMix(corpus).orderBy("doc_id")
+  }
+
+  /** q99: LSH recall/precision audit — exact Jaccard truth vs q32's
+    * MinHash-LSH candidates at the same τ = 0.25; the 1-row report
+    * that qualifies a sketch config to replace the exact path. */
+  def lshAuditQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshRecallAudit(docs(s, dir), tau = 0.25)
+
   /** Exact dedup demo over a corpus with a synthetic duplicate stripe
     * (every 10th doc duplicated under doc_id+100000). */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
@@ -847,6 +895,211 @@ object TrainingDataQueries {
        |JOIN sz sb ON sb.doc_id = doc_b
        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q32 oracle (shared by q93/q99): the full MinHash-LSH chain —
+    * md5 minhash per (seed, shingle), r=2 banding, bucket self-join,
+    * signature-agreement estimate — mirroring
+    * Dedup.minhashLshCandidates bit-for-bit. */
+  private val minhashLshOracle: String =
+    s"""WITH $SH,
+       |sig AS (SELECT doc_id, seed,
+       |    min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+       |  FROM sh, UNNEST(generate_series(0, 7)) AS q(seed)
+       |  GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+       |    max(CASE WHEN seed % 2 = 0 THEN minhash END) AS mh0,
+       |    max(CASE WHEN seed % 2 = 1 THEN minhash END) AS mh1
+       |  FROM sig GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.mh0 = b.mh0 AND a.mh1 = b.mh1
+       |    AND a.doc_id < b.doc_id),
+       |est AS (SELECT c.doc_a, c.doc_b,
+       |    round(avg(CASE WHEN sa.minhash = sb.minhash
+       |      THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6)
+       |      AS est_sim
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.doc_a
+       |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, est_sim FROM est
+       |WHERE est_sim >= 0.25 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q93 oracle: q32's pairs annotated with each side's source and
+    * rolled up per unordered source pair; the mean runs over the
+    * EXACT integers est_sim·10⁶ (order-immune, see
+    * Dedup.crossSourceDupMatrix). */
+  private lazy val crossSourceDupsOracle: String =
+    s"""WITH pairs AS ($minhashLshOracle),
+       |j AS (SELECT least(da.source, db.source) AS src_lo,
+       |    greatest(da.source, db.source) AS src_hi,
+       |    CAST(round(p.est_sim * 1000000) AS BIGINT) AS sim6
+       |  FROM pairs p
+       |  JOIN documents da ON da.doc_id = p.doc_a
+       |  JOIN documents db ON db.doc_id = p.doc_b)
+       |SELECT src_lo, src_hi, count(*) AS n_pairs,
+       |  round((CAST(sum(sim6) AS DOUBLE) / CAST(1000000 AS DOUBLE)) /
+       |    CAST(count(*) AS DOUBLE), 6) AS avg_est_sim
+       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q94 oracle: two-level (source, gram) aggregation for unigrams
+    * and bigrams — distinct counts from the same agg, no
+    * COUNT(DISTINCT) expansion (mirrors CorpusStats.lexicalDiversity). */
+  private val lexicalDiversityOracle: String =
+    """WITH w AS (SELECT source, string_split_regex(trim(text), '\s+')
+      |    AS w FROM documents),
+      |uni AS (SELECT source, t.g AS gram
+      |  FROM w, UNNEST(w.w) AS t(g)),
+      |u AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_types
+      |  FROM (SELECT source, gram, count(*) AS c FROM uni GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |bi AS (SELECT source, w.w[i] || ' ' || w.w[i+1] AS gram
+      |  FROM w, UNNEST(generate_series(1, greatest(len(w.w)-1, 0)))
+      |    AS t(i)),
+      |b AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |    CAST(count(*) AS BIGINT) AS n_bigram_types
+      |  FROM (SELECT source, gram, count(*) AS c FROM bi GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT source, n_tokens, n_types,
+      |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+      |    AS ttr,
+      |  n_bigrams, n_bigram_types,
+      |  round(CAST(n_bigram_types AS DOUBLE) / CAST(n_bigrams AS DOUBLE),
+      |    6) AS bigram_ttr
+      |FROM u JOIN b USING (source) ORDER BY source""".stripMargin
+
+  /** q95 oracle: list_filter membership count over the same token
+    * array + keep verdict on the ROUNDED fraction. */
+  private lazy val blocklistOracle: String = {
+    val inList = graft.ops.TextAnalysis.DefaultBlocklist
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH w AS (SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(w, t -> t IN ($inList))) AS BIGINT)
+       |      AS n_bad
+       |  FROM w),
+       |f AS (SELECT doc_id, n_tokens, n_bad,
+       |    round(CAST(n_bad AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+       |      AS bad_frac
+       |  FROM c)
+       |SELECT doc_id, n_tokens, n_bad, bad_frac,
+       |  (bad_frac <= 0.05) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** q96 oracle: q36's recursive-CTE components, singletons defaulting
+    * to their own doc_id, split by the portable md5-bucket of the
+    * cluster id (mirrors Dedup.leakageSafeSplit; 409 = 100‰·4096/1000). */
+  private lazy val leakageSplitOracle: String =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_a, doc_b FROM ($ngramJaccardOracle) t),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(node, lab) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, r.lab FROM edges e JOIN reach r ON e.d = r.node),
+       |cl AS (SELECT node AS doc_id, min(lab) AS cluster_id
+       |  FROM reach GROUP BY node)
+       |SELECT d.doc_id,
+       |  coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+       |  CASE WHEN CAST('0x' || substr(md5(CAST(
+       |      coalesce(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 3)
+       |      AS INT) < 409
+       |    THEN 'val' ELSE 'train' END AS split
+       |FROM documents d LEFT JOIN cl USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q97 oracle: same md5-derived 16-bit boundary rule, running
+    * prior-boundary count as the chunk id, ordered string_agg rebuild
+    * (mirrors CorpusStats.cdcChunks). */
+  private val cdcChunksOracle: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
+      |    AS w FROM documents),
+      |tok AS (SELECT doc_id, w.w[i] AS tok, i
+      |  FROM w, UNNEST(generate_series(1, len(w.w))) AS t(i)),
+      |b AS (SELECT doc_id, tok, i,
+      |    CASE WHEN CAST('0x' || substr(md5(tok), 1, 4) AS INT) % 8 = 0
+      |      THEN 1 ELSE 0 END AS bnd
+      |  FROM tok),
+      |c AS (SELECT doc_id, tok, i,
+      |    coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS chunk_idx
+      |  FROM b)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_hash
+      |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** q98 oracle: identical injected Cyrillic/CJK stripes (chr()-built,
+    * no literal-encoding risk), then the SAME split-to-chars +
+    * codepoint range counts (DuckDB string_split(text,'')+unicode ≡
+    * Spark split(text,'')+ascii on BMP input — verified empirically). */
+  private lazy val scriptMixOracle: String = {
+    def chrs(s: String): String =
+      s.codePoints().toArray.map(cp => s"chr($cp)").mkString(" || ")
+    val cyr = chrs(" данные" +
+      " запрос")
+    val cjk = chrs(" 数据 查询")
+    s"""WITH c AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 0 THEN text || $cyr
+       |      WHEN doc_id % 17 = 0 THEN text || $cjk
+       |      ELSE text END AS text
+       |  FROM documents),
+       |cp AS (SELECT doc_id,
+       |    list_transform(string_split(text, ''), ch -> unicode(ch))
+       |      AS cps
+       |  FROM c),
+       |m AS (SELECT doc_id,
+       |    CAST(len(list_filter(cps, p -> (p >= 65 AND p <= 90) OR
+       |      (p >= 97 AND p <= 122))) AS BIGINT) AS n_latin,
+       |    CAST(len(list_filter(cps, p -> p >= 1024 AND p <= 1279))
+       |      AS BIGINT) AS n_cyrillic,
+       |    CAST(len(list_filter(cps, p -> p >= 19968 AND p <= 40959))
+       |      AS BIGINT) AS n_cjk,
+       |    CAST(len(list_filter(cps, p -> p >= 48 AND p <= 57))
+       |      AS BIGINT) AS n_digit
+       |  FROM cp)
+       |SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_digit,
+       |  CAST(CAST(n_latin > 0 AS INT) + CAST(n_cyrillic > 0 AS INT) +
+       |    CAST(n_cjk > 0 AS INT) AS INT) AS n_scripts,
+       |  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk
+       |      THEN 'latin'
+       |    WHEN n_cyrillic >= n_cjk THEN 'cyrillic'
+       |    ELSE 'cjk' END AS main_script,
+       |  (CAST(n_latin > 0 AS INT) + CAST(n_cyrillic > 0 AS INT) +
+       |    CAST(n_cjk > 0 AS INT) >= 2) AS is_mixed
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** q99 oracle: exact-Jaccard truth at τ (q31's chain, outer filter
+    * on the ROUNDED value like the Spark side) FULL OUTER JOINed with
+    * q32's LSH candidates, bucketed into hit/miss/spurious. */
+  private lazy val lshAuditOracle: String =
+    s"""WITH truth AS (SELECT doc_a, doc_b
+       |  FROM ($ngramJaccardOracle) t WHERE jaccard >= 0.25),
+       |cand AS (SELECT doc_a, doc_b FROM ($minhashLshOracle) c),
+       |j AS (SELECT t.doc_a IS NOT NULL AS in_t,
+       |    c.doc_a IS NOT NULL AS in_c
+       |  FROM truth t FULL OUTER JOIN cand c
+       |    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+       |agg AS (SELECT
+       |    CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_truth,
+       |    CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_cand,
+       |    CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hit
+       |  FROM j)
+       |SELECT n_truth, n_cand, n_hit,
+       |  round(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+       |    AS recall,
+       |  round(CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE), 6)
+       |    AS precision
+       |FROM agg""".stripMargin
 
   /** q80 oracle: the q31 intersection chain, containment both ways,
     * verdict threshold on the ROUNDED values (mirrors
@@ -2313,6 +2566,13 @@ object TrainingDataQueries {
         |  min(doc_id) AS canonical
         |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash""".stripMargin,
     "q31_ngram_jaccard" -> ngramJaccardOracle,
+    "q93_cross_source_dups" -> crossSourceDupsOracle,
+    "q94_lexical_diversity" -> lexicalDiversityOracle,
+    "q95_blocklist" -> blocklistOracle,
+    "q96_leakage_split" -> leakageSplitOracle,
+    "q97_cdc_chunks" -> cdcChunksOracle,
+    "q98_script_mix" -> scriptMixOracle,
+    "q99_lsh_audit" -> lshAuditOracle,
     "q36_dedup_clusters" ->
       s"""WITH RECURSIVE
          |p AS (SELECT doc_a, doc_b FROM ($ngramJaccardOracle) t),
@@ -2324,30 +2584,7 @@ object TrainingDataQueries {
          |  SELECT e.s, r.lab FROM edges e JOIN reach r ON e.d = r.node)
          |SELECT node AS doc_id, min(lab) AS cluster_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
-    "q32_minhash_lsh" ->
-      s"""WITH $SH,
-         |sig AS (SELECT doc_id, seed,
-         |    min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
-         |  FROM sh, UNNEST(generate_series(0, 7)) AS q(seed)
-         |  GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
-         |    max(CASE WHEN seed % 2 = 0 THEN minhash END) AS mh0,
-         |    max(CASE WHEN seed % 2 = 1 THEN minhash END) AS mh1
-         |  FROM sig GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.mh0 = b.mh0 AND a.mh1 = b.mh1
-         |    AND a.doc_id < b.doc_id),
-         |est AS (SELECT c.doc_a, c.doc_b,
-         |    round(avg(CASE WHEN sa.minhash = sb.minhash
-         |      THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6)
-         |      AS est_sim
-         |  FROM cand c
-         |  JOIN sig sa ON sa.doc_id = c.doc_a
-         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, est_sim FROM est
-         |WHERE est_sim >= 0.25 ORDER BY doc_a, doc_b""".stripMargin,
+    "q32_minhash_lsh" -> minhashLshOracle,
     "q33_simhash_pairs" -> simhashOracle,
     "q35_embedding_neardup_lsh" ->
       nearDupLshOracle(minCos = 0.45, rowsPerBand = 4, nBands = 8, dim = 64),

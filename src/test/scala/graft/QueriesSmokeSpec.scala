@@ -220,7 +220,33 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // per-conv count window and the final groupBy + output sort
       // (the extra prints are the transcripts derivation's row_number
       // exchange, shared with every P.* query)
-      "q92_conv_structure" -> 4)
+      "q92_conv_structure" -> 4,
+      // structural pin (q79's rationale — the persisted signature
+      // branch's printed subtrees count): q32's LSH chain + the two
+      // source-attach equi-joins + the bounded matrix agg + output
+      // sort; text never moves past the signature pass
+      "q93_cross_source_dups" -> 12,
+      // unigram and bigram (source, gram) partial aggs + their
+      // per-source re-aggs + the bounded source join + output sort;
+      // each gram class shuffles exactly once
+      "q94_lexical_diversity" -> 6,
+      // membership test is a filter HOF inside one narrow codegen'd
+      // pass; only exchange is the output sort
+      "q95_blocklist" -> 1,
+      // q31 pairs → CC (persisted edges, bounded) + the corpus-side
+      // left join + output sort; assignment itself is a narrow map
+      "q96_leakage_split" -> 3,
+      // one doc_id hash exchange shared by the prior-boundary window
+      // AND the (doc_id, chunk_idx) rebuild agg (subset-key
+      // partitioning satisfies the grouping) + output sort
+      "q97_cdc_chunks" -> 2,
+      // split-to-chars + codepoint range counts all in one narrow
+      // projection; only exchange is the output sort
+      "q98_script_mix" -> 1,
+      // structural pin: BOTH audited operators' persisted subtrees
+      // print (q31's shingle-join chain + q32's banding chain), plus
+      // the full-outer pair join and the 1-row two-phase agg
+      "q99_lsh_audit" -> 23)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
