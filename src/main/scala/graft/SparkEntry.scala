@@ -122,7 +122,8 @@ object SparkEntry {
     "q96_leakage_split" -> (T.leakageSplitQ(_, _)),
     "q97_cdc_chunks" -> (T.cdcChunksQ(_, _)),
     "q98_script_mix" -> (T.scriptMixQ(_, _)),
-    "q99_lsh_audit" -> (T.lshAuditQ(_, _)))
+    "q99_lsh_audit" -> (T.lshAuditQ(_, _)),
+    "q100_hot_keys" -> (P.hotKeys(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

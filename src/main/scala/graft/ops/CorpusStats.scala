@@ -1230,6 +1230,41 @@ object CorpusStats {
         round(col("es_key"), 9).as("es_key"))
   }
 
+  /** Hot-key (skew) diagnostic — the first pass of the router's
+    * adaptive-salting strategy exposed as a query: per-key row counts,
+    * corpus share, and a would_salt verdict at `saltFactor`× the mean
+    * key size. At 10¹² turns ONE mega-conversation serializes its
+    * whole partition through a single task unless the writer salts it;
+    * this report is how a pipeline operator finds those keys before
+    * (or instead of) letting a stage time out. Top `topN` keys by
+    * count.
+    *
+    * Plan: one partial-agg groupBy of the key (map-side combine — the
+    * hot key itself is combined per-task BEFORE the wire, so the
+    * diagnostic does not itself suffer the skew it measures), the
+    * scalar total/key-count inlined as literals from a bounded 1-row
+    * eager agg (the q19 pattern — no partition-less window, no 1-row
+    * crossJoin), then TakeOrderedAndProject for the top-N. The salt
+    * verdict compares n·n_keys > saltFactor·total in EXACT integer
+    * arithmetic — no float boundary to disagree across engines. */
+  def hotKeyReport(df: DataFrame, keyCol: String,
+      saltFactor: Int = 2, topN: Int = 20): DataFrame = {
+    val sizes = Dedup.persistOnce(
+      df.groupBy(col(keyCol).as("key"))
+        .agg(count(lit(1)).as("n_rows")))
+    val r = sizes
+      .agg(sum(col("n_rows")).cast("long"), count(lit(1))).head()
+    val (total, nKeys) = (r.getLong(0), r.getLong(1))
+    sizes
+      .select(col("key"), col("n_rows"),
+        round(col("n_rows").cast("double") / lit(total.toDouble), 6)
+          .as("share"),
+        (col("n_rows") * lit(nKeys) > lit(saltFactor.toLong * total))
+          .as("would_salt"))
+      .orderBy(col("n_rows").desc, col("key"))
+      .limit(topN)
+  }
+
   /** Per-source lexical diversity — the corpus-health dual of q24's
     * within-doc repetition: type-token ratio and distinct-bigram ratio
     * per source expose template farms and boilerplate-heavy sources

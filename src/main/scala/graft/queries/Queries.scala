@@ -247,6 +247,22 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** q100: hot-key skew report over the transcript stream — the
+    * router's adaptive-salting first pass as a query
+    * ([[graft.ops.CorpusStats.hotKeyReport]]). The synthetic corpus is
+    * deliberately uniform, so a deterministic mega-conversation stripe
+    * is injected (every event_id % 5 == 0 turn re-keyed to one
+    * "conv-hot0" — ~20% of all turns in one key, the exact shape that
+    * serializes a routed write without salting) and the report must
+    * flag exactly that key. */
+  def hotKeys(s: SparkSession, dir: String): DataFrame = {
+    val t = TranscriptGen.fromEvents(s, dir)
+      .select(
+        when(pmod(col("event_id"), lit(5)) === 0, "conv-hot0")
+          .otherwise(col("conv_id")).as("conv_id"))
+    graft.ops.CorpusStats.hotKeyReport(t, "conv_id")
+  }
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -575,5 +591,20 @@ object Oracles {
          |  (max(CASE WHEN turn_idx = 0 THEN role END) = 'user' AND
          |    CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END)
          |      AS BIGINT) = 0) AS alternation_ok
-         |FROM o GROUP BY conv_id ORDER BY conv_id""".stripMargin)
+         |FROM o GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+    // q100: same injected mega-conversation stripe, per-key counts,
+    // EXACT-integer salt verdict (n·n_keys > 2·total), top-20
+    "q100_hot_keys" ->
+      s"""WITH t AS ($T),
+         |k AS (SELECT CASE WHEN event_id % 5 = 0 THEN 'conv-hot0'
+         |    ELSE conv_id END AS key FROM t),
+         |sizes AS (SELECT key, count(*) AS n_rows FROM k GROUP BY 1),
+         |tot AS (SELECT sum(n_rows) AS total, count(*) AS n_keys
+         |  FROM sizes)
+         |SELECT key, n_rows,
+         |  round(CAST(n_rows AS DOUBLE) /
+         |    CAST((SELECT total FROM tot) AS DOUBLE), 6) AS share,
+         |  (n_rows * (SELECT n_keys FROM tot) >
+         |    2 * (SELECT total FROM tot)) AS would_salt
+         |FROM sizes ORDER BY n_rows DESC, key LIMIT 20""".stripMargin)
 }

@@ -246,7 +246,11 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // structural pin: BOTH audited operators' persisted subtrees
       // print (q31's shingle-join chain + q32's banding chain), plus
       // the full-outer pair join and the 1-row two-phase agg
-      "q99_lsh_audit" -> 23)
+      "q99_lsh_audit" -> 23,
+      // the persisted per-key agg's printed subtree (its one groupBy
+      // exchange counts twice in the text) + TakeOrderedAndProject;
+      // the scalar total/key-count inline as literals (q19 pattern)
+      "q100_hot_keys" -> 2)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)

@@ -129,6 +129,25 @@ class Wave10OpsSpec extends AnyFunSuite {
     assert(!out(2).getBoolean(7))
   }
 
+  test("hot-key report flags only keys above saltFactor x mean size") {
+    import spark.implicits._
+    // one hot key holding 50 of 59 rows across 10 keys: mean 5.9,
+    // verdict n*n_keys > 2*total ⇔ n > 11.8 → only "hot" salts
+    val rows = Seq.fill(50)("hot") ++ (1 to 9).map(i => s"cold$i")
+    val df = rows.toDF("conv_id")
+    val out = CorpusStats.hotKeyReport(df, "conv_id", saltFactor = 2,
+      topN = 5).collect()
+    assert(out.length == 5)
+    assert(out(0).getString(0) == "hot" && out(0).getLong(1) == 50L)
+    assert(out(0).getBoolean(3))
+    assert(out(0).getDouble(2) == BigDecimal(50.0 / 59)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.drop(1).forall(!_.getBoolean(3)))
+    // ties broken by key: the four cold keys present are cold1..cold4
+    assert(out.drop(1).map(_.getString(0)).toSeq ==
+      Seq("cold1", "cold2", "cold3", "cold4"))
+  }
+
   test("lsh audit: counts consistent, exact dups always recalled") {
     import spark.implicits._
     // 3 identical docs → 3 truth pairs, all LSH-recoverable (identical
