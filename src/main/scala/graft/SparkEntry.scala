@@ -123,7 +123,12 @@ object SparkEntry {
     "q97_cdc_chunks" -> (T.cdcChunksQ(_, _)),
     "q98_script_mix" -> (T.scriptMixQ(_, _)),
     "q99_lsh_audit" -> (T.lshAuditQ(_, _)),
-    "q100_hot_keys" -> (P.hotKeys(_, _)))
+    "q100_hot_keys" -> (P.hotKeys(_, _)),
+    "q101_sft_pairs" -> (P.sftPairs(_, _)),
+    "q102_role_transitions" -> (P.roleTransitions(_, _)),
+    "q103_context_fit" -> (P.contextFit(_, _)),
+    "q104_tool_chains" -> (P.toolChains(_, _)),
+    "q105_canned_responses" -> (P.cannedResponses(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Eleventh-wave operators: the SFT-preparation slice of a training-data
+  * pipeline over multi-turn transcripts — the stage between the parsed /
+  * deduplicated transcript table and the tokenizer. Everything here is a
+  * per-conversation window computation (hash-partitioned on conv_id:
+  * billions of SMALL partitions at 100 TB, never a global sort or a
+  * partition-less window) plus bounded final aggregates.
+  *
+  * Reference scope note: the reference (Syun-tnb/llm-logparser) stops at
+  * parse→normalize→export; these operators are engine additions in the
+  * spirit of its transcript model (docs/requirements.md message schema:
+  * role/text/ts per turn).
+  */
+object SftPrep {
+
+  private def convWindow = Window.partitionBy(col("conv_id"))
+    .orderBy(col("turn_idx"))
+
+  /** q101: user→assistant SFT pair extraction — the standard
+    * instruction-tuning transform: every adjacent (user prompt,
+    * assistant response) turn pair, with the full prior-history
+    * context digested to an md5 (the pair builder at scale ships the
+    * rendered context to the tokenizer; the digest keeps this
+    * oracle-checkable without shipping O(conv²) text through the
+    * compare).
+    *
+    * Scale shape: ONE conv_id hash partitioning shared by the lead()
+    * pair walk and the running-context frame; the context
+    * concatenation is sorted INSIDE the collected array
+    * (array_sort on (turn_idx, line) structs) so the digest is
+    * independent of window-frame traversal order — engine-portable by
+    * construction, not by implementation accident.
+    *
+    * Input columns: conv_id, turn_idx, role, text.
+    */
+  def sftPairs(t: DataFrame): DataFrame = {
+    val w = convWindow
+    val ctx = convWindow.rowsBetween(Window.unboundedPreceding, -1)
+    t.select(col("conv_id"), col("turn_idx"), col("role"), col("text"))
+      .withColumn("next_role", lead(col("role"), 1).over(w))
+      .withColumn("next_text", lead(col("text"), 1).over(w))
+      .withColumn("n_context_turns", count(lit(1)).over(ctx))
+      .withColumn("ctx_arr",
+        collect_list(struct(col("turn_idx").as("i"),
+          concat(col("role"), lit(": "), col("text")).as("line")))
+          .over(ctx))
+      .filter(col("role") === "user" && col("next_role") === "assistant")
+      .select(col("conv_id"), col("turn_idx"),
+        col("text").as("prompt"), col("next_text").as("response"),
+        col("n_context_turns"),
+        md5(expr("array_join(transform(array_sort(ctx_arr), x -> x.line), '\n')")
+          .cast("binary")).as("context_md5"))
+  }
+
+  /** q102: role-transition matrix — the Markov structure report over
+    * turn sequences (which role follows which, with per-from-role
+    * conditional probabilities). The transition rollup is bounded at
+    * roles² rows, so it runs EAGERLY (one corpus pass: the lead()
+    * walk + one partial+final agg — the q68/q78/q86 bounded-collect
+    * pattern) and the RETURNED plan is the literal matrix; a lazy
+    * counts⋈totals join would re-derive the corpus subtree in both
+    * branches and scan it twice. The division stays a Spark round()
+    * on the literal frame so rounding semantics match the oracle's
+    * engine-side round(x, 6). */
+  def roleTransitions(t: DataFrame): DataFrame = {
+    val counts = t.select(col("conv_id"), col("turn_idx"), col("role"))
+      .withColumn("to_role", lead(col("role"), 1).over(convWindow))
+      .filter(col("to_role").isNotNull)
+      .groupBy(col("role").as("from_role"), col("to_role"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .collect() // bounded: ≤ |roles|² rows
+    val fromTotals: Map[String, Long] = counts
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val spark = t.sparkSession
+    import spark.implicits._
+    counts.toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(2).toDouble / fromTotals(r.getString(0)).toDouble))
+      .toDF("from_role", "to_role", "n_transitions", "p_raw")
+      .select(col("from_role"), col("to_role"), col("n_transitions"),
+        round(col("p_raw"), 6).as("p"))
+  }
+
+  /** q103: context-budget truncation report — fit each conversation
+    * into a fixed token budget by keeping the longest SUFFIX (the
+    * standard left-truncation before tokenization: recent turns carry
+    * the signal; the last turn is always kept even if alone it
+    * overflows). Whitespace tokens are the q20 contract.
+    *
+    * Scale shape: a reverse running sum + row_number share ONE
+    * (conv_id, turn_idx DESC) window partitioning, and the per-conv
+    * rebuild groupBy reuses the same conv_id hash partitioning (the
+    * q97 subset-key pattern) — one exchange total for the whole
+    * operator. The kept-text digest sorts inside the collected array,
+    * frame-order independent. */
+  def contextFit(t: DataFrame, budgetTokens: Long): DataFrame = {
+    val wRev = Window.partitionBy(col("conv_id"))
+      .orderBy(col("turn_idx").desc)
+    val g = t.select(col("conv_id"), col("turn_idx"), col("text"))
+      .withColumn("n_tok",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("cum_from_end", sum(col("n_tok"))
+        .over(wRev.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("pos_from_end", row_number().over(wRev))
+      .withColumn("keep",
+        col("cum_from_end") <= budgetTokens || col("pos_from_end") === 1)
+    g.groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L))
+          .as("kept_tokens"),
+        collect_list(when(col("keep"),
+          struct(col("turn_idx").as("i"), col("text").as("t"))))
+          .as("kept_arr"))
+      .select(col("conv_id"), col("n_turns"), col("n_kept"),
+        col("kept_tokens"),
+        md5(expr("array_join(transform(array_sort(kept_arr), x -> x.t), '\n')")
+          .cast("binary")).as("kept_md5"))
+  }
+
+  /** q104: tool-call chains — consecutive tool-turn bigrams within a
+    * conversation (which tool follows which: the workflow-mining
+    * report for agent transcripts). The lead() walks only the
+    * tool-turn subsequence (tool IS NOT NULL filter BEFORE the window,
+    * so the shuffled stream is already the small slice); the bigram
+    * rollup is bounded at tools² rows. */
+  def toolChains(t: DataFrame): DataFrame =
+    t.filter(col("tool").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), col("tool"))
+      .withColumn("next_tool", lead(col("tool"), 1).over(convWindow))
+      .filter(col("next_tool").isNotNull)
+      .select(col("tool").as("tool_a"), col("next_tool").as("tool_b"))
+      .groupBy(col("tool_a"), col("tool_b"))
+      .agg(count(lit(1)).as("n_chains"))
+
+  /** q105: canned-response detection — assistant turns whose exact
+    * text repeats ≥ minUses times across the corpus (templated/canned
+    * boilerplate that an SFT pipeline down-weights or drops: the
+    * turn-level twin of q30's document dedup). Texts reduce to md5
+    * BEFORE the shuffle (16-byte keys on the wire, q30's posture); the
+    * corpus-total normalizer is the q19 eager-scalar-literal pattern
+    * (one bounded action, no partition-less window); top-N lands via
+    * TakeOrderedAndProject with the md5 tie-break. */
+  def cannedResponses(t: DataFrame, minUses: Long, topN: Int): DataFrame = {
+    val a = t.filter(col("role") === "assistant")
+      .select(col("conv_id"), md5(col("text").cast("binary"))
+        .as("text_md5"))
+    val total: Long = a.count()
+    a.groupBy(col("text_md5"))
+      .agg(count(lit(1)).as("n_uses"),
+        countDistinct(col("conv_id")).as("n_convs"))
+      .filter(col("n_uses") >= minUses)
+      .withColumn("share", round(col("n_uses").cast("double") /
+        lit(total.toDouble), 6))
+      .orderBy(col("n_uses").desc, col("text_md5"))
+      .limit(topN)
+  }
+}

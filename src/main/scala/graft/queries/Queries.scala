@@ -263,6 +263,38 @@ object PipelineQueries {
     graft.ops.CorpusStats.hotKeyReport(t, "conv_id")
   }
 
+  /** q101: user→assistant SFT pair extraction with a full-prior-history
+    * context digest ([[graft.ops.SftPrep.sftPairs]]). */
+  def sftPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.sftPairs(transcripts(s, dir))
+      .orderBy(col("conv_id"), col("turn_idx"))
+
+  /** q102: role-transition Markov matrix with per-from-role conditional
+    * probabilities ([[graft.ops.SftPrep.roleTransitions]]). */
+  def roleTransitions(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.roleTransitions(transcripts(s, dir))
+      .orderBy(col("from_role"), col("to_role"))
+
+  /** q103: context-budget left-truncation report at 64 whitespace
+    * tokens ([[graft.ops.SftPrep.contextFit]]) — convs here run 50–88
+    * turns at ~3 tokens/turn, so the budget splits every conversation
+    * into a real kept suffix + dropped prefix. */
+  def contextFit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.contextFit(transcripts(s, dir), budgetTokens = 64L)
+      .orderBy(col("conv_id"))
+
+  /** q104: consecutive tool-call bigrams within conversations
+    * ([[graft.ops.SftPrep.toolChains]]). */
+  def toolChains(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.toolChains(transcripts(s, dir))
+      .orderBy(col("n_chains").desc, col("tool_a"), col("tool_b"))
+
+  /** q105: canned assistant-response detection (exact-text repeats ≥ 2,
+    * top-20 by uses — [[graft.ops.SftPrep.cannedResponses]]). */
+  def cannedResponses(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.cannedResponses(transcripts(s, dir),
+      minUses = 2L, topN = 20)
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -606,5 +638,103 @@ object Oracles {
          |    CAST((SELECT total FROM tot) AS DOUBLE), 6) AS share,
          |  (n_rows * (SELECT n_keys FROM tot) >
          |    2 * (SELECT total FROM tot)) AS would_salt
-         |FROM sizes ORDER BY n_rows DESC, key LIMIT 20""".stripMargin)
+         |FROM sizes ORDER BY n_rows DESC, key LIMIT 20""".stripMargin,
+    // q101: the same (conv, turn) walk as q81/q92; the context digest
+    // hashes the ordered prior-history concatenation (both engines
+    // traverse the ROWS frame in ORDER BY order; the Spark side
+    // additionally array_sorts inside the collected array, so equality
+    // here proves the digest is frame-order independent). coalesce('')
+    // pins the empty-context md5 (DuckDB string_agg over an empty
+    // frame is NULL; Spark concat_ws of an empty array is '')
+    "q101_sft_pairs" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id, role, text,
+         |    CAST(row_number() OVER w - 1 AS INTEGER) AS turn_idx,
+         |    lead(role) OVER w AS next_role,
+         |    lead(text) OVER w AS next_text,
+         |    count(*) OVER wctx AS n_context_turns,
+         |    md5(coalesce(
+         |      string_agg(role || ': ' || text, chr(10)) OVER wctx,
+         |      '')) AS context_md5
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id),
+         |    wctx AS (PARTITION BY conv_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT conv_id, turn_idx, text AS prompt,
+         |  next_text AS response, n_context_turns, context_md5
+         |FROM o WHERE role = 'user' AND next_role = 'assistant'
+         |ORDER BY conv_id, turn_idx""".stripMargin,
+    // q102: lead() transition walk + bounded (roles²) rollup; p is an
+    // exact small-integer double division on both engines
+    "q102_role_transitions" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT role, lead(role) OVER
+         |    (PARTITION BY conv_id ORDER BY ts, event_id) AS to_role
+         |  FROM t),
+         |c AS (SELECT role AS from_role, to_role,
+         |    count(*) AS n_transitions
+         |  FROM o WHERE to_role IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT from_role,
+         |    CAST(sum(n_transitions) AS BIGINT) AS n_from
+         |  FROM c GROUP BY 1)
+         |SELECT c.from_role, c.to_role, c.n_transitions,
+         |  round(CAST(c.n_transitions AS DOUBLE) /
+         |    CAST(tot.n_from AS DOUBLE), 6) AS p
+         |FROM c JOIN tot USING (from_role)
+         |ORDER BY from_role, to_role""".stripMargin,
+    // q103: reverse running token sum (q20's whitespace-token
+    // contract), keep = suffix-within-budget OR last turn; the kept
+    // digest is string_agg with an explicit ORDER BY inside the
+    // aggregate — order-pinned on both engines
+    "q103_context_fit" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id, text,
+         |    CAST(row_number() OVER
+         |      (PARTITION BY conv_id ORDER BY ts, event_id) - 1
+         |      AS INTEGER) AS turn_idx,
+         |    CAST(len(string_split_regex(trim(text), '\\s+'))
+         |      AS BIGINT) AS n_tok
+         |  FROM t),
+         |c AS (SELECT *,
+         |    sum(n_tok) OVER (PARTITION BY conv_id
+         |      ORDER BY turn_idx DESC
+         |      ROWS UNBOUNDED PRECEDING) AS cum_from_end,
+         |    row_number() OVER (PARTITION BY conv_id
+         |      ORDER BY turn_idx DESC) AS pos_from_end
+         |  FROM o),
+         |k AS (SELECT *,
+         |    (cum_from_end <= 64 OR pos_from_end = 1) AS keep FROM c)
+         |SELECT conv_id, count(*) AS n_turns,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS kept_tokens,
+         |  md5(string_agg(CASE WHEN keep THEN text END, chr(10)
+         |    ORDER BY turn_idx)) AS kept_md5
+         |FROM k GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+    // q104: lead() over the tool-turn subsequence only; bounded
+    // (tools²) rollup with the (n DESC, a, b) total order
+    "q104_tool_chains" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT tool, lead(tool) OVER
+         |    (PARTITION BY conv_id ORDER BY ts, event_id) AS next_tool
+         |  FROM t WHERE tool IS NOT NULL)
+         |SELECT tool AS tool_a, next_tool AS tool_b,
+         |  count(*) AS n_chains
+         |FROM o WHERE next_tool IS NOT NULL GROUP BY 1, 2
+         |ORDER BY n_chains DESC, tool_a, tool_b""".stripMargin,
+    // q105: assistant texts reduce to md5 before grouping; share's
+    // denominator is the assistant-turn total (the q19 scalar-literal
+    // pattern on the Spark side, a subquery here)
+    "q105_canned_responses" ->
+      s"""WITH t AS ($T),
+         |a AS (SELECT conv_id, md5(text) AS text_md5 FROM t
+         |  WHERE role = 'assistant'),
+         |c AS (SELECT text_md5, count(*) AS n_uses,
+         |    count(DISTINCT conv_id) AS n_convs
+         |  FROM a GROUP BY 1 HAVING count(*) >= 2)
+         |SELECT text_md5, n_uses, n_convs,
+         |  round(CAST(n_uses AS DOUBLE) /
+         |    CAST((SELECT count(*) FROM a) AS DOUBLE), 6) AS share
+         |FROM c ORDER BY n_uses DESC, text_md5 LIMIT 20""".stripMargin)
 }

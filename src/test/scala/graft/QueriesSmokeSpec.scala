@@ -250,7 +250,32 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // the persisted per-key agg's printed subtree (its one groupBy
       // exchange counts twice in the text) + TakeOrderedAndProject;
       // the scalar total/key-count inline as literals (q19 pattern)
-      "q100_hot_keys" -> 2)
+      "q100_hot_keys" -> 2,
+      // ONE conv_id hash partitioning shared by the lead() pair walk
+      // and the running-context frame (same key+order), plus the
+      // transcripts derivation's row_number exchange and the output
+      // sort — the q81/q92 class
+      "q101_sft_pairs" -> 4,
+      // the bounded (roles²) rollup runs eagerly (q68/q78/q86
+      // pattern); the RETURNED plan is the literal matrix + output
+      // sort — anything beyond one exchange means the matrix stopped
+      // being a literal
+      "q102_role_transitions" -> 1,
+      // reverse running sum + row_number share ONE (conv_id,
+      // turn_idx DESC) window partitioning; the per-conv rebuild
+      // groupBy reuses the conv_id hash partitioning (q97 subset-key
+      // pattern) — remaining prints are transcripts' derivation + the
+      // output sort
+      "q103_context_fit" -> 4,
+      // tool-turn filter BEFORE the window (only the tool slice
+      // shuffles) + the bounded tools² rollup + transcripts'
+      // derivation + output sort
+      "q104_tool_chains" -> 5,
+      // texts reduce to md5 before the groupBy; the assistant-total
+      // normalizer is the q19 eager-scalar-literal, top-N is
+      // TakeOrderedAndProject — the two prints are transcripts'
+      // derivation + the fingerprint groupBy
+      "q105_canned_responses" -> 2)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)

@@ -1,0 +1,115 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SftPrep
+
+/** Behavior specs for the eleventh-wave SFT-prep operators (q101–q105):
+  * pair extraction, role transitions, context-budget truncation, tool
+  * chains and canned-response detection. The DuckDB oracles pin
+  * cross-engine parity; these pin the SEMANTICS on crafted fixtures. */
+class Wave11OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("sft pairs: adjacent user→assistant only, ordered context digest") {
+    import spark.implicits._
+    val t = Seq(
+      // conv A: system, user, assistant, user, user, assistant —
+      // pairs at turn 1 (ctx = the system turn) and turn 4 (ctx = all
+      // four prior turns); the user→user adjacency at 3→4 is NOT a pair
+      ("A", 0, "system", "s0"), ("A", 1, "user", "u1"),
+      ("A", 2, "assistant", "a2"), ("A", 3, "user", "u3"),
+      ("A", 4, "user", "u4"), ("A", 5, "assistant", "a5"),
+      // conv B: user opens — empty context digest is md5("")
+      ("B", 0, "user", "u0"), ("B", 1, "assistant", "a1"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = SftPrep.sftPairs(t).orderBy("conv_id", "turn_idx")
+      .collect()
+    assert(out.length == 3)
+    val a1 = out(0)
+    assert(a1.getString(2) == "u1" && a1.getString(3) == "a2")
+    assert(a1.getLong(4) == 1L)
+    assert(a1.getString(5) == md5hex("system: s0"))
+    val a4 = out(1)
+    assert(a4.getString(2) == "u4" && a4.getString(3) == "a5")
+    assert(a4.getLong(4) == 4L)
+    assert(a4.getString(5) ==
+      md5hex("system: s0\nuser: u1\nassistant: a2\nuser: u3"))
+    val b0 = out(2)
+    assert(b0.getLong(4) == 0L && b0.getString(5) == md5hex(""))
+  }
+
+  test("role transitions: counts and conditional probabilities") {
+    import spark.implicits._
+    val t = Seq(
+      ("A", 0, "user"), ("A", 1, "assistant"), ("A", 2, "user"),
+      ("A", 3, "assistant"),
+      ("B", 0, "user"), ("B", 1, "assistant"), ("B", 2, "assistant"))
+      .toDF("conv_id", "turn_idx", "role")
+    val out = SftPrep.roleTransitions(t).orderBy("from_role", "to_role")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("user", "assistant")) == (3L, 1.0))
+    assert(out(("assistant", "user")) == (1L, 0.5))
+    assert(out(("assistant", "assistant")) == (1L, 0.5))
+    assert(out.size == 3) // conv boundaries never produce a transition
+  }
+
+  test("context fit: longest suffix within budget; last turn always kept") {
+    import spark.implicits._
+    val t = Seq(
+      // 4 turns × 3 tokens, budget 7 → keep the last two (6 ≤ 7 < 9)
+      ("A", 0, "t0 t0 t0"), ("A", 1, "t1 t1 t1"),
+      ("A", 2, "t2 t2 t2"), ("A", 3, "t3 t3 t3"),
+      // single overflowing turn: kept anyway (pos_from_end = 1)
+      ("B", 0, "w w w w w w w w w w"))
+      .toDF("conv_id", "turn_idx", "text")
+    val out = SftPrep.contextFit(t, budgetTokens = 7L)
+      .orderBy("conv_id").collect()
+    val a = out(0)
+    assert(a.getLong(1) == 4L && a.getLong(2) == 2L) // n_turns, n_kept
+    assert(a.getLong(3) == 6L) // kept_tokens
+    assert(a.getString(4) == md5hex("t2 t2 t2\nt3 t3 t3"))
+    val b = out(1)
+    assert(b.getLong(2) == 1L && b.getLong(3) == 10L)
+  }
+
+  test("tool chains: non-tool turns between calls do not break the chain") {
+    import spark.implicits._
+    val t = Seq(
+      ("A", 0, "user", None), ("A", 1, "tool", Some("browser")),
+      ("A", 2, "assistant", None), ("A", 3, "tool", Some("python")),
+      ("A", 4, "user", None), ("A", 5, "tool", Some("browser")),
+      ("B", 0, "tool", Some("python"))) // lone call: no chain
+      .toDF("conv_id", "turn_idx", "role", "tool")
+    val out = SftPrep.toolChains(t)
+      .orderBy("tool_a", "tool_b").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("browser", "python") -> 1L,
+      ("python", "browser") -> 1L))
+  }
+
+  test("canned responses: repeats ≥ minUses, share of all assistant turns") {
+    import spark.implicits._
+    val t = Seq(
+      ("A", 0, "assistant", "ok"), ("A", 1, "assistant", "hi"),
+      ("B", 0, "assistant", "ok"), ("B", 1, "assistant", "ok"),
+      ("B", 2, "user", "ok")) // non-assistant: excluded from total
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = SftPrep.cannedResponses(t, minUses = 2L, topN = 20)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == md5hex("ok"))
+    assert(out(0).getLong(1) == 3L) // n_uses
+    assert(out(0).getLong(2) == 2L) // n_convs
+    assert(out(0).getDouble(3) == 0.75) // 3 of 4 assistant turns
+  }
+}
