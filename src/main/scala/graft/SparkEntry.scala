@@ -128,7 +128,10 @@ object SparkEntry {
     "q102_role_transitions" -> (P.roleTransitions(_, _)),
     "q103_context_fit" -> (P.contextFit(_, _)),
     "q104_tool_chains" -> (P.toolChains(_, _)),
-    "q105_canned_responses" -> (P.cannedResponses(_, _)))
+    "q105_canned_responses" -> (P.cannedResponses(_, _)),
+    "q106_repeat_report" -> (P.repeatReport(_, _)),
+    "q107_daily_volume" -> (P.dailyVolume(_, _)),
+    "q108_position_curve" -> (P.positionCurve(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

@@ -1339,4 +1339,36 @@ object CorpusStats {
           s => s.getField("tok")), " ").cast("binary"))
           .as("chunk_hash"))
   }
+
+  /** q107: daily corpus-volume growth curve — turns and active
+    * conversations per epoch day plus the cumulative turn share (the
+    * ingest dashboard: "how much of the corpus had arrived by day
+    * N"). Days are `floor(ts_ms / 86 400 000)` — pure integer
+    * arithmetic, timezone-free on every engine.
+    *
+    * Scale shape: one corpus pass (partial+final agg keyed by day;
+    * day cardinality is bounded — years of data is ~10³ keys), then
+    * the running total over the day axis is computed on the COLLECTED
+    * rollup and returned as a literal frame (the q102 eager pattern:
+    * a window over days would be a partition-less sort at scale for
+    * no reason — the rollup already fits on the driver). */
+  def dailyVolume(t: DataFrame, tsMsCol: String = "ts_ms"): DataFrame = {
+    val spark = t.sparkSession
+    import spark.implicits._
+    val days = t
+      .groupBy(expr(s"div(CAST($tsMsCol AS BIGINT), 86400000)")
+        .as("day_idx"))
+      .agg(count(lit(1)).as("n_turns"),
+        countDistinct(col("conv_id")).as("n_convs"))
+      .collect() // bounded: one row per day
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val total = days.map(_._2).sum
+    val cum = days.scanLeft(0L)(_ + _._2).tail
+    days.zip(cum).toSeq
+      .map { case ((d, n, c), ct) => (d, n, c, ct) }
+      .toDF("day_idx", "n_turns", "n_convs", "cum_turns")
+      .withColumn("cum_share", round(col("cum_turns").cast("double") /
+        lit(total.toDouble), 6))
+  }
 }

@@ -141,6 +141,61 @@ object SftPrep {
       .groupBy(col("tool_a"), col("tool_b"))
       .agg(count(lit(1)).as("n_chains"))
 
+  /** q106: per-conversation repetition report — the degenerate-loop
+    * audit an SFT pipeline runs before training (a model that
+    * self-repeats inside one conversation poisons pairs even when no
+    * text is corpus-frequent enough for q105 to flag). Reports every
+    * conversation: adjacent same-role exact repeats, distinct-text
+    * count and the uniqueness ratio.
+    *
+    * Scale shape: the lag() walk and the per-conv rollup share ONE
+    * conv_id hash partitioning (the groupBy reuses the window's
+    * partitioning — q97 subset-key pattern); countDistinct(text)
+    * stays inside the same exchange because the grouping key is the
+    * partitioning key. The ratio is an exact small-integer division. */
+  def repeatReport(t: DataFrame): DataFrame = {
+    val w = convWindow
+    t.select(col("conv_id"), col("turn_idx"), col("role"), col("text"))
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("prev_text", lag(col("text"), 1).over(w))
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("role") === col("prev_role") &&
+          col("text") === col("prev_text"), 1L).otherwise(0L))
+          .as("n_adjacent_repeats"),
+        countDistinct(col("text")).as("n_distinct_texts"))
+      .withColumn("uniqueness",
+        round(col("n_distinct_texts").cast("double") /
+          col("n_turns").cast("double"), 6))
+  }
+
+  /** q108: turn-length position curve — how message length evolves
+    * over a conversation (SFT diagnostics: front-loaded system/context
+    * turns vs terse tail turns bias a pair sampler that cuts by
+    * position). Each turn lands in a relative-position decile
+    * `div(turn_idx * 10, n_turns)` (exact integer arithmetic on both
+    * engines — no float boundary), then a bounded (10 × roles) rollup
+    * of count / mean tokens / median tokens.
+    *
+    * Scale shape: n_turns is a count over the SAME conv_id window
+    * partitioning the input already carries (one exchange), and the
+    * final rollup is bounded at 10×roles rows. percentile() matches
+    * DuckDB quantile_cont's linear interpolation (the q81 contract). */
+  def positionCurve(t: DataFrame): DataFrame =
+    t.select(col("conv_id"), col("turn_idx"), col("role"), col("text"))
+      .withColumn("n_turns", count(lit(1)).over(
+        Window.partitionBy(col("conv_id"))))
+      .withColumn("pos_decile",
+        expr("div(CAST(turn_idx AS BIGINT) * 10, n_turns)"))
+      .withColumn("n_tok",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .groupBy(col("pos_decile"), col("role"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(avg(col("n_tok")), 6).as("mean_tok"),
+        round(expr("percentile(n_tok, 0.5)"), 4).as("p50_tok"))
+
   /** q105: canned-response detection — assistant turns whose exact
     * text repeats ≥ minUses times across the corpus (templated/canned
     * boilerplate that an SFT pipeline down-weights or drops: the

@@ -295,6 +295,24 @@ object PipelineQueries {
     graft.ops.SftPrep.cannedResponses(transcripts(s, dir),
       minUses = 2L, topN = 20)
 
+  /** q106: per-conversation adjacent-repetition / uniqueness report
+    * ([[graft.ops.SftPrep.repeatReport]]). */
+  def repeatReport(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.repeatReport(transcripts(s, dir))
+      .orderBy(col("conv_id"))
+
+  /** q107: daily volume + cumulative corpus-growth curve
+    * ([[graft.ops.CorpusStats.dailyVolume]]). */
+  def dailyVolume(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusStats.dailyVolume(transcripts(s, dir))
+      .orderBy(col("day_idx"))
+
+  /** q108: turn-length position-decile curve
+    * ([[graft.ops.SftPrep.positionCurve]]). */
+  def positionCurve(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.positionCurve(transcripts(s, dir))
+      .orderBy(col("pos_decile"), col("role"))
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -736,5 +754,59 @@ object Oracles {
          |SELECT text_md5, n_uses, n_convs,
          |  round(CAST(n_uses AS DOUBLE) /
          |    CAST((SELECT count(*) FROM a) AS DOUBLE), 6) AS share
-         |FROM c ORDER BY n_uses DESC, text_md5 LIMIT 20""".stripMargin)
+         |FROM c ORDER BY n_uses DESC, text_md5 LIMIT 20""".stripMargin,
+    // q106: lag() repeat walk + per-conv rollup; NULL prev_role on the
+    // first turn falls to the CASE ELSE 0 on both engines (Spark's
+    // when(null) → otherwise). uniqueness is an exact small-integer
+    // division
+    "q106_repeat_report" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id, role, text,
+         |    lag(role) OVER w AS prev_role,
+         |    lag(text) OVER w AS prev_text
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id))
+         |SELECT conv_id, count(*) AS n_turns,
+         |  CAST(sum(CASE WHEN role = prev_role AND text = prev_text
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_adjacent_repeats,
+         |  count(DISTINCT text) AS n_distinct_texts,
+         |  round(CAST(count(DISTINCT text) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE), 6) AS uniqueness
+         |FROM o GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+    // q107: epoch-day via integer division (timezone-free); the
+    // running total is a window over the bounded day rollup here, a
+    // driver-side literal on the Spark side (q102 eager pattern)
+    "q107_daily_volume" ->
+      s"""WITH t AS ($T),
+         |d AS (SELECT epoch_ms(ts) // 86400000 AS day_idx,
+         |    count(*) AS n_turns,
+         |    count(DISTINCT conv_id) AS n_convs
+         |  FROM t GROUP BY 1)
+         |SELECT day_idx, n_turns, n_convs,
+         |  CAST(sum(n_turns) OVER (ORDER BY day_idx
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_turns,
+         |  round(CAST(sum(n_turns) OVER (ORDER BY day_idx
+         |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+         |    CAST((SELECT sum(n_turns) FROM d) AS DOUBLE), 6)
+         |    AS cum_share
+         |FROM d ORDER BY day_idx""".stripMargin,
+    // q108: relative-position decile via exact integer div; token sums
+    // are integers (< 2^53) so avg is bit-identical across engines;
+    // p50 is the q81 quantile_cont↔percentile contract
+    "q108_position_curve" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id, role, text,
+         |    CAST(row_number() OVER w - 1 AS BIGINT) AS turn_idx,
+         |    count(*) OVER (PARTITION BY conv_id) AS n_turns
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)),
+         |b AS (SELECT (turn_idx * 10) // n_turns AS pos_decile, role,
+         |    CAST(len(string_split_regex(trim(text), '\\s+'))
+         |      AS BIGINT) AS n_tok
+         |  FROM o)
+         |SELECT pos_decile, role, count(*) AS n_rows,
+         |  round(avg(n_tok), 6) AS mean_tok,
+         |  round(quantile_cont(CAST(n_tok AS DOUBLE), 0.5), 4)
+         |    AS p50_tok
+         |FROM b GROUP BY 1, 2 ORDER BY pos_decile, role""".stripMargin)
 }

@@ -275,7 +275,19 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // normalizer is the q19 eager-scalar-literal, top-N is
       // TakeOrderedAndProject — the two prints are transcripts'
       // derivation + the fingerprint groupBy
-      "q105_canned_responses" -> 2)
+      "q105_canned_responses" -> 2,
+      // lag() walk + per-conv rollup (countDistinct's two-phase agg
+      // groups by (conv_id, text) — a superset of the window's conv_id
+      // hash partitioning, so it reuses the exchange) + transcripts'
+      // derivation + output sort — the q101/q103 class
+      "q106_repeat_report" -> 4,
+      // the bounded day rollup runs eagerly (q102 pattern); the
+      // RETURNED plan is the literal growth curve + its output sort
+      "q107_daily_volume" -> 1,
+      // transcripts' derivation + the conv_id re-exchange for the
+      // position window (the derivation ends range-partitioned) + the
+      // bounded 10×roles rollup + output sort — the q104 class
+      "q108_position_curve" -> 5)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)

@@ -97,6 +97,56 @@ class Wave11OpsSpec extends AnyFunSuite {
       ("python", "browser") -> 1L))
   }
 
+  test("repeat report: adjacent same-role exact repeats and uniqueness") {
+    import spark.implicits._
+    val t = Seq(
+      // A: a→a repeat at turns 1→2 (same role+text); the same text at
+      // turn 4 is NOT adjacent; u "x" at turn 3 is same text but
+      // different role than turn 2 → not a repeat
+      ("A", 0, "user", "q"), ("A", 1, "assistant", "x"),
+      ("A", 2, "assistant", "x"), ("A", 3, "user", "x"),
+      ("A", 4, "assistant", "x"),
+      ("B", 0, "user", "hello")) // single turn: 0 repeats, uniqueness 1
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = SftPrep.repeatReport(t).orderBy("conv_id").collect()
+    val a = out(0)
+    assert(a.getLong(1) == 5L && a.getLong(2) == 1L) // n_turns, repeats
+    assert(a.getLong(3) == 2L) // distinct texts: q, x
+    assert(a.getDouble(4) == 0.4)
+    val b = out(1)
+    assert(b.getLong(2) == 0L && b.getDouble(4) == 1.0)
+  }
+
+  test("daily volume: bounded day rollup with cumulative share") {
+    import spark.implicits._
+    val day = 86400000L
+    val t = Seq(
+      ("A", 0L), ("A", 1000L), ("B", day + 1), // day 0: 2 turns; day 1: 1
+      ("A", 3 * day), ("B", 3 * day + 5), ("C", 3 * day + 9)) // day 3: 3
+      .toDF("conv_id", "ts_ms")
+    val out = graft.ops.CorpusStats.dailyVolume(t).orderBy("day_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 1L, 2L, 0.333333), // two A turns → one conv
+      (1L, 1L, 1L, 3L, 0.5),
+      (3L, 3L, 3L, 6L, 1.0)))
+  }
+
+  test("position curve: exact integer deciles, mean and median tokens") {
+    import spark.implicits._
+    // one conv, 5 turns → deciles 0,2,4,6,8; tokens 1..5
+    val t = Seq(
+      ("A", 0, "u", "t"), ("A", 1, "u", "t t"), ("A", 2, "u", "t t t"),
+      ("A", 3, "u", "t t t t"), ("A", 4, "u", "t t t t t"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = SftPrep.positionCurve(t).orderBy("pos_decile").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 2L, 4L, 6L, 8L))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+    assert(out.map(_.getDouble(4)).toSeq == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+  }
+
   test("canned responses: repeats ≥ minUses, share of all assistant turns") {
     import spark.implicits._
     val t = Seq(
