@@ -131,7 +131,10 @@ object SparkEntry {
     "q105_canned_responses" -> (P.cannedResponses(_, _)),
     "q106_repeat_report" -> (P.repeatReport(_, _)),
     "q107_daily_volume" -> (P.dailyVolume(_, _)),
-    "q108_position_curve" -> (P.positionCurve(_, _)))
+    "q108_position_curve" -> (P.positionCurve(_, _)),
+    "q109_embedding_hygiene" -> (T.embeddingHygieneQ(_, _)),
+    "q110_role_vocab" -> (P.roleVocabOverlap(_, _)),
+    "q111_conv_dedup" -> (P.convDigestDups(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

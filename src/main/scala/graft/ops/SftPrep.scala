@@ -196,6 +196,61 @@ object SftPrep {
         round(avg(col("n_tok")), 6).as("mean_tok"),
         round(expr("percentile(n_tok, 0.5)"), 4).as("p50_tok"))
 
+  /** q110: role-vocabulary overlap — the register gap between what
+    * users write and what the model writes (a large gap means user
+    * turns alone are a poor LM corpus; near-total overlap means
+    * assistant text is parroting). One corpus pass: tokens reduce to
+    * per-token role-presence flags (groupBy token, two bool aggs — the
+    * only shuffle, keyed by token), then a single bounded rollup row:
+    * vocabulary sizes, intersection, union and exact-division Jaccard.
+    * The final agg is the q19 eager-scalar pattern (a 1-row
+    * DataFrame), not a collect-and-join. */
+  def roleVocabOverlap(t: DataFrame, roleA: String, roleB: String)
+      : DataFrame = {
+    val toks = t.filter(col("role").isin(roleA, roleB))
+      .select(col("role"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(
+        max(when(col("role") === roleA, 1L).otherwise(0L)).as("in_a"),
+        max(when(col("role") === roleB, 1L).otherwise(0L)).as("in_b"))
+    toks.agg(
+        sum(col("in_a")).as("n_vocab_a"),
+        sum(col("in_b")).as("n_vocab_b"),
+        sum(col("in_a") * col("in_b")).as("n_shared"),
+        count(lit(1)).as("n_union"))
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        col("n_union").cast("double"), 6))
+  }
+
+  /** q111: conversation-level exact dedup — whole conversations whose
+    * ordered (role, text) turn sequence is byte-identical (re-imports,
+    * double-logged sessions: the conversation-grain twin of q30's
+    * document dedup and q105's turn dedup). Each conversation reduces
+    * to ONE md5 digest (computed inside the conv_id-partitioned
+    * rollup — at 100 TB the shuffle after this point carries 16-byte
+    * keys, one row per conversation), then a digest-partitioned window
+    * counts the duplicate group each conversation belongs to.
+    * The digest sorts inside the collected array (frame-order
+    * independent, the q101/q103 contract). */
+  def convDigestDups(t: DataFrame): DataFrame = {
+    val perConv = t
+      .select(col("conv_id"), col("turn_idx"),
+        concat(col("role"), lit(": "), col("text")).as("line"))
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        md5(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(turn_idx, line))), x -> x.line), '\n')")
+          .cast("binary")).as("conv_md5"))
+    perConv
+      .withColumn("dup_group_n",
+        count(lit(1)).over(Window.partitionBy(col("conv_md5"))))
+      .select(col("conv_id"), col("n_turns"), col("conv_md5"),
+        col("dup_group_n"))
+  }
+
   /** q105: canned-response detection — assistant turns whose exact
     * text repeats ≥ minUses times across the corpus (templated/canned
     * boilerplate that an SFT pipeline down-weights or drops: the

@@ -592,4 +592,33 @@ object Similarity {
         col("adc_dist"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** q109: embedding-hygiene audit — the data-quality gate every
+    * embedding pipeline runs before indexing: per-label vector counts,
+    * wrong-dimension / zero-norm / non-finite counts, and the norm
+    * range. A single bad batch (zeroed vectors from a failed encoder,
+    * NaNs from an fp16 overflow) silently poisons ANN recall; this
+    * report catches it in one scan.
+    *
+    * Cross-engine parity: norm² is the pinned-order sequential fold
+    * ([[graft.functions.vec_norm2]] ↔ DuckDB list_sum/list_transform —
+    * the established cosine contract), so zero/threshold compares and
+    * min/max are on bit-identical doubles; only display values are
+    * rounded. One partial+final agg keyed by label (bounded), no
+    * shuffle of the vectors themselves. */
+  def embeddingHygiene(e: DataFrame, expectedDim: Int): DataFrame =
+    e.select(col("label"),
+        size(col("embedding")).as("dim"),
+        graft.functions.vec_norm2(col("embedding")).as("norm2"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("dim") =!= expectedDim, 1L).otherwise(0L))
+          .as("n_bad_dim"),
+        sum(when(col("norm2") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(isnan(col("norm2")) ||
+          col("norm2") === lit(Double.PositiveInfinity), 1L)
+          .otherwise(0L)).as("n_nonfinite"),
+        round(sqrt(min(col("norm2"))), 6).as("min_norm"),
+        round(sqrt(max(col("norm2"))), 6).as("max_norm"))
 }

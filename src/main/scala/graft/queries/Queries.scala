@@ -313,6 +313,18 @@ object PipelineQueries {
     graft.ops.SftPrep.positionCurve(transcripts(s, dir))
       .orderBy(col("pos_decile"), col("role"))
 
+  /** q110: user↔assistant vocabulary overlap
+    * ([[graft.ops.SftPrep.roleVocabOverlap]]). */
+  def roleVocabOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.roleVocabOverlap(transcripts(s, dir),
+      roleA = "user", roleB = "assistant")
+
+  /** q111: conversation-level exact dedup via ordered turn digests
+    * ([[graft.ops.SftPrep.convDigestDups]]). */
+  def convDigestDups(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.convDigestDups(transcripts(s, dir))
+      .orderBy(col("conv_id"))
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -808,5 +820,42 @@ object Oracles {
          |  round(avg(n_tok), 6) AS mean_tok,
          |  round(quantile_cont(CAST(n_tok AS DOUBLE), 0.5), 4)
          |    AS p50_tok
-         |FROM b GROUP BY 1, 2 ORDER BY pos_decile, role""".stripMargin)
+         |FROM b GROUP BY 1, 2 ORDER BY pos_decile, role""".stripMargin,
+    // q110: tokens reduce to per-token role flags (the only shuffle),
+    // then one bounded rollup row; jaccard is an exact small-integer
+    // division
+    "q110_role_vocab" ->
+      s"""WITH t AS ($T),
+         |tk AS (SELECT role,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM t WHERE role IN ('user', 'assistant')),
+         |f AS (SELECT tok,
+         |    max(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+         |      AS in_b
+         |  FROM tk WHERE tok <> '' GROUP BY 1)
+         |SELECT CAST(sum(in_a) AS BIGINT) AS n_vocab_a,
+         |  CAST(sum(in_b) AS BIGINT) AS n_vocab_b,
+         |  CAST(sum(in_a * in_b) AS BIGINT) AS n_shared,
+         |  count(*) AS n_union,
+         |  round(CAST(sum(in_a * in_b) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE), 6) AS jaccard
+         |FROM f""".stripMargin,
+    // q111: the conversation digest is string_agg with an explicit
+    // in-aggregate ORDER BY here, an array_sort inside the collected
+    // array on the Spark side — order-pinned on both engines (the
+    // q101/q103 contract)
+    "q111_conv_dedup" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id, role || ': ' || text AS line,
+         |    row_number() OVER
+         |      (PARTITION BY conv_id ORDER BY ts, event_id) AS rn
+         |  FROM t),
+         |c AS (SELECT conv_id, count(*) AS n_turns,
+         |    md5(string_agg(line, chr(10) ORDER BY rn)) AS conv_md5
+         |  FROM o GROUP BY conv_id)
+         |SELECT conv_id, n_turns, conv_md5,
+         |  CAST(count(*) OVER (PARTITION BY conv_md5) AS BIGINT)
+         |    AS dup_group_n
+         |FROM c ORDER BY conv_id""".stripMargin)
 }

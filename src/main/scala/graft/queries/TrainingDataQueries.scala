@@ -218,6 +218,12 @@ object TrainingDataQueries {
   def lshAuditQ(s: SparkSession, dir: String): DataFrame =
     Dedup.lshRecallAudit(docs(s, dir), tau = 0.25)
 
+  /** q109: per-label embedding-hygiene audit
+    * ([[graft.ops.Similarity.embeddingHygiene]]). */
+  def embeddingHygieneQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.embeddingHygiene(embs(s, dir), expectedDim = 64)
+      .orderBy("label")
+
   /** Exact dedup demo over a corpus with a synthetic duplicate stripe
     * (every 10th doc duplicated under doc_id+100000). */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
@@ -2573,6 +2579,24 @@ object TrainingDataQueries {
     "q97_cdc_chunks" -> cdcChunksOracle,
     "q98_script_mix" -> scriptMixOracle,
     "q99_lsh_audit" -> lshAuditOracle,
+    // q109: norm² is the pinned-order list_sum fold (the cosine
+    // contract), so the zero / non-finite compares run on
+    // bit-identical doubles; only min/max norms are rounded
+    "q109_embedding_hygiene" ->
+      """WITH n AS (SELECT label, len(embedding) AS dim,
+        |    list_sum(list_transform(embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS norm2
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bad_dim,
+        |  CAST(sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  CAST(sum(CASE WHEN isnan(norm2) OR isinf(norm2)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+        |  round(sqrt(min(norm2)), 6) AS min_norm,
+        |  round(sqrt(max(norm2)), 6) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
     "q36_dedup_clusters" ->
       s"""WITH RECURSIVE
          |p AS (SELECT doc_a, doc_b FROM ($ngramJaccardOracle) t),

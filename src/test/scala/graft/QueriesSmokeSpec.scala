@@ -287,7 +287,18 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // transcripts' derivation + the conv_id re-exchange for the
       // position window (the derivation ends range-partitioned) + the
       // bounded 10×roles rollup + output sort — the q104 class
-      "q108_position_curve" -> 5)
+      "q108_position_curve" -> 5,
+      // one bounded partial+final agg keyed by label + the output
+      // sort — the vectors themselves never shuffle
+      "q109_embedding_hygiene" -> 2,
+      // transcripts' derivation (2) + the per-token flag groupBy + the
+      // single-partition gather of the 1-row report
+      "q110_role_vocab" -> 4,
+      // transcripts' derivation (2) + the conv rollup re-exchange (the
+      // derivation ends range-partitioned) + the digest-partitioned
+      // dup-count window + output sort — after the rollup only 16-byte
+      // digests travel
+      "q111_conv_dedup" -> 5)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)

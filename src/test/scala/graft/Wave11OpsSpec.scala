@@ -147,6 +147,58 @@ class Wave11OpsSpec extends AnyFunSuite {
     assert(out.map(_.getDouble(4)).toSeq == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
   }
 
+  test("embedding hygiene: zero, NaN and wrong-dim vectors counted") {
+    import spark.implicits._
+    val e = Seq(
+      (0, Array(3.0f, 4.0f)),              // norm 5
+      (0, Array(0.0f, 0.0f)),              // zero vector
+      (0, Array(1.0f, 0.0f, 0.0f)),        // wrong dim (expected 2)
+      (1, Array(Float.NaN, 1.0f)),         // non-finite norm²
+      (1, Array(0.6f, 0.8f)))              // norm 1
+      .toDF("label", "embedding")
+    val out = graft.ops.Similarity.embeddingHygiene(e, expectedDim = 2)
+      .orderBy("label").collect()
+    val l0 = out(0)
+    assert(l0.getLong(1) == 3L && l0.getLong(2) == 1L) // n_vecs, bad dim
+    assert(l0.getLong(3) == 1L && l0.getLong(4) == 0L) // zero, nonfinite
+    assert(l0.getDouble(5) == 0.0 && l0.getDouble(6) == 5.0)
+    val l1 = out(1)
+    assert(l1.getLong(3) == 0L && l1.getLong(4) == 1L)
+  }
+
+  test("role vocab overlap: flags, shared count and jaccard") {
+    import spark.implicits._
+    val t = Seq(
+      ("A", 0, "user", "alpha beta"),
+      ("A", 1, "assistant", "beta gamma delta"),
+      ("A", 2, "system", "omega"), // excluded role
+      ("B", 0, "user", "alpha  epsilon")) // double space → empty token dropped
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val r = graft.ops.SftPrep
+      .roleVocabOverlap(t, "user", "assistant").collect()(0)
+    assert(r.getLong(0) == 3L) // user: alpha beta epsilon
+    assert(r.getLong(1) == 3L) // assistant: beta gamma delta
+    assert(r.getLong(2) == 1L) // shared: beta
+    assert(r.getLong(3) == 5L) // union
+    assert(r.getDouble(4) == 0.2)
+  }
+
+  test("conv dedup: identical ordered turn sequences share a digest") {
+    import spark.implicits._
+    val t = Seq(
+      ("A", 0, "user", "hi"), ("A", 1, "assistant", "yo"),
+      ("B", 0, "user", "hi"), ("B", 1, "assistant", "yo"), // dup of A
+      ("C", 0, "assistant", "hi"), ("C", 1, "user", "yo")) // roles differ
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = graft.ops.SftPrep.convDigestDups(t).orderBy("conv_id")
+      .collect()
+    assert(out(0).getString(2) == out(1).getString(2))
+    assert(out(0).getLong(3) == 2L && out(1).getLong(3) == 2L)
+    assert(out(2).getString(2) != out(0).getString(2))
+    assert(out(2).getLong(3) == 1L)
+    assert(out(0).getString(2) == md5hex("user: hi\nassistant: yo"))
+  }
+
   test("canned responses: repeats ≥ minUses, share of all assistant turns") {
     import spark.implicits._
     val t = Seq(
