@@ -134,7 +134,10 @@ object SparkEntry {
     "q108_position_curve" -> (P.positionCurve(_, _)),
     "q109_embedding_hygiene" -> (T.embeddingHygieneQ(_, _)),
     "q110_role_vocab" -> (P.roleVocabOverlap(_, _)),
-    "q111_conv_dedup" -> (P.convDigestDups(_, _)))
+    "q111_conv_dedup" -> (P.convDigestDups(_, _)),
+    "q112_truncation" -> (P.truncationReport(_, _)),
+    "q113_conv_lang" -> (P.convLangReport(_, _)),
+    "q114_echo_score" -> (P.echoReport(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

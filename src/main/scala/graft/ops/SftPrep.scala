@@ -251,6 +251,91 @@ object SftPrep {
         col("dup_group_n"))
   }
 
+  /** q112: truncated-response detection — assistant turns that end
+    * mid-thought (the context-length cutoff artifact every SFT
+    * pipeline filters: an answer sliced at max_tokens teaches the
+    * model to stop mid-sentence). Two objective, regex-free signals:
+    * an ODD count of ``` fence markers (an opened-but-never-closed
+    * code block) and a last non-space character outside the terminal
+    * punctuation set (ASCII + CJK 。！？). Fence count is the exact
+    * occurrence fold (length-diff ÷ marker length — the q110/langGuess
+    * stop-hit contract); the last character comes from right(rtrim(·),
+    * 1), identical semantics on both engines. One narrow codegen'd
+    * pass over the assistant slice, zero shuffles beyond the input's
+    * own derivation — at 100 TB this is a scan-rate filter. */
+  def truncationReport(t: DataFrame): DataFrame = {
+    val fences = ((length(col("text")) -
+      length(replace(col("text"), lit("```"), lit("")))) / 3)
+      .cast("long")
+    val terminal =
+      Seq(".", "!", "?", "\"", "'", ")", "]", "`", "。", "！", "？")
+    t.filter(col("role") === "assistant")
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+      .withColumn("n_fences", fences)
+      .withColumn("unclosed_fence", col("n_fences") % 2 === 1)
+      .withColumn("no_terminal",
+        !expr("right(rtrim(text), 1)").isin(terminal: _*))
+      .filter(col("unclosed_fence") || col("no_terminal"))
+      .select(col("conv_id"), col("turn_idx"), col("n_fences"),
+        col("unclosed_fence"), col("no_terminal"))
+  }
+
+  /** q113: conversation language-consistency report — conversations
+    * where the user and model drift across languages (a code-switching
+    * transcript is fine for multilingual SFT but poison for a
+    * monolingual run; the mixed flag is the routing key). Per-turn
+    * language is [[TextAnalysis.langGuess]] (the q21 contract — same
+    * expression, same oracle CASE), reduced in two conv-local hops:
+    * groupBy (conv_id, lang) counts, then ONE conv_id partitioning
+    * shared by the dominant-language window (count desc, lang asc
+    * tie-break) and the final rollup — the window's exchange is the
+    * rollup's exchange. Conversation cardinality bounds every
+    * post-turn-level row count. */
+  def convLangReport(t: DataFrame): DataFrame = {
+    val perLang = t
+      .select(col("conv_id"),
+        TextAnalysis.langGuess(col("text")).as("lang"))
+      .groupBy(col("conv_id"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("n").desc, col("lang").asc)
+    perLang.withColumn("rk", row_number().over(w))
+      .groupBy(col("conv_id"))
+      .agg(
+        sum(col("n")).as("n_turns"),
+        count(lit(1)).as("n_langs"),
+        max(when(col("rk") === 1, col("lang"))).as("dominant_lang"),
+        (count(lit(1)) > 1).as("is_mixed"))
+  }
+
+  /** q114: assistant-echo (parroting) score — for every adjacent
+    * user→assistant pair (q101's walk), the fraction of the response's
+    * DISTINCT tokens already present in the prompt. A near-1 ratio on
+    * a long response is the restate-the-question failure mode; SFT
+    * pipelines down-weight it (the per-pair sharp version of q110's
+    * corpus-level overlap). Token sets are distinct-filtered arrays
+    * (empty-token drop, the q110 contract); the intersection is a
+    * per-row array op — after the one conv_id pair-walk exchange the
+    * whole computation is narrow. */
+  def echoReport(t: DataFrame): DataFrame = {
+    def dtoks(c: Column): Column =
+      array_distinct(filter(split(trim(c), "\\s+"),
+        x => x =!= ""))
+    val shared = size(array_intersect(col("atok"), col("utok")))
+    t.select(col("conv_id"), col("turn_idx"), col("role"), col("text"))
+      .withColumn("next_role", lead(col("role"), 1).over(convWindow))
+      .withColumn("next_text", lead(col("text"), 1).over(convWindow))
+      .filter(col("role") === "user" && col("next_role") === "assistant")
+      .select(col("conv_id"), col("turn_idx"),
+        dtoks(col("text")).as("utok"),
+        dtoks(col("next_text")).as("atok"))
+      .select(col("conv_id"), col("turn_idx"),
+        size(col("atok")).cast("long").as("n_resp_tokens"),
+        shared.cast("long").as("n_shared"),
+        round(shared.cast("double") /
+          greatest(size(col("atok")), lit(1)), 6).as("echo_ratio"))
+  }
+
   /** q105: canned-response detection — assistant turns whose exact
     * text repeats ≥ minUses times across the corpus (templated/canned
     * boilerplate that an SFT pipeline down-weights or drops: the

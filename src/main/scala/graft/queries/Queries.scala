@@ -325,6 +325,24 @@ object PipelineQueries {
     graft.ops.SftPrep.convDigestDups(transcripts(s, dir))
       .orderBy(col("conv_id"))
 
+  /** q112: truncated/unterminated assistant responses
+    * ([[graft.ops.SftPrep.truncationReport]]). */
+  def truncationReport(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.truncationReport(transcripts(s, dir))
+      .orderBy(col("conv_id"), col("turn_idx"))
+
+  /** q113: per-conversation language-consistency report
+    * ([[graft.ops.SftPrep.convLangReport]]). */
+  def convLangReport(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.convLangReport(transcripts(s, dir))
+      .orderBy(col("conv_id"))
+
+  /** q114: assistant-echo (parroting) score per SFT pair
+    * ([[graft.ops.SftPrep.echoReport]]). */
+  def echoReport(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.echoReport(transcripts(s, dir))
+      .orderBy(col("conv_id"), col("turn_idx"))
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -857,5 +875,88 @@ object Oracles {
          |SELECT conv_id, n_turns, conv_md5,
          |  CAST(count(*) OVER (PARTITION BY conv_md5) AS BIGINT)
          |    AS dup_group_n
-         |FROM c ORDER BY conv_id""".stripMargin)
+         |FROM c ORDER BY conv_id""".stripMargin,
+    // q112: fence count is the exact occurrence fold (length-diff ÷ 3,
+    // the stop-hit contract — an exact-integer double on both
+    // engines); the last character via right(rtrim(·), 1), identical
+    // single-char semantics
+    "q112_truncation" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id,
+         |    CAST(row_number() OVER (PARTITION BY conv_id
+         |      ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         |    role, text FROM t),
+         |a AS (SELECT conv_id, turn_idx,
+         |    CAST((length(text) - length(replace(text, '```', ''))) / 3
+         |      AS BIGINT) AS n_fences,
+         |    right(rtrim(text), 1) AS lc
+         |  FROM o WHERE role = 'assistant'),
+         |f AS (SELECT conv_id, turn_idx, n_fences,
+         |    n_fences % 2 = 1 AS unclosed_fence,
+         |    NOT (lc IN ('.', '!', '?', '"', '''', ')', ']', '`',
+         |      '。', '！', '？')) AS no_terminal
+         |  FROM a)
+         |SELECT conv_id, turn_idx, n_fences, unclosed_fence, no_terminal
+         |FROM f WHERE unclosed_fence OR no_terminal
+         |ORDER BY conv_id, turn_idx""".stripMargin,
+    // q113: per-turn language is the q21 langGuess CASE verbatim;
+    // dominant lang via (count desc, lang asc) row_number tie-break
+    "q113_conv_lang" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id, text,
+         |    ' ' || lower(text) || ' ' AS p,
+         |    greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+         |      AS nt
+         |  FROM t),
+         |l AS (SELECT conv_id,
+         |  CASE
+         |    WHEN regexp_matches(text,
+         |      '[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]') THEN 'cjk'
+         |    WHEN ((length(p) - length(replace(p, ' the ', ''))) / 5 +
+         |          (length(p) - length(replace(p, ' a ', ''))) / 3 +
+         |          (length(p) - length(replace(p, ' and ', ''))) / 5 +
+         |          (length(p) - length(replace(p, ' of ', ''))) / 4 +
+         |          (length(p) - length(replace(p, ' to ', ''))) / 4 +
+         |          (length(p) - length(replace(p, ' is ', ''))) / 4)
+         |         / nt >= 0.03 THEN 'en'
+         |    WHEN length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) /
+         |         CAST(greatest(length(text), 1) AS DOUBLE) >= 0.9
+         |      THEN 'latin_other'
+         |    ELSE 'other' END AS lang
+         |  FROM o),
+         |c AS (SELECT conv_id, lang, count(*) AS n FROM l GROUP BY 1, 2),
+         |r AS (SELECT conv_id, lang, n,
+         |    row_number() OVER (PARTITION BY conv_id
+         |      ORDER BY n DESC, lang) AS rk
+         |  FROM c)
+         |SELECT conv_id, CAST(sum(n) AS BIGINT) AS n_turns,
+         |  count(*) AS n_langs,
+         |  max(CASE WHEN rk = 1 THEN lang END) AS dominant_lang,
+         |  count(*) > 1 AS is_mixed
+         |FROM r GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+    // q114: distinct-token sets via list_distinct ∘ list_filter (the
+    // q110 empty-token drop); only intersection SIZES are compared, so
+    // list order never matters
+    "q114_echo_score" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id,
+         |    CAST(row_number() OVER w - 1 AS INTEGER) AS turn_idx,
+         |    role, text,
+         |    lead(role) OVER w AS next_role,
+         |    lead(text) OVER w AS next_text
+         |  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)),
+         |p AS (SELECT conv_id, turn_idx,
+         |    list_distinct(list_filter(
+         |      string_split_regex(trim(text), '\\s+'),
+         |      x -> x <> '')) AS utok,
+         |    list_distinct(list_filter(
+         |      string_split_regex(trim(next_text), '\\s+'),
+         |      x -> x <> '')) AS atok
+         |  FROM o WHERE role = 'user' AND next_role = 'assistant')
+         |SELECT conv_id, turn_idx,
+         |  CAST(len(atok) AS BIGINT) AS n_resp_tokens,
+         |  CAST(len(list_intersect(atok, utok)) AS BIGINT) AS n_shared,
+         |  round(CAST(len(list_intersect(atok, utok)) AS DOUBLE) /
+         |    greatest(len(atok), 1), 6) AS echo_ratio
+         |FROM p ORDER BY conv_id, turn_idx""".stripMargin)
 }

@@ -298,7 +298,19 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // derivation ends range-partitioned) + the digest-partitioned
       // dup-count window + output sort — after the rollup only 16-byte
       // digests travel
-      "q111_conv_dedup" -> 5)
+      "q111_conv_dedup" -> 5,
+      // the turn_idx window's conv_id hash + the output range sort
+      // (the derivation's own sort collapses into it) — the flag math
+      // itself is a pure narrow pass
+      "q112_truncation" -> 2,
+      // turn_idx window's conv_id hash + the (conv_id, lang) count
+      // re-key + ONE conv_id exchange shared by the dominant-lang
+      // window, the final rollup and the output sort
+      "q113_conv_lang" -> 3,
+      // transcripts' derivation (2) + the conv_id pair-walk
+      // re-exchange + output sort — the q101 shape; token arrays are
+      // built and intersected AFTER the pair filter, never shuffled
+      "q114_echo_score" -> 4)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
