@@ -137,7 +137,10 @@ object SparkEntry {
     "q111_conv_dedup" -> (P.convDigestDups(_, _)),
     "q112_truncation" -> (P.truncationReport(_, _)),
     "q113_conv_lang" -> (P.convLangReport(_, _)),
-    "q114_echo_score" -> (P.echoReport(_, _)))
+    "q114_echo_score" -> (P.echoReport(_, _)),
+    "q115_prompt_templates" -> (P.promptTemplates(_, _)),
+    "q116_refusal_report" -> (P.refusalReport(_, _)),
+    "q117_padding_report" -> (P.paddingReport(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

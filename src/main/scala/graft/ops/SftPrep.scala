@@ -358,4 +358,105 @@ object SftPrep {
       .orderBy(col("n_uses").desc, col("text_md5"))
       .limit(topN)
   }
+
+  /** q115: user prompt-template mining — the user-side twin of q105:
+    * prompts are skeletonized (lowercase, digit runs → `#`, whitespace
+    * runs → one space, trim) so "click 89" and "click 7" collapse to
+    * one template, then counted. SFT pipelines use this to spot
+    * machine-generated prompt boilerplate worth down-weighting and to
+    * name the dominant interaction shapes in a corpus.
+    *
+    * Scale shape: the HEAVY aggregation ships only 16-byte md5 keys
+    * (q30/q105 posture — the skeleton text is hashed BEFORE the
+    * shuffle); template text crosses the wire only for rows matching
+    * the top-N winner keys, recovered via an explicitly broadcast
+    * ≤topN-row join and a second md5-keyed agg over that filtered
+    * slice. Digit/whitespace classes are spelled as explicit character
+    * classes (`[0-9]`, `[ \t\n\r]`) — identical under Java regex and
+    * RE2, so the skeleton is engine-portable by construction. */
+  def promptTemplates(t: DataFrame, minUses: Long, topN: Int): DataFrame = {
+    val skel = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[0-9]+", "#"),
+      "[ \\t\\n\\r]+", " "))
+    val u = t.filter(col("role") === "user")
+      .select(col("conv_id"), skel.as("template"))
+      .withColumn("template_md5", md5(col("template").cast("binary")))
+    val winners = u.groupBy(col("template_md5"))
+      .agg(count(lit(1)).as("n_uses"),
+        countDistinct(col("conv_id")).as("n_convs"))
+      .filter(col("n_uses") >= minUses)
+      .orderBy(col("n_uses").desc, col("template_md5"))
+      .limit(topN)
+    u.join(broadcast(winners), "template_md5")
+      .groupBy(col("template_md5"), col("n_uses"), col("n_convs"))
+      .agg(min(col("template")).as("template"))
+      .select(col("template_md5"), col("template"),
+        col("n_uses"), col("n_convs"))
+      .orderBy(col("n_uses").desc, col("template_md5"))
+  }
+
+  /** q116: assistant refusal / failure-marker incidence per language —
+    * the safety-mix report an SFT pipeline runs before sampling: a
+    * corpus whose assistant turns are 30% refusals teaches refusing,
+    * one with 0% teaches never refusing, and a rate that differs 10×
+    * between languages is a multilingual-alignment bug; all three are
+    * findings. Markers are a fixed lowercase substring set (refusal
+    * phrases + error markers, EN+JA); matching is `contains` on the
+    * lowercased text — no regex, so the predicate is a codegen'd scan
+    * both here and in the oracle. The language key is
+    * [[TextAnalysis.langGuess]], the q21/q113 contract.
+    *
+    * Scale shape: one narrow pass over the assistant slice, then a
+    * single rollup bounded by language-class cardinality (the
+    * distinct-conversation count rides the same exchange via the
+    * standard two-phase expand). */
+  def refusalReport(t: DataFrame): DataFrame = {
+    val markers = Seq(
+      "i cannot", "i can't", "i'm sorry", "i am unable", "as an ai",
+      "refuse", "error", "failed", "申し訳", "できません")
+    val p = lower(col("text"))
+    val isRefusal = markers.map(m => p.contains(lit(m))).reduce(_ || _)
+    t.filter(col("role") === "assistant")
+      .select(TextAnalysis.langGuess(col("text")).as("lang"),
+        col("conv_id"), isRefusal.cast("int").as("r"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(col("r")).as("n_refusals"),
+        countDistinct(when(col("r") === 1, col("conv_id")))
+          .as("n_convs_refusing"),
+        round(sum(col("r")).cast("double") / count(lit(1)), 6)
+          .as("refusal_rate"))
+      .orderBy(col("lang"))
+  }
+
+  /** q117: padding-efficiency report for length-bucketed batching —
+    * per-conversation token totals (the q20 whitespace-token contract)
+    * assigned to power-of-two sequence buckets, reporting per bucket
+    * how many tokens a pad-to-bucket-cap batcher would waste. This is
+    * the number that decides a training run's bucket boundaries: a
+    * bucket with waste_share 0.45 is a bucket boundary in the wrong
+    * place. The cap ladder is an exact-integer CASE chain (16 … 4096,
+    * else 8192) — no float log2, whose power-of-two boundary rounding
+    * differs across engines.
+    *
+    * Scale shape: one conv_id-keyed agg (map-side partial sums make
+    * the shuffle rows-per-conversation, not per-turn) feeding a
+    * ≤10-row bucket rollup; everything after the first exchange is
+    * bounded by the ladder length. */
+  def paddingReport(t: DataFrame): DataFrame = {
+    val caps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+    val nTok = size(split(trim(col("text")), "\\s+")).cast("long")
+    val conv = t.select(col("conv_id"), nTok.as("n_tok"))
+      .groupBy(col("conv_id")).agg(sum(col("n_tok")).as("len"))
+    val cap = caps.reverse.foldLeft(lit(8192L): Column)(
+      (acc, c) => when(col("len") <= c, lit(c)).otherwise(acc))
+    conv.withColumn("bucket_cap", cap)
+      .groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("len")).as("n_tokens"))
+      .withColumn("n_padding",
+        col("bucket_cap") * col("n_seqs") - col("n_tokens"))
+      .withColumn("waste_share", round(col("n_padding").cast("double") /
+        (col("bucket_cap") * col("n_seqs")).cast("double"), 6))
+      .orderBy(col("bucket_cap"))
+  }
 }

@@ -343,6 +343,22 @@ object PipelineQueries {
     graft.ops.SftPrep.echoReport(transcripts(s, dir))
       .orderBy(col("conv_id"), col("turn_idx"))
 
+  /** q115: user prompt-template mining
+    * ([[graft.ops.SftPrep.promptTemplates]]). */
+  def promptTemplates(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.promptTemplates(transcripts(s, dir),
+      minUses = 2L, topN = 20)
+
+  /** q116: assistant refusal / failure-marker incidence per language
+    * ([[graft.ops.SftPrep.refusalReport]]). */
+  def refusalReport(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.refusalReport(transcripts(s, dir))
+
+  /** q117: padding-efficiency length-bucket report
+    * ([[graft.ops.SftPrep.paddingReport]]). */
+  def paddingReport(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.paddingReport(transcripts(s, dir))
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -958,5 +974,90 @@ object Oracles {
          |  CAST(len(list_intersect(atok, utok)) AS BIGINT) AS n_shared,
          |  round(CAST(len(list_intersect(atok, utok)) AS DOUBLE) /
          |    greatest(len(atok), 1), 6) AS echo_ratio
-         |FROM p ORDER BY conv_id, turn_idx""".stripMargin)
+         |FROM p ORDER BY conv_id, turn_idx""".stripMargin,
+    // q115: skeleton classes are explicit char classes (identical in
+    // Java regex and RE2); the md5 group key makes min(template) a
+    // constant per group, so no collation is in play
+    "q115_prompt_templates" ->
+      s"""WITH t AS ($T),
+         |u AS (SELECT conv_id,
+         |    trim(regexp_replace(regexp_replace(lower(text),
+         |      '[0-9]+', '#', 'g'), '[ \\t\\n\\r]+', ' ', 'g'))
+         |      AS template
+         |  FROM t WHERE role = 'user'),
+         |w AS (SELECT md5(template) AS template_md5,
+         |    count(*) AS n_uses,
+         |    count(DISTINCT conv_id) AS n_convs,
+         |    min(template) AS template
+         |  FROM u GROUP BY 1 HAVING count(*) >= 2
+         |  ORDER BY n_uses DESC, template_md5 LIMIT 20)
+         |SELECT template_md5, template, n_uses, n_convs FROM w
+         |ORDER BY n_uses DESC, template_md5""".stripMargin,
+    // q116: marker matching is plain substring `contains` on the
+    // lowercased text — no regex dialect in play; the language key is
+    // the q21/q113 langGuess CASE verbatim
+    "q116_refusal_report" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id, text,
+         |    ' ' || lower(text) || ' ' AS p,
+         |    greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+         |      AS nt
+         |  FROM t WHERE role = 'assistant'),
+         |a AS (SELECT conv_id,
+         |  CASE
+         |    WHEN regexp_matches(text,
+         |      '[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]') THEN 'cjk'
+         |    WHEN ((length(p) - length(replace(p, ' the ', ''))) / 5 +
+         |          (length(p) - length(replace(p, ' a ', ''))) / 3 +
+         |          (length(p) - length(replace(p, ' and ', ''))) / 5 +
+         |          (length(p) - length(replace(p, ' of ', ''))) / 4 +
+         |          (length(p) - length(replace(p, ' to ', ''))) / 4 +
+         |          (length(p) - length(replace(p, ' is ', ''))) / 4)
+         |         / nt >= 0.03 THEN 'en'
+         |    WHEN length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) /
+         |         CAST(greatest(length(text), 1) AS DOUBLE) >= 0.9
+         |      THEN 'latin_other'
+         |    ELSE 'other' END AS lang,
+         |    CASE WHEN contains(lower(text), 'i cannot')
+         |      OR contains(lower(text), 'i can''t')
+         |      OR contains(lower(text), 'i''m sorry')
+         |      OR contains(lower(text), 'i am unable')
+         |      OR contains(lower(text), 'as an ai')
+         |      OR contains(lower(text), 'refuse')
+         |      OR contains(lower(text), 'error')
+         |      OR contains(lower(text), 'failed')
+         |      OR contains(lower(text), '申し訳')
+         |      OR contains(lower(text), 'できません')
+         |      THEN 1 ELSE 0 END AS r
+         |  FROM o)
+         |SELECT lang, count(*) AS n_turns,
+         |  CAST(sum(r) AS BIGINT) AS n_refusals,
+         |  count(DISTINCT CASE WHEN r = 1 THEN conv_id END)
+         |    AS n_convs_refusing,
+         |  round(CAST(sum(r) AS DOUBLE) / count(*), 6) AS refusal_rate
+         |FROM a GROUP BY lang ORDER BY lang""".stripMargin,
+    // q117: the q20 whitespace-token contract feeds an exact-integer
+    // CASE ladder (no float log2 — its power-of-two boundary rounding
+    // is engine-dependent); every integer is CAST to BIGINT to match
+    // the Spark longs
+    "q117_padding_report" ->
+      s"""WITH t AS ($T),
+         |c AS (SELECT conv_id,
+         |    CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+         |      AS BIGINT) AS len
+         |  FROM t GROUP BY 1),
+         |b AS (SELECT len,
+         |    CASE WHEN len <= 16 THEN 16 WHEN len <= 32 THEN 32
+         |         WHEN len <= 64 THEN 64 WHEN len <= 128 THEN 128
+         |         WHEN len <= 256 THEN 256 WHEN len <= 512 THEN 512
+         |         WHEN len <= 1024 THEN 1024 WHEN len <= 2048 THEN 2048
+         |         WHEN len <= 4096 THEN 4096 ELSE 8192 END AS bucket_cap
+         |  FROM c)
+         |SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+         |  count(*) AS n_seqs,
+         |  CAST(sum(len) AS BIGINT) AS n_tokens,
+         |  CAST(bucket_cap * count(*) - sum(len) AS BIGINT) AS n_padding,
+         |  round(CAST(bucket_cap * count(*) - sum(len) AS DOUBLE) /
+         |    CAST(bucket_cap * count(*) AS DOUBLE), 6) AS waste_share
+         |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin)
 }

@@ -310,7 +310,17 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // transcripts' derivation (2) + the conv_id pair-walk
       // re-exchange + output sort — the q101 shape; token arrays are
       // built and intersected AFTER the pair filter, never shuffled
-      "q114_echo_score" -> 4)
+      "q114_echo_score" -> 4,
+      // md5-keyed winner agg (two-phase countDistinct: 2) + the ≤20-row
+      // BroadcastExchange + the winner-slice re-agg + output sort —
+      // template text crosses the wire only for winner-matched rows
+      "q115_prompt_templates" -> 5,
+      // one bounded lang rollup (two-phase countDistinct: 2) + output
+      // sort — the marker predicate is a codegen'd scan, no regex
+      "q116_refusal_report" -> 3,
+      // conv_id token-total agg (map-side partials) + the ≤10-row
+      // bucket rollup + output sort — the cap ladder is exact-integer
+      "q117_padding_report" -> 3)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
