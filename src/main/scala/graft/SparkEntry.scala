@@ -140,7 +140,10 @@ object SparkEntry {
     "q114_echo_score" -> (P.echoReport(_, _)),
     "q115_prompt_templates" -> (P.promptTemplates(_, _)),
     "q116_refusal_report" -> (P.refusalReport(_, _)),
-    "q117_padding_report" -> (P.paddingReport(_, _)))
+    "q117_padding_report" -> (P.paddingReport(_, _)),
+    "q118_preference_pairs" -> (P.preferencePairs(_, _)),
+    "q119_context_trim" -> (P.contextTrim(_, _)),
+    "q120_tool_reliability" -> (P.toolReliability(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

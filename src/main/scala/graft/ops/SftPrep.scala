@@ -459,4 +459,134 @@ object SftPrep {
         (col("bucket_cap") * col("n_seqs")).cast("double"), 6))
       .orderBy(col("bucket_cap"))
   }
+
+  /** q118: preference-pair mining for DPO/RLHF prep — in a transcript
+    * stream, a run of ≥2 consecutive assistant turns answering one
+    * user prompt is the regeneration signature (the user asked once,
+    * the system produced multiple candidates). Each such run becomes a
+    * (prompt, chosen, rejected) training row: chosen = the longest
+    * candidate (ties → earliest turn), rejected = the shortest
+    * (ties → latest turn) — the standard verbosity-proxy bootstrap a
+    * pipeline uses before a learned reward model exists. Texts leave
+    * the operator as md5 digests (the trainer joins them back by
+    * digest), keeping the compare O(pairs), not O(bytes).
+    *
+    * Scale shape: run detection is one conv_id-partitioned window pass
+    * (lag + running sum — billions of SMALL partitions, never global);
+    * the per-run argmax/argmin are SEMILATTICE struct aggregates
+    * (max/min over (len, -turn_idx, md5) tuples), so the groupBy gets
+    * full map-side partial aggregation — no per-run sort, no top-k
+    * window. The oracle spells the same selection as explicit
+    * ORDER BY windows, pinning that the struct-lattice shortcut equals
+    * the sort-based definition. */
+  def preferencePairs(t: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val run = sum(
+      when(lag(col("role"), 1).over(w).isNull ||
+        lag(col("role"), 1).over(w) =!= col("role"), 1L).otherwise(0L))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val marked = t
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("prev_text", lag(col("text"), 1).over(w))
+      .withColumn("run_id", run)
+    val cand = struct(
+      length(col("text")).cast("long").as("len"),
+      (-col("turn_idx")).cast("long").as("nti"),
+      md5(col("text").cast("binary")).as("h"))
+    marked.filter(col("role") === "assistant")
+      .groupBy(col("conv_id"), col("run_id"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        min(struct(col("turn_idx").as("ti"),
+          col("prev_role").as("pr"),
+          md5(col("prev_text").cast("binary")).as("ph"))).as("head"),
+        max(cand).as("ch"),
+        min(cand).as("rj"))
+      .filter(col("n_candidates") >= 2 && col("head.pr") === "user")
+      .select(
+        col("conv_id"),
+        (col("head.ti") - 1).cast("int").as("prompt_turn_idx"),
+        col("head.ph").as("prompt_md5"),
+        col("n_candidates"),
+        col("ch.h").as("chosen_md5"), col("ch.len").as("chosen_len"),
+        col("rj.h").as("rejected_md5"), col("rj.len").as("rejected_len"))
+      .orderBy(col("conv_id"), col("prompt_turn_idx"))
+  }
+
+  /** q119: context-window trim transform — the intervention stage for
+    * q103's context-fit report: given a token budget, keep the longest
+    * SUFFIX of each conversation that fits (newest context wins, the
+    * standard chat-serving and SFT-packing rule) and drop the oldest
+    * turns. Emits the kept rows (text as md5 — the trainer re-joins by
+    * digest) plus each conversation's drop count, so the downstream
+    * sampler can down-weight heavily-truncated conversations. A
+    * conversation whose final turn alone exceeds the budget vanishes
+    * entirely (nothing fits) — deliberate, matching pack-or-drop
+    * semantics. Token counts are the q20 whitespace contract.
+    *
+    * Scale shape: one conv_id hash partitioning carries everything —
+    * the reverse cumulative sum (ordered window), the pre-filter
+    * total, and the post-filter kept count (partition-only windows,
+    * never partition-less); no second shuffle, no join-back for the
+    * drop count. */
+  def contextTrim(t: DataFrame, budget: Long): DataFrame = {
+    val nTok = size(split(trim(col("text")), "\\s+")).cast("long")
+    val wRev = Window.partitionBy(col("conv_id"))
+      .orderBy(col("turn_idx").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wConv = Window.partitionBy(col("conv_id"))
+    t.withColumn("n_tok", nTok)
+      .withColumn("cum_from_end", sum(col("n_tok")).over(wRev))
+      .withColumn("n_total", count(lit(1)).over(wConv))
+      .filter(col("cum_from_end") <= budget)
+      .withColumn("n_dropped",
+        (col("n_total") - count(lit(1)).over(wConv)).cast("long"))
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        col("n_tok"), col("cum_from_end"),
+        md5(col("text").cast("binary")).as("text_md5"),
+        col("n_dropped"))
+      .orderBy(col("conv_id"), col("turn_idx"))
+  }
+
+  /** q120: tool-reliability attribution — per tool: call volume, how
+    * often the turn IMMEDIATELY after the tool call carries a failure
+    * marker (the "did the tool blow up the conversation" rate), and
+    * the mean latency from tool turn to the next turn. This is the
+    * report that decides which tool integration gets the oncall
+    * ticket, and — pipeline-side — which tool-call spans to filter
+    * from training data. Failure matching is lowercase `contains` (no
+    * regex, codegen'd scan both engines); the mean is an exact BIGINT
+    * gap sum divided once (no float accumulation order in play).
+    *
+    * Scale shape: one conv_id-partitioned lead() pass (the q81/q104
+    * posture), then a rollup bounded by tool-vocabulary cardinality
+    * with map-side partials. */
+  def toolReliability(t: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val nxt = t
+      .withColumn("next_text", lead(col("text"), 1).over(w))
+      .withColumn("next_ts", lead(col("ts_ms"), 1).over(w))
+      .filter(col("role") === "tool" && col("tool").isNotNull)
+    val p = lower(col("next_text"))
+    val isErr = col("next_text").isNotNull &&
+      (p.contains(lit("error")) || p.contains(lit("failed")))
+    nxt.groupBy(col("tool"))
+      .agg(
+        count(lit(1)).as("n_calls"),
+        sum(isErr.cast("long")).as("n_error_follow"),
+        sum(when(col("next_ts").isNotNull,
+          col("next_ts") - col("ts_ms")).otherwise(lit(0L)))
+          .as("sum_gap_ms"),
+        count(col("next_ts")).as("n_with_next"))
+      .withColumn("error_follow_rate",
+        round(col("n_error_follow").cast("double") /
+          col("n_calls").cast("double"), 6))
+      .withColumn("mean_gap_ms",
+        round(col("sum_gap_ms").cast("double") /
+          nullif(col("n_with_next"), lit(0L)).cast("double"), 3))
+      .select(col("tool"), col("n_calls"), col("n_error_follow"),
+        col("error_follow_rate"), col("n_with_next"),
+        col("mean_gap_ms"))
+      .orderBy(col("tool"))
+  }
 }

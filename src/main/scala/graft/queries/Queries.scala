@@ -359,6 +359,21 @@ object PipelineQueries {
   def paddingReport(s: SparkSession, dir: String): DataFrame =
     graft.ops.SftPrep.paddingReport(transcripts(s, dir))
 
+  /** q118: preference-pair mining from regeneration runs
+    * ([[graft.ops.SftPrep.preferencePairs]]). */
+  def preferencePairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.preferencePairs(transcripts(s, dir))
+
+  /** q119: context-window trim transform at a 96-token budget
+    * ([[graft.ops.SftPrep.contextTrim]]). */
+  def contextTrim(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.contextTrim(transcripts(s, dir), budget = 96L)
+
+  /** q120: tool-reliability attribution
+    * ([[graft.ops.SftPrep.toolReliability]]). */
+  def toolReliability(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.toolReliability(transcripts(s, dir))
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -1059,5 +1074,108 @@ object Oracles {
          |  CAST(bucket_cap * count(*) - sum(len) AS BIGINT) AS n_padding,
          |  round(CAST(bucket_cap * count(*) - sum(len) AS DOUBLE) /
          |    CAST(bucket_cap * count(*) AS DOUBLE), 6) AS waste_share
-         |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin)
+         |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin,
+    // q118: the oracle spells chosen/rejected as explicit ORDER BY
+    // row_number windows — pinning that the Spark side's semilattice
+    // struct max/min (len, -turn_idx, md5) equals the sort-based
+    // definition; turn_idx is unique so no comparison ever reaches the
+    // md5 element
+    "q118_preference_pairs" ->
+      s"""WITH t AS ($T),
+         |tr AS (SELECT conv_id,
+         |    CAST(row_number() OVER (PARTITION BY conv_id
+         |      ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         |    role, text FROM t),
+         |m AS (SELECT conv_id, turn_idx, role, text,
+         |    lag(role) OVER w AS prev_role,
+         |    lag(text) OVER w AS prev_text,
+         |    CASE WHEN lag(role) OVER w IS NULL
+         |         OR lag(role) OVER w <> role THEN 1 ELSE 0 END AS rs
+         |  FROM tr WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+         |r AS (SELECT *, sum(rs) OVER (PARTITION BY conv_id
+         |    ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS run_id
+         |  FROM m),
+         |rk AS (SELECT conv_id, run_id, turn_idx, prev_role, prev_text,
+         |    text, length(text) AS len,
+         |    row_number() OVER (PARTITION BY conv_id, run_id
+         |      ORDER BY turn_idx) AS rn_first,
+         |    row_number() OVER (PARTITION BY conv_id, run_id
+         |      ORDER BY length(text) DESC, turn_idx ASC) AS rn_ch,
+         |    row_number() OVER (PARTITION BY conv_id, run_id
+         |      ORDER BY length(text) ASC, turn_idx DESC) AS rn_rj,
+         |    count(*) OVER (PARTITION BY conv_id, run_id) AS n_cand
+         |  FROM r WHERE role = 'assistant'),
+         |g AS (SELECT conv_id, run_id,
+         |    max(n_cand) AS n_candidates,
+         |    max(CASE WHEN rn_first = 1 THEN turn_idx END) AS head_ti,
+         |    max(CASE WHEN rn_first = 1 THEN prev_role END) AS head_pr,
+         |    max(CASE WHEN rn_first = 1 THEN md5(prev_text) END)
+         |      AS prompt_md5,
+         |    max(CASE WHEN rn_ch = 1 THEN md5(text) END) AS chosen_md5,
+         |    max(CASE WHEN rn_ch = 1 THEN len END) AS chosen_len,
+         |    max(CASE WHEN rn_rj = 1 THEN md5(text) END) AS rejected_md5,
+         |    max(CASE WHEN rn_rj = 1 THEN len END) AS rejected_len
+         |  FROM rk GROUP BY 1, 2)
+         |SELECT conv_id,
+         |  CAST(head_ti - 1 AS INTEGER) AS prompt_turn_idx, prompt_md5,
+         |  n_candidates, chosen_md5,
+         |  CAST(chosen_len AS BIGINT) AS chosen_len,
+         |  rejected_md5, CAST(rejected_len AS BIGINT) AS rejected_len
+         |FROM g WHERE n_candidates >= 2 AND head_pr = 'user'
+         |ORDER BY conv_id, prompt_turn_idx""".stripMargin,
+    // q119: token counts are the q20/q117 whitespace contract; the
+    // reverse cumulative sum and both per-conversation counts are
+    // spelled as the same windows the Spark side plans on one conv_id
+    // partitioning
+    "q119_context_trim" ->
+      s"""WITH t AS ($T),
+         |tr AS (SELECT conv_id,
+         |    CAST(row_number() OVER (PARTITION BY conv_id
+         |      ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         |    role, text FROM t),
+         |x AS (SELECT conv_id, turn_idx, role, text,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_tok
+         |  FROM tr),
+         |c AS (SELECT *,
+         |    sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+         |      ROWS UNBOUNDED PRECEDING) AS cum_from_end,
+         |    count(*) OVER (PARTITION BY conv_id) AS n_total
+         |  FROM x),
+         |k AS (SELECT *, count(*) OVER (PARTITION BY conv_id) AS n_kept
+         |  FROM c WHERE cum_from_end <= 96)
+         |SELECT conv_id, turn_idx, role, n_tok,
+         |  CAST(cum_from_end AS BIGINT) AS cum_from_end,
+         |  md5(text) AS text_md5,
+         |  CAST(n_total - n_kept AS BIGINT) AS n_dropped
+         |FROM k ORDER BY conv_id, turn_idx""".stripMargin,
+    // q120: failure matching is lowercase `contains` (no regex); the
+    // gap mean is an exact BIGINT sum divided once, so no float
+    // accumulation order is in play on either engine
+    "q120_tool_reliability" ->
+      s"""WITH t AS ($T),
+         |tr AS (SELECT conv_id,
+         |    CAST(row_number() OVER (PARTITION BY conv_id
+         |      ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         |    role, tool, text, epoch_ms(ts) AS ts_ms FROM t),
+         |x AS (SELECT conv_id, turn_idx, role, tool, ts_ms,
+         |    lead(text) OVER w AS next_text,
+         |    lead(ts_ms) OVER w AS next_ts
+         |  FROM tr WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+         |c AS (SELECT * FROM x WHERE role = 'tool' AND tool IS NOT NULL)
+         |SELECT tool, count(*) AS n_calls,
+         |  CAST(sum(CASE WHEN next_text IS NOT NULL AND
+         |      (contains(lower(next_text), 'error') OR
+         |       contains(lower(next_text), 'failed'))
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_error_follow,
+         |  round(CAST(sum(CASE WHEN next_text IS NOT NULL AND
+         |      (contains(lower(next_text), 'error') OR
+         |       contains(lower(next_text), 'failed'))
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         |    AS error_follow_rate,
+         |  CAST(count(next_ts) AS BIGINT) AS n_with_next,
+         |  round(CAST(sum(CASE WHEN next_ts IS NOT NULL
+         |      THEN next_ts - ts_ms ELSE 0 END) AS DOUBLE) /
+         |    CAST(nullif(count(next_ts), 0) AS DOUBLE), 3) AS mean_gap_ms
+         |FROM c GROUP BY tool ORDER BY tool""".stripMargin)
 }

@@ -320,7 +320,20 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q116_refusal_report" -> 3,
       // conv_id token-total agg (map-side partials) + the ≤10-row
       // bucket rollup + output sort — the cap ladder is exact-integer
-      "q117_padding_report" -> 3)
+      "q117_padding_report" -> 3,
+      // transcripts' derivation (2) + ONE conv_id re-exchange shared by
+      // the lag/run-sum windows AND the (conv_id, run_id) groupBy
+      // (hash(conv_id) satisfies the superset clustering) + output
+      // sort — the per-run argmax/argmin are semilattice structs, so
+      // no extra exchange and full map-side partials
+      "q118_preference_pairs" -> 4,
+      // transcripts' derivation (2) + ONE conv_id re-exchange carrying
+      // the reverse cumsum, the pre-filter total and the post-filter
+      // kept count (all the same partitioning) + output sort
+      "q119_context_trim" -> 4,
+      // transcripts' derivation (2) + the lead() re-exchange + the
+      // tool-cardinality rollup (map-side partials) + output sort
+      "q120_tool_reliability" -> 5)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
