@@ -143,7 +143,10 @@ object SparkEntry {
     "q117_padding_report" -> (P.paddingReport(_, _)),
     "q118_preference_pairs" -> (P.preferencePairs(_, _)),
     "q119_context_trim" -> (P.contextTrim(_, _)),
-    "q120_tool_reliability" -> (P.toolReliability(_, _)))
+    "q120_tool_reliability" -> (P.toolReliability(_, _)),
+    "q121_loop_collapse" -> (P.loopCollapse(_, _)),
+    "q122_mixture_plan" -> (T.mixturePlanQ(_, _)),
+    "q123_sft_render" -> (P.sftRender(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

@@ -316,6 +316,64 @@ object CorpusStats {
       col("doc_id"), col("keep_rate"))
   }
 
+  /** q122: exact-integer uniform-target mixture PLAN — the table a
+    * pretraining run signs off on before any resampling happens:
+    * per source, the available token supply, the integer token quota
+    * a uniform target assigns it, how much of the quota the source
+    * can fill without repetition, and the repetition factor (epochs)
+    * / sampling rate the executor must apply. [[temperatureMix]] is
+    * the float-rate *executor*; this is the auditable *planner* — and
+    * it is all 64-bit integer arithmetic so the plan is bit-identical
+    * across engines, retries and cluster sizes (no pow/divide
+    * boundary can flip a quota).
+    *
+    * Quota apportionment: `base = budget div n_sources` to everyone,
+    * and the `budget mod n_sources` remainder tokens go one each to
+    * the lowest-indexed sources (largest-remainder with the source
+    * index as the deterministic tie-break — under a uniform target
+    * every remainder ties). `epochs = ceil(quota / avail)` is the
+    * with-replacement repeat count when the quota exceeds supply;
+    * `rate_ppm = (quota * 1e6) div avail` is the exact
+    * parts-per-million sampling rate (values > 1e6 mean
+    * oversampling).
+    *
+    * Scale: ONE partial-agg groupBy of (source) — bounded by source
+    * cardinality, not corpus size; `n_sources` is an eager bounded
+    * count inlined as a literal (the q19 pattern — NOT a
+    * partition-less window), and every plan column is a narrow
+    * projection over the bounded per-source table. The corpus text
+    * never shuffles: only (source, n_tok) pairs do, pre-summed
+    * map-side.
+    */
+  def mixturePlan(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val perSrc = Dedup.persistOnce(docs
+      .select(col("source"),
+        substring(col("source"), 4, 10).cast("int").as("src_idx"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(min(col("src_idx")).as("src_idx"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("avail_tok")))
+    // bounded eager scalar (#sources), inlined as a literal
+    val nSrc = math.max(perSrc.count(), 1L)
+    val base = budgetTokens / nSrc
+    val rem = budgetTokens % nSrc
+    perSrc
+      .withColumn("quota_tok",
+        lit(base) + when(col("src_idx") < lit(rem), 1L).otherwise(0L))
+      .withColumn("kept_tok", least(col("quota_tok"), col("avail_tok")))
+      .withColumn("deficit_tok",
+        greatest(col("quota_tok") - col("avail_tok"), lit(0L)))
+      .withColumn("epochs",
+        expr("(quota_tok + avail_tok - 1) div avail_tok"))
+      .withColumn("rate_ppm",
+        expr("(quota_tok * 1000000) div avail_tok"))
+      .select(col("source"), col("n_docs"), col("avail_tok"),
+        col("quota_tok"), col("kept_tok"), col("deficit_tok"),
+        col("epochs"), col("rate_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** Benchmark decontamination: flag training documents whose distinct
     * word k-shingle sets overlap an evaluation document's by at least
     * minOverlapFrac (fraction of the TRAINING doc's shingles that also

@@ -589,4 +589,62 @@ object SftPrep {
         col("mean_gap_ms"))
       .orderBy(col("tool"))
   }
+
+  /** q121: degenerate-loop collapse transform — the intervention for
+    * q106's repetition report: drop every turn whose (role, text)
+    * exactly equals its predecessor (a run of k identical turns keeps
+    * its first), emit the kept rows with their re-packed turn index
+    * plus each conversation's collapse count. Stuck-model loops are
+    * poison in SFT data — the model learns to repeat itself — so the
+    * pipeline stage that matters is the removal, not the report.
+    *
+    * Scale shape: ONE conv_id hash partitioning carries the lag
+    * comparison, the pre-filter total, the post-filter re-index
+    * (row_number) and the kept count — no second shuffle, no
+    * join-back. Text leaves as md5 (trainer re-joins by digest). */
+  def loopCollapse(t: DataFrame): DataFrame = {
+    val w = convWindow
+    val wConv = Window.partitionBy(col("conv_id"))
+    t.withColumn("dup",
+        when(col("role") === lag(col("role"), 1).over(w) &&
+          col("text") === lag(col("text"), 1).over(w), 1).otherwise(0))
+      .withColumn("n_total", count(lit(1)).over(wConv))
+      .filter(col("dup") === 0)
+      .withColumn("new_turn_idx", row_number().over(w) - 1)
+      .withColumn("n_collapsed",
+        (col("n_total") - count(lit(1)).over(wConv)).cast("long"))
+      .select(col("conv_id"), col("turn_idx"), col("new_turn_idx"),
+        col("role"), md5(col("text").cast("binary")).as("text_md5"),
+        col("n_collapsed"))
+      .orderBy(col("conv_id"), col("turn_idx"))
+  }
+
+  /** q123: chat-template render — the serialization step that hands a
+    * conversation to the tokenizer: every turn becomes
+    * `<|role|>\ntext`, joined by newlines in turn order. Emits the
+    * rendered string's md5 and token count (q20 contract) — the
+    * digest keeps the compare O(convs) while still pinning every byte
+    * of the rendered form, template tokens included.
+    *
+    * Scale shape: one conv_id-keyed aggregation; collect_list gets
+    * map-side partial aggregation and the sort happens INSIDE the
+    * collected array (array_sort on (turn_idx, line) structs), so the
+    * render is independent of both partitioning and window-frame
+    * traversal order — the q101 portability posture. */
+  def sftRender(t: DataFrame): DataFrame = {
+    val line = concat(lit("<|"), col("role"), lit("|>\n"), col("text"))
+    t.select(col("conv_id"), col("turn_idx"), line.as("line"))
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        array_sort(collect_list(struct(col("turn_idx"), col("line"))))
+          .as("arr"))
+      .withColumn("rendered",
+        array_join(transform(col("arr"), x => x.getField("line")), "\n"))
+      .select(col("conv_id"), col("n_turns"),
+        size(split(trim(col("rendered")), "\\s+")).cast("long")
+          .as("n_tok"),
+        md5(col("rendered").cast("binary")).as("render_md5"))
+      .orderBy(col("conv_id"))
+  }
 }

@@ -374,6 +374,15 @@ object PipelineQueries {
   def toolReliability(s: SparkSession, dir: String): DataFrame =
     graft.ops.SftPrep.toolReliability(transcripts(s, dir))
 
+  /** q121: degenerate-loop collapse transform
+    * ([[graft.ops.SftPrep.loopCollapse]]). */
+  def loopCollapse(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.loopCollapse(transcripts(s, dir))
+
+  /** q123: SFT chat-template render ([[graft.ops.SftPrep.sftRender]]). */
+  def sftRender(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.sftRender(transcripts(s, dir))
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -1177,5 +1186,47 @@ object Oracles {
          |  round(CAST(sum(CASE WHEN next_ts IS NOT NULL
          |      THEN next_ts - ts_ms ELSE 0 END) AS DOUBLE) /
          |    CAST(nullif(count(next_ts), 0) AS DOUBLE), 3) AS mean_gap_ms
-         |FROM c GROUP BY tool ORDER BY tool""".stripMargin)
+         |FROM c GROUP BY tool ORDER BY tool""".stripMargin,
+    // q121: the dup test is the q106 lag() predicate; CASE WHEN
+    // reproduces Spark's null-lag → kept semantics at turn 0, and the
+    // re-packed index is a row_number over the SAME kept stream
+    "q121_loop_collapse" ->
+      s"""WITH t AS ($T),
+         |tr AS (SELECT conv_id,
+         |    CAST(row_number() OVER w - 1 AS INTEGER) AS turn_idx,
+         |    role, text,
+         |    lag(role) OVER w AS prev_role,
+         |    lag(text) OVER w AS prev_text,
+         |    count(*) OVER (PARTITION BY conv_id) AS n_total
+         |  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)),
+         |k AS (SELECT conv_id, turn_idx, role, text, n_total,
+         |    CAST(row_number() OVER (PARTITION BY conv_id
+         |      ORDER BY turn_idx) - 1 AS INTEGER) AS new_turn_idx,
+         |    count(*) OVER (PARTITION BY conv_id) AS n_kept
+         |  FROM tr
+         |  WHERE CASE WHEN role = prev_role AND text = prev_text
+         |    THEN 1 ELSE 0 END = 0)
+         |SELECT conv_id, turn_idx, new_turn_idx, role,
+         |  md5(text) AS text_md5,
+         |  CAST(n_total - n_kept AS BIGINT) AS n_collapsed
+         |FROM k ORDER BY conv_id, turn_idx""".stripMargin,
+    // q123: string_agg with an explicit ORDER BY reproduces the
+    // Spark side's array_sort-inside-the-aggregate render; token
+    // count is the q20 whitespace contract over the RENDERED string
+    // (template tokens included)
+    "q123_sft_render" ->
+      s"""WITH t AS ($T),
+         |tr AS (SELECT conv_id,
+         |    CAST(row_number() OVER w - 1 AS INTEGER) AS turn_idx,
+         |    role, text FROM t
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)),
+         |r AS (SELECT conv_id, count(*) AS n_turns,
+         |    string_agg('<|' || role || '|>' || chr(10) || text,
+         |      chr(10) ORDER BY turn_idx) AS rendered
+         |  FROM tr GROUP BY conv_id)
+         |SELECT conv_id, n_turns,
+         |  CAST(len(string_split_regex(trim(rendered), '\\s+'))
+         |    AS BIGINT) AS n_tok,
+         |  md5(rendered) AS render_md5
+         |FROM r ORDER BY conv_id""".stripMargin)
 }

@@ -224,6 +224,12 @@ object TrainingDataQueries {
     graft.ops.Similarity.embeddingHygiene(embs(s, dir), expectedDim = 64)
       .orderBy("label")
 
+  /** q122: exact-integer uniform-target mixture plan at a 30,010-token
+    * budget ([[graft.ops.CorpusStats.mixturePlan]] — the remainder-10
+    * budget exercises the largest-remainder +1 branch). */
+  def mixturePlanQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.mixturePlan(docs(s, dir), budgetTokens = 30010L)
+
   /** Exact dedup demo over a corpus with a synthetic duplicate stripe
     * (every 10th doc duplicated under doc_id+100000). */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
@@ -2597,6 +2603,33 @@ object TrainingDataQueries {
         |  round(sqrt(min(norm2)), 6) AS min_norm,
         |  round(sqrt(max(norm2)), 6) AS max_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    // q122: the whole plan is 64-bit integer arithmetic — DuckDB's
+    // // floor-division equals Spark's `div` for the non-negative
+    // operands here, so quotas / epochs / ppm rates match bit-for-bit;
+    // n_sources enters as a scalar subquery (the Spark side inlines
+    // the same bounded count as a literal)
+    "q122_mixture_plan" ->
+      """WITH d AS (SELECT source,
+        |    CAST(substr(source, 4) AS INT) AS src_idx,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents),
+        |s AS (SELECT source, min(src_idx) AS src_idx,
+        |    count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS avail_tok
+        |  FROM d GROUP BY 1),
+        |n AS (SELECT count(*) AS n_src FROM s),
+        |q AS (SELECT source, n_docs, avail_tok,
+        |    CAST(30010 // (SELECT n_src FROM n) +
+        |      CASE WHEN src_idx < 30010 % (SELECT n_src FROM n)
+        |        THEN 1 ELSE 0 END AS BIGINT) AS quota_tok
+        |  FROM s)
+        |SELECT source, n_docs, avail_tok, quota_tok,
+        |  least(quota_tok, avail_tok) AS kept_tok,
+        |  greatest(quota_tok - avail_tok, 0) AS deficit_tok,
+        |  CAST((quota_tok + avail_tok - 1) // avail_tok AS BIGINT)
+        |    AS epochs,
+        |  CAST((quota_tok * 1000000) // avail_tok AS BIGINT) AS rate_ppm
+        |FROM q ORDER BY source""".stripMargin,
     "q36_dedup_clusters" ->
       s"""WITH RECURSIVE
          |p AS (SELECT doc_a, doc_b FROM ($ngramJaccardOracle) t),

@@ -333,7 +333,22 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q119_context_trim" -> 4,
       // transcripts' derivation (2) + the lead() re-exchange + the
       // tool-cardinality rollup (map-side partials) + output sort
-      "q120_tool_reliability" -> 5)
+      "q120_tool_reliability" -> 5,
+      // transcripts' derivation (2) + ONE conv_id re-exchange carrying
+      // the dup-lag test, the pre-filter total AND the post-filter
+      // re-index/kept-count windows (filter preserves the hash
+      // clustering, so no fourth exchange) + output sort
+      "q121_loop_collapse" -> 4,
+      // ONE (source) partial+final agg over the bounded per-source
+      // table + the cached table's re-read + output sort — the quota /
+      // epoch / ppm plan columns are narrow integer projections and
+      // n_sources is an eager literal, so the corpus text never
+      // exchanges
+      "q122_mixture_plan" -> 3,
+      // transcripts' derivation (2) + the conv_id render groupBy
+      // (collect_list gets map-side partials; the sort happens INSIDE
+      // the collected array) + output sort
+      "q123_sft_render" -> 4)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
