@@ -146,7 +146,10 @@ object SparkEntry {
     "q120_tool_reliability" -> (P.toolReliability(_, _)),
     "q121_loop_collapse" -> (P.loopCollapse(_, _)),
     "q122_mixture_plan" -> (T.mixturePlanQ(_, _)),
-    "q123_sft_render" -> (P.sftRender(_, _)))
+    "q123_sft_render" -> (P.sftRender(_, _)),
+    "q124_loss_mask" -> (P.lossMask(_, _)),
+    "q125_dialogue_windows" -> (P.dialogueWindows(_, _)),
+    "q126_mixture_apply" -> (T.mixturePlanApplyQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

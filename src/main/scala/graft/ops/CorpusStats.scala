@@ -374,6 +374,33 @@ object CorpusStats {
       .orderBy(col("source"))
   }
 
+  /** q126: mixture-plan EXECUTION — realize [[mixturePlan]]'s
+    * per-source quotas as an actual document sample. Each source's
+    * exact-ppm rate (capped at 1e6: the no-replacement sample;
+    * oversampling epochs stay a plan-level signal, q122's
+    * `deficit_tok` documents what's unfilled) becomes a deterministic
+    * md5-bucket threshold: keep a doc iff
+    * `bucket(doc_id) < (ppm · 4096) div 1e6` — pure integer
+    * arithmetic end to end, so the SAMPLE ITSELF (not just its size)
+    * is reproducible across engines, task retries and cluster sizes.
+    *
+    * Scale shape: the bounded plan table broadcasts onto the corpus
+    * (equi-join on source, AQE-broadcast); the keep test is a narrow
+    * codegen'd projection — the corpus never shuffles and text never
+    * moves. Same-key-same-fate: a doc's fate depends only on
+    * (doc_id, source rate), the property that keeps resumed /
+    * re-run pipelines byte-identical at 100 TB. */
+  def mixturePlanApply(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val rates = mixturePlan(docs, budgetTokens)
+      .select(col("source"),
+        least(col("rate_ppm"), lit(1000000L)).as("capped_ppm"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(hashBucket(col("doc_id")) <
+        expr("(capped_ppm * 4096) div 1000000").cast("int"))
+      .select(col("doc_id"), col("source"), col("capped_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination: flag training documents whose distinct
     * word k-shingle sets overlap an evaluation document's by at least
     * minOverlapFrac (fraction of the TRAINING doc's shingles that also

@@ -631,6 +631,63 @@ object SftPrep {
     * collected array (array_sort on (turn_idx, line) structs), so the
     * render is independent of both partitioning and window-frame
     * traversal order — the q101 portability posture. */
+  /** q124: loss-mask span table — the companion to q123's render:
+    * per turn, the exact token span `[start_tok, end_tok)` it
+    * occupies in the rendered stream and whether the trainer computes
+    * loss on it (assistant turns 1, everything else 0). The q123
+    * contract makes each turn's contribution exactly
+    * `1 role-header token + n_tok(text)` whitespace tokens, so the
+    * offsets are a pure integer running sum — bit-identical across
+    * engines, no tokenizer in the loop.
+    *
+    * Scale shape: ONE conv_id hash partitioning carries the running
+    * sum (ROWS UNBOUNDED PRECEDING over the unique turn_idx order);
+    * everything else is a narrow projection. */
+  def lossMask(t: DataFrame): DataFrame = {
+    val w = convWindow
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.select(col("conv_id"), col("turn_idx"), col("role"), col("text"))
+      .withColumn("n_tok_turn",
+        lit(1L) + size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("end_tok", sum(col("n_tok_turn")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tok_turn"))
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        col("n_tok_turn"), col("start_tok"), col("end_tok"),
+        when(col("role") === "assistant", 1L).otherwise(0L).as("mask"))
+      .orderBy(col("conv_id"), col("turn_idx"))
+  }
+
+  /** q125: sliding dialogue-window chunking — split long
+    * conversations into overlapping training windows of `winTurns`
+    * turns starting every `stride` turns (the context-length chunker
+    * for dialogue pretraining; overlap preserves cross-boundary
+    * context). A conversation of n turns gets
+    * `1 + ceil(max(n - winTurns, 0) / stride)` windows — exact
+    * integer arithmetic, so window membership can never flip across
+    * engines; short conversations get exactly one window [0, n).
+    *
+    * Scale shape: ONE count-agg per conv_id (map-side partials), then
+    * the window table materializes via a narrow
+    * `explode(sequence(...))` — rows expand by the bounded factor
+    * n_windows/conv, there is NO join back to the turn table (the
+    * trainer slices turns by [start, end) downstream, colocated by
+    * the same conv_id key). */
+  def dialogueWindows(
+      t: DataFrame, winTurns: Int = 8, stride: Int = 4): DataFrame =
+    t.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"))
+      .withColumn("n_windows",
+        lit(1L) + expr(
+          s"(greatest(n_turns - $winTurns, 0L) + ${stride - 1}) div $stride"))
+      .withColumn("window_idx",
+        explode(sequence(lit(0L), col("n_windows") - 1)))
+      .select(col("conv_id"), col("window_idx"),
+        (col("window_idx") * stride).as("start_turn"),
+        least(col("window_idx") * stride + winTurns, col("n_turns"))
+          .as("end_turn"),
+        col("n_windows"))
+      .orderBy(col("conv_id"), col("window_idx"))
+
   def sftRender(t: DataFrame): DataFrame = {
     val line = concat(lit("<|"), col("role"), lit("|>\n"), col("text"))
     t.select(col("conv_id"), col("turn_idx"), line.as("line"))

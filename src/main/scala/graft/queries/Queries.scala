@@ -383,6 +383,16 @@ object PipelineQueries {
   def sftRender(s: SparkSession, dir: String): DataFrame =
     graft.ops.SftPrep.sftRender(transcripts(s, dir))
 
+  /** q124: loss-mask span table ([[graft.ops.SftPrep.lossMask]]). */
+  def lossMask(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.lossMask(transcripts(s, dir))
+
+  /** q125: sliding dialogue-window chunking at (8, 4)
+    * ([[graft.ops.SftPrep.dialogueWindows]]). */
+  def dialogueWindows(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.dialogueWindows(transcripts(s, dir),
+      winTurns = 8, stride = 4)
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -1228,5 +1238,44 @@ object Oracles {
          |  CAST(len(string_split_regex(trim(rendered), '\\s+'))
          |    AS BIGINT) AS n_tok,
          |  md5(rendered) AS render_md5
-         |FROM r ORDER BY conv_id""".stripMargin)
+         |FROM r ORDER BY conv_id""".stripMargin,
+    // q124: per-turn contribution = 1 header token + the q20 token
+    // count; offsets are a ROWS-frame running sum over the unique
+    // turn_idx order — integer-exact on both engines
+    "q124_loss_mask" ->
+      s"""WITH t AS ($T),
+         |tr AS (SELECT conv_id,
+         |    CAST(row_number() OVER w - 1 AS INTEGER) AS turn_idx,
+         |    role, text FROM t
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)),
+         |x AS (SELECT conv_id, turn_idx, role,
+         |    1 + CAST(len(string_split_regex(trim(text), '\\s+'))
+         |      AS BIGINT) AS n_tok_turn
+         |  FROM tr),
+         |c AS (SELECT *,
+         |    CAST(sum(n_tok_turn) OVER (PARTITION BY conv_id
+         |      ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS end_tok
+         |  FROM x)
+         |SELECT conv_id, turn_idx, role, n_tok_turn,
+         |  CAST(end_tok - n_tok_turn AS BIGINT) AS start_tok, end_tok,
+         |  CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
+         |    AS BIGINT) AS mask
+         |FROM c ORDER BY conv_id, turn_idx""".stripMargin,
+    // q125: window count is exact ceil-division (1 + (max(n-8,0)+3)//4)
+    // and the window table is a generate_series lateral — membership
+    // can never flip on a float boundary
+    "q125_dialogue_windows" ->
+      s"""WITH t AS ($T),
+         |c AS (SELECT conv_id, count(*) AS n_turns FROM t GROUP BY 1),
+         |w AS (SELECT conv_id, n_turns,
+         |    CAST(1 + (greatest(n_turns - 8, 0) + 3) // 4 AS BIGINT)
+         |      AS n_windows
+         |  FROM c)
+         |SELECT conv_id, CAST(gs AS BIGINT) AS window_idx,
+         |  CAST(gs * 4 AS BIGINT) AS start_turn,
+         |  CAST(least(gs * 4 + 8, n_turns) AS BIGINT) AS end_turn,
+         |  n_windows
+         |FROM w, UNNEST(generate_series(0, n_windows - 1)) AS g(gs)
+         |ORDER BY conv_id, window_idx""".stripMargin)
 }

@@ -230,6 +230,11 @@ object TrainingDataQueries {
   def mixturePlanQ(s: SparkSession, dir: String): DataFrame =
     CorpusStats.mixturePlan(docs(s, dir), budgetTokens = 30010L)
 
+  /** q126: mixture-plan execution at the q122 budget
+    * ([[graft.ops.CorpusStats.mixturePlanApply]]). */
+  def mixturePlanApplyQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.mixturePlanApply(docs(s, dir), budgetTokens = 30010L)
+
   /** Exact dedup demo over a corpus with a synthetic duplicate stripe
     * (every 10th doc duplicated under doc_id+100000). */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
@@ -2630,6 +2635,33 @@ object TrainingDataQueries {
         |    AS epochs,
         |  CAST((quota_tok * 1000000) // avail_tok AS BIGINT) AS rate_ppm
         |FROM q ORDER BY source""".stripMargin,
+    // q126: q122's plan CTEs verbatim, rates capped at 1e6 ppm, then
+    // the md5-bucket keep test in exact integer arithmetic (the q38
+    // hashSample spelling with a ppm threshold)
+    "q126_mixture_apply" ->
+      """WITH d AS (SELECT source,
+        |    CAST(substr(source, 4) AS INT) AS src_idx,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents),
+        |s AS (SELECT source, min(src_idx) AS src_idx,
+        |    CAST(sum(n_tok) AS BIGINT) AS avail_tok
+        |  FROM d GROUP BY 1),
+        |n AS (SELECT count(*) AS n_src FROM s),
+        |q AS (SELECT source,
+        |    CAST(30010 // (SELECT n_src FROM n) +
+        |      CASE WHEN src_idx < 30010 % (SELECT n_src FROM n)
+        |        THEN 1 ELSE 0 END AS BIGINT) AS quota_tok, avail_tok
+        |  FROM s),
+        |r AS (SELECT source,
+        |    least(CAST((quota_tok * 1000000) // avail_tok AS BIGINT),
+        |      1000000) AS capped_ppm
+        |  FROM q)
+        |SELECT doc_id, d2.source, capped_ppm
+        |FROM documents d2 JOIN r USING (source)
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)
+        |    AS INT) < (capped_ppm * 4096) // 1000000
+        |ORDER BY doc_id""".stripMargin,
     "q36_dedup_clusters" ->
       s"""WITH RECURSIVE
          |p AS (SELECT doc_a, doc_b FROM ($ngramJaccardOracle) t),

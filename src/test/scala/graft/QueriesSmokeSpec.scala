@@ -348,7 +348,21 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // transcripts' derivation (2) + the conv_id render groupBy
       // (collect_list gets map-side partials; the sort happens INSIDE
       // the collected array) + output sort
-      "q123_sft_render" -> 4)
+      "q123_sft_render" -> 4,
+      // transcripts' derivation (2) + ONE conv_id re-exchange for the
+      // ROWS-frame running sum + output sort — the span columns are
+      // narrow integer projections
+      "q124_loss_mask" -> 4,
+      // conv_id count-agg (transcripts' window sort is PRUNED — the
+      // agg doesn't need it, so its hash exchange is reused) + output
+      // sort; the window table is a narrow explode, NO join back to
+      // the turn table
+      "q125_dialogue_windows" -> 2,
+      // q122's bounded (source) agg feeding the cached plan table +
+      // the ≤n_sources-row BroadcastExchange onto the corpus + the
+      // bucket-filter's narrow scan + output sort — corpus text never
+      // hash-exchanges
+      "q126_mixture_apply" -> 4)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
