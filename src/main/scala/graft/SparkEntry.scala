@@ -149,7 +149,10 @@ object SparkEntry {
     "q123_sft_render" -> (P.sftRender(_, _)),
     "q124_loss_mask" -> (P.lossMask(_, _)),
     "q125_dialogue_windows" -> (P.dialogueWindows(_, _)),
-    "q126_mixture_apply" -> (T.mixturePlanApplyQ(_, _)))
+    "q126_mixture_apply" -> (T.mixturePlanApplyQ(_, _)),
+    "q127_tool_grounding" -> (P.toolGrounding(_, _)),
+    "q128_special_tokens" -> (P.specialTokenScan(_, _)),
+    "q129_ts_anomalies" -> (P.tsAnomalies(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

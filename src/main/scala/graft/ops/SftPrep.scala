@@ -688,6 +688,109 @@ object SftPrep {
         col("n_windows"))
       .orderBy(col("conv_id"), col("window_idx"))
 
+  /** q127: tool-grounding score — for every tool→assistant adjacency,
+    * how much of the assistant's distinct-token vocabulary appears in
+    * the tool output it just received. Low grounding on tool-heavy
+    * data flags responses that IGNORE their tool results (a
+    * hallucination-risk signal an agentic-SFT pipeline filters on);
+    * the q114 echo machinery pointed at the tool edge instead of the
+    * user edge.
+    *
+    * Scale shape: the q101/q114 pair walk — ONE conv_id partitioning
+    * for the lead() adjacency; token arrays are built and intersected
+    * AFTER the pair filter, never shuffled. */
+  def toolGrounding(t: DataFrame): DataFrame = {
+    def dtoks(c: Column): Column =
+      array_distinct(filter(split(trim(c), "\\s+"), x => x =!= ""))
+    t.select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        col("text"))
+      .withColumn("next_role", lead(col("role"), 1).over(convWindow))
+      .withColumn("next_text", lead(col("text"), 1).over(convWindow))
+      .filter(col("role") === "tool" && col("next_role") === "assistant")
+      .select(col("conv_id"), col("turn_idx"), col("tool"),
+        dtoks(col("text")).as("ttok"),
+        dtoks(col("next_text")).as("atok"))
+      .select(col("conv_id"), col("turn_idx"), col("tool"),
+        size(col("ttok")).cast("long").as("n_tool_tokens"),
+        size(col("atok")).cast("long").as("n_resp_tokens"),
+        size(array_intersect(col("atok"), col("ttok"))).cast("long")
+          .as("n_grounded"),
+        round(size(array_intersect(col("atok"), col("ttok")))
+            .cast("double") / greatest(size(col("atok")), lit(1)), 6)
+          .as("grounding_ratio"))
+      .orderBy(col("conv_id"), col("turn_idx"))
+  }
+
+  /** q128: special-token leakage scan — per (role, marker), how often
+    * chat-template control tokens (`<|`, `|>`, `[INST]`, `<<SYS>>`,
+    * `</s>`) appear INSIDE message text. Template markers leaking
+    * into content poison chat-template training (the model learns to
+    * emit its own stop/control tokens mid-message), so the healthy
+    * result is all-zeros and any nonzero row is actionable. Counts
+    * are exact substring occurrences via the
+    * `(len - len(replace)) / len(marker)` identity — literal match,
+    * no regex, pure integer arithmetic.
+    *
+    * Scale shape: the marker struct array is built row-local and
+    * exploded BEFORE the aggregation (×|markers| narrow rows,
+    * map-side partials absorb them); one bounded
+    * (roles × markers) rollup. */
+  def specialTokenScan(t: DataFrame): DataFrame = {
+    val markers = Seq("<|", "|>", "[INST]", "<<SYS>>", "</s>")
+    val cnts = array(markers.map { m =>
+      struct(lit(m).as("marker"),
+        ((length(col("text")) -
+          length(replace(col("text"), lit(m), lit("")))) /
+          lit(m.length)).cast("long").as("n_occ"))
+    }: _*)
+    t.select(col("role"), explode(cnts).as("mc"))
+      .select(col("role"), col("mc.marker").as("marker"),
+        col("mc.n_occ").as("n_occ"))
+      .groupBy(col("role"), col("marker"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("n_occ") > 0, 1L).otherwise(0L))
+          .as("n_turns_with"),
+        sum(col("n_occ")).as("n_occurrences"))
+      .withColumn("rate",
+        round(col("n_turns_with").cast("double") /
+          col("n_turns").cast("double"), 6))
+      .orderBy(col("role"), col("marker"))
+  }
+
+  /** q129: ingestion-order timestamp anomaly audit — per
+    * conversation, events whose timestamp steps BACKWARD relative to
+    * arrival order (event_id), plus same-millisecond collisions. The
+    * pipeline's stable (ts, message_id) sort makes ordering
+    * deterministic either way; this audit QUANTIFIES how much
+    * reordering that sort performs — clock skew / backfill detection
+    * before sessionization trusts the timestamps.
+    *
+    * Input: raw (conv_id, event_id, ts_ms) in ARRIVAL order — not the
+    * ts-sorted transcript view (which is non-decreasing by
+    * construction and would audit nothing).
+    *
+    * Scale shape: one conv_id partitioning for the lag() walk + the
+    * same-keyed rollup; max_backstep is a semilattice max. */
+  def tsAnomalyReport(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("event_id"))
+    ev.select(col("conv_id"), col("event_id"), col("ts_ms"))
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(w))
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("ts_ms") < col("prev_ts"), 1L).otherwise(0L))
+          .as("n_backsteps"),
+        sum(when(col("ts_ms") === col("prev_ts"), 1L).otherwise(0L))
+          .as("n_ts_collisions"),
+        max(when(col("ts_ms") < col("prev_ts"),
+          col("prev_ts") - col("ts_ms")).otherwise(0L))
+          .as("max_backstep_ms"))
+      .withColumn("anomalous",
+        col("n_backsteps") > 0 || col("n_ts_collisions") > 0)
+      .orderBy(col("conv_id"))
+  }
+
   def sftRender(t: DataFrame): DataFrame = {
     val line = concat(lit("<|"), col("role"), lit("|>\n"), col("text"))
     t.select(col("conv_id"), col("turn_idx"), line.as("line"))

@@ -393,6 +393,24 @@ object PipelineQueries {
     graft.ops.SftPrep.dialogueWindows(transcripts(s, dir),
       winTurns = 8, stride = 4)
 
+  /** q127: tool-grounding score per tool→assistant adjacency
+    * ([[graft.ops.SftPrep.toolGrounding]]). */
+  def toolGrounding(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.toolGrounding(transcripts(s, dir))
+
+  /** q128: special-token leakage scan
+    * ([[graft.ops.SftPrep.specialTokenScan]]). */
+  def specialTokenScan(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.specialTokenScan(transcripts(s, dir))
+
+  /** q129: ingestion-order timestamp anomaly audit over the RAW
+    * arrival stream ([[graft.ops.SftPrep.tsAnomalyReport]]). */
+  def tsAnomalies(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.tsAnomalyReport(
+      TranscriptGen.fromEvents(s, dir)
+        .select(col("conv_id"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms")))
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -1277,5 +1295,68 @@ object Oracles {
          |  CAST(least(gs * 4 + 8, n_turns) AS BIGINT) AS end_turn,
          |  n_windows
          |FROM w, UNNEST(generate_series(0, n_windows - 1)) AS g(gs)
-         |ORDER BY conv_id, window_idx""".stripMargin)
+         |ORDER BY conv_id, window_idx""".stripMargin,
+    // q127: the q114 list-intersect machinery on the tool→assistant
+    // edge; arrays built after the pair filter on both engines
+    "q127_tool_grounding" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id,
+         |    CAST(row_number() OVER w - 1 AS INTEGER) AS turn_idx,
+         |    role, tool, text,
+         |    lead(role) OVER w AS next_role,
+         |    lead(text) OVER w AS next_text
+         |  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)),
+         |p AS (SELECT conv_id, turn_idx, tool,
+         |    list_distinct(list_filter(
+         |      string_split_regex(trim(text), '\\s+'),
+         |      x -> x <> '')) AS ttok,
+         |    list_distinct(list_filter(
+         |      string_split_regex(trim(next_text), '\\s+'),
+         |      x -> x <> '')) AS atok
+         |  FROM o WHERE role = 'tool' AND next_role = 'assistant')
+         |SELECT conv_id, turn_idx, tool,
+         |  CAST(len(ttok) AS BIGINT) AS n_tool_tokens,
+         |  CAST(len(atok) AS BIGINT) AS n_resp_tokens,
+         |  CAST(len(list_intersect(atok, ttok)) AS BIGINT) AS n_grounded,
+         |  round(CAST(len(list_intersect(atok, ttok)) AS DOUBLE) /
+         |    greatest(len(atok), 1), 6) AS grounding_ratio
+         |FROM p ORDER BY conv_id, turn_idx""".stripMargin,
+    // q128: exact substring occurrences via the (len - len(replace))
+    // / len(marker) identity — literal match, integer-exact on both
+    // engines; the healthy corpus scans to all-zero counts
+    "q128_special_tokens" ->
+      s"""WITH t AS ($T),
+         |m(marker) AS (VALUES ('<<SYS>>'), ('</s>'), ('<' || '|'),
+         |    ('[INST]'), ('|' || '>')),
+         |x AS (SELECT role, marker,
+         |    (length(text) - length(replace(text, marker, ''))) //
+         |      length(marker) AS n_occ
+         |  FROM t CROSS JOIN m)
+         |SELECT role, marker, count(*) AS n_turns,
+         |  CAST(sum(CASE WHEN n_occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_turns_with,
+         |  CAST(sum(n_occ) AS BIGINT) AS n_occurrences,
+         |  round(CAST(sum(CASE WHEN n_occ > 0 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS rate
+         |FROM x GROUP BY 1, 2 ORDER BY role, marker""".stripMargin,
+    // q129: the RAW events table in event_id (arrival) order — NOT
+    // the ts-sorted transcript CTE; backsteps quantify how much
+    // reordering the pipeline's stable sort performs
+    "q129_ts_anomalies" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id, epoch_ms(ts) AS ts_ms,
+         |    lag(epoch_ms(ts)) OVER (PARTITION BY conv_id
+         |      ORDER BY event_id) AS prev_ts
+         |  FROM t)
+         |SELECT conv_id, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN ts_ms < prev_ts THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_backsteps,
+         |  CAST(sum(CASE WHEN ts_ms = prev_ts THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_ts_collisions,
+         |  CAST(max(CASE WHEN ts_ms < prev_ts THEN prev_ts - ts_ms
+         |    ELSE 0 END) AS BIGINT) AS max_backstep_ms,
+         |  (sum(CASE WHEN ts_ms < prev_ts THEN 1 ELSE 0 END) > 0 OR
+         |   sum(CASE WHEN ts_ms = prev_ts THEN 1 ELSE 0 END) > 0)
+         |    AS anomalous
+         |FROM o GROUP BY conv_id ORDER BY conv_id""".stripMargin)
 }

@@ -362,7 +362,19 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // the ≤n_sources-row BroadcastExchange onto the corpus + the
       // bucket-filter's narrow scan + output sort — corpus text never
       // hash-exchanges
-      "q126_mixture_apply" -> 4)
+      "q126_mixture_apply" -> 4,
+      // transcripts' derivation (2) + the lead() pair-walk re-exchange
+      // + output sort — token arrays built/intersected after the pair
+      // filter (the q114 shape on the tool edge)
+      "q127_tool_grounding" -> 4,
+      // transcripts' derivation (2) + the bounded (role × marker)
+      // rollup (map-side partials absorb the ×5 explode) + output
+      // sort — the occurrence math is a narrow integer projection
+      "q128_special_tokens" -> 4,
+      // raw events (NO transcript window): one conv_id exchange shared
+      // by the arrival-order lag walk and the same-keyed rollup +
+      // output sort
+      "q129_ts_anomalies" -> 2)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
