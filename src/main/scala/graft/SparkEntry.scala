@@ -152,7 +152,10 @@ object SparkEntry {
     "q126_mixture_apply" -> (T.mixturePlanApplyQ(_, _)),
     "q127_tool_grounding" -> (P.toolGrounding(_, _)),
     "q128_special_tokens" -> (P.specialTokenScan(_, _)),
-    "q129_ts_anomalies" -> (P.tsAnomalies(_, _)))
+    "q129_ts_anomalies" -> (P.tsAnomalies(_, _)),
+    "q130_prefix_cache" -> (P.prefixCache(_, _)),
+    "q131_intent_mix" -> (P.intentMix(_, _)),
+    "q132_langid_confusion" -> (T.langConfusionQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

@@ -791,6 +791,75 @@ object SftPrep {
       .orderBy(col("conv_id"))
   }
 
+  /** q130: KV-prefix-cache sharing report — group conversations by
+    * the first `prefixChars` characters of their OPENING turn (the
+    * shared-system-prompt / boilerplate-opener signature) and compute
+    * the token mass a prefix-cached server or a
+    * pack-shared-prefixes-together trainer saves: every conversation
+    * after the first in a group re-uses `prefix_n_tok` cached tokens,
+    * so `saved_tok = (n_convs - 1) * prefix_n_tok`. The report ranks
+    * prefixes by savings — the direct input to a "which system
+    * prompts deserve a warm cache slot" decision.
+    *
+    * Scale shape: the opener filter (turn_idx = 0) collapses the
+    * corpus to one row per conversation BEFORE any regrouping; the
+    * md5-keyed rollup gets map-side partials, and prefix text never
+    * leaves the operator (digest only). */
+  def prefixCacheReport(t: DataFrame, prefixChars: Int = 24): DataFrame =
+    t.filter(col("turn_idx") === 0)
+      .select(substring(col("text"), 1, prefixChars).as("prefix"))
+      .select(md5(col("prefix").cast("binary")).as("prefix_md5"),
+        size(split(trim(col("prefix")), "\\s+")).cast("long")
+          .as("prefix_n_tok"))
+      .groupBy(col("prefix_md5"), col("prefix_n_tok"))
+      .agg(count(lit(1)).as("n_convs"))
+      .withColumn("saved_tok",
+        (col("n_convs") - 1) * col("prefix_n_tok"))
+      .select(col("prefix_md5"), col("n_convs"), col("prefix_n_tok"),
+        col("saved_tok"))
+      .orderBy(col("saved_tok").desc, col("prefix_md5"))
+
+  /** q131: opening-intent mixture — classify every conversation by a
+    * rules table (prefix → intent) applied to its FIRST user turn,
+    * then report the corpus mixture per intent with mean depth and
+    * token mass. This is the "what is this corpus actually made of"
+    * report a data-mixture owner reads before setting sampling
+    * weights; conversations with no user turn land in `no_user`,
+    * unmatched openers in `other`.
+    *
+    * Scale shape: the first-user-turn pick is a SEMILATTICE min over
+    * (turn_idx, text) structs — full map-side partial aggregation on
+    * the conv_id key the transcript derivation already hashed by (no
+    * re-exchange), then one bounded per-intent rollup. */
+  def intentMix(
+      t: DataFrame,
+      rules: Seq[(String, String)] = Seq(
+        "error" -> "troubleshooting",
+        "purchase" -> "transactional",
+        "signup" -> "transactional",
+        "click" -> "navigational",
+        "view" -> "navigational")): DataFrame = {
+    val conv = t.groupBy(col("conv_id")).agg(
+      count(lit(1)).as("n_turns"),
+      sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+        .as("n_tok"),
+      min(when(col("role") === "user",
+        struct(col("turn_idx"), col("text")))).as("fu"))
+    val ft = col("fu").getField("text")
+    val intent = rules
+      .foldLeft(when(ft.isNull, lit("no_user"))) {
+        case (acc, (p, i)) => acc.when(ft.startsWith(p), lit(i))
+      }
+      .otherwise(lit("other"))
+    conv.select(intent.as("intent"), col("n_turns"), col("n_tok"))
+      .groupBy(col("intent"))
+      .agg(
+        count(lit(1)).as("n_convs"),
+        round(avg(col("n_turns")), 6).as("avg_turns"),
+        round(avg(col("n_tok")), 6).as("avg_tokens"))
+      .orderBy(col("intent"))
+  }
+
   def sftRender(t: DataFrame): DataFrame = {
     val line = concat(lit("<|"), col("role"), lit("|>\n"), col("text"))
     t.select(col("conv_id"), col("turn_idx"), line.as("line"))

@@ -55,6 +55,39 @@ object TextAnalysis {
   def langId(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), langGuess(col("text")).as("lang_guess"))
 
+  /** q132: language-ID confusion audit — cross-tabulate the corpus's
+    * DECLARED language label against [[langGuess]]'s prediction
+    * (mapped onto the classifier's 4-class vocabulary: zh→cjk, en→en,
+    * any other Latin-script label→latin_other). The confusion matrix
+    * plus per-label agreement rate is the classifier-vs-metadata
+    * audit a pipeline runs before trusting EITHER side for filtering:
+    * a label whose agreement collapses is mislabeled upstream data or
+    * a classifier blind spot — both actionable.
+    *
+    * Scale shape: one narrow codegen'd scan (classify + map), one
+    * bounded (lang × guess) rollup with map-side partials, and the
+    * per-label share via a window over the BOUNDED confusion table
+    * (≤ labels × classes rows), never over the corpus. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val declaredClass = when(col("lang") === "zh", "cjk")
+      .when(col("lang") === "en", "en")
+      .otherwise("latin_other")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+    docs
+      .select(col("lang"), declaredClass.as("declared_class"),
+        langGuess(col("text")).as("lang_guess"))
+      .groupBy(col("lang"), col("declared_class"), col("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_of_lang",
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(w),
+          6))
+      .withColumn("agree", col("declared_class") === col("lang_guess"))
+      .select(col("lang"), col("lang_guess"), col("n_docs"),
+        col("share_of_lang"), col("agree"))
+      .orderBy(col("lang"), col("lang_guess"))
+  }
+
   /** The quality keep-gate — single definition shared by
     * [[qualityScore]] and [[corpusFilter]]. */
   private def keepQualityExpr(text: Column): Column = {

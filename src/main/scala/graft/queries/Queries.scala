@@ -411,6 +411,17 @@ object PipelineQueries {
         .select(col("conv_id"), col("event_id"),
           unix_millis(col("ts")).as("ts_ms")))
 
+  /** q130: KV-prefix-cache sharing report at a 24-char opener prefix
+    * ([[graft.ops.SftPrep.prefixCacheReport]]). */
+  def prefixCache(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.prefixCacheReport(transcripts(s, dir),
+      prefixChars = 24)
+
+  /** q131: opening-intent mixture report under the default rules
+    * table ([[graft.ops.SftPrep.intentMix]]). */
+  def intentMix(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.intentMix(transcripts(s, dir))
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -1358,5 +1369,52 @@ object Oracles {
          |  (sum(CASE WHEN ts_ms < prev_ts THEN 1 ELSE 0 END) > 0 OR
          |   sum(CASE WHEN ts_ms = prev_ts THEN 1 ELSE 0 END) > 0)
          |    AS anomalous
-         |FROM o GROUP BY conv_id ORDER BY conv_id""".stripMargin)
+         |FROM o GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+    // q130: opener prefix = substr(first turn's text, 1, 24) on both
+    // engines (ASCII corpus, char semantics agree); savings are pure
+    // integer arithmetic over the group sizes
+    "q130_prefix_cache" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id,
+         |    CAST(row_number() OVER (PARTITION BY conv_id
+         |      ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         |    text FROM t),
+         |p AS (SELECT substr(text, 1, 24) AS prefix
+         |  FROM o WHERE turn_idx = 0),
+         |g AS (SELECT md5(prefix) AS prefix_md5,
+         |    CAST(len(string_split_regex(trim(prefix), '\\s+'))
+         |      AS BIGINT) AS prefix_n_tok,
+         |    count(*) AS n_convs
+         |  FROM p GROUP BY 1, 2)
+         |SELECT prefix_md5, n_convs, prefix_n_tok,
+         |  (n_convs - 1) * prefix_n_tok AS saved_tok
+         |FROM g ORDER BY saved_tok DESC, prefix_md5""".stripMargin,
+    // q131: the first-user-turn pick is arg_min(text, turn_idx) with a
+    // role filter — the explicit-sort spelling of the Spark side's
+    // semilattice struct-min, pinning the two selections equal;
+    // avgs are exact integer sums / counts on both engines
+    "q131_intent_mix" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id,
+         |    CAST(row_number() OVER (PARTITION BY conv_id
+         |      ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         |    role, text FROM t),
+         |c AS (SELECT conv_id, count(*) AS n_turns,
+         |    sum(len(string_split_regex(trim(text), '\\s+'))) AS n_tok,
+         |    arg_min(text, turn_idx) FILTER (WHERE role = 'user')
+         |      AS fu
+         |  FROM o GROUP BY conv_id),
+         |i AS (SELECT CASE
+         |    WHEN fu IS NULL THEN 'no_user'
+         |    WHEN starts_with(fu, 'error') THEN 'troubleshooting'
+         |    WHEN starts_with(fu, 'purchase')
+         |      OR starts_with(fu, 'signup') THEN 'transactional'
+         |    WHEN starts_with(fu, 'click')
+         |      OR starts_with(fu, 'view') THEN 'navigational'
+         |    ELSE 'other' END AS intent,
+         |    n_turns, n_tok FROM c)
+         |SELECT intent, count(*) AS n_convs,
+         |  round(avg(n_turns), 6) AS avg_turns,
+         |  round(avg(n_tok), 6) AS avg_tokens
+         |FROM i GROUP BY intent ORDER BY intent""".stripMargin)
 }

@@ -24,6 +24,11 @@ object TrainingDataQueries {
   def langId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")
 
+  /** q132: declared-label vs classifier confusion audit
+    * ([[graft.ops.TextAnalysis.langConfusion]]). */
+  def langConfusionQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langConfusion(docs(s, dir))
+
   def quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")
 
@@ -2706,5 +2711,24 @@ object TrainingDataQueries {
          |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
          |  FROM p)
          |SELECT query_id, neighbor_id, rank, cos_sim FROM r
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q132: composed from q21's oracle (the classifier mirror) joined
+    // back to the declared label — the confusion matrix cannot drift
+    // from the classifier it audits; shares are integer-count ratios
+    "q132_langid_confusion" ->
+      s"""WITH l AS ($langIdOracle),
+         |j AS (SELECT d.lang,
+         |    CASE WHEN d.lang = 'zh' THEN 'cjk'
+         |         WHEN d.lang = 'en' THEN 'en'
+         |         ELSE 'latin_other' END AS declared_class,
+         |    l.lang_guess
+         |  FROM documents d JOIN l ON l.doc_id = d.doc_id),
+         |g AS (SELECT lang, declared_class, lang_guess,
+         |    count(*) AS n_docs
+         |  FROM j GROUP BY 1, 2, 3)
+         |SELECT lang, lang_guess, n_docs,
+         |  round(CAST(n_docs AS DOUBLE) /
+         |    sum(n_docs) OVER (PARTITION BY lang), 6) AS share_of_lang,
+         |  declared_class = lang_guess AS agree
+         |FROM g ORDER BY lang, lang_guess""".stripMargin)
 }

@@ -374,7 +374,19 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // raw events (NO transcript window): one conv_id exchange shared
       // by the arrival-order lag walk and the same-keyed rollup +
       // output sort
-      "q129_ts_anomalies" -> 2)
+      "q129_ts_anomalies" -> 2,
+      // transcripts' derivation (2) + the md5-keyed prefix rollup
+      // (the opener filter collapses to one row/conv first; map-side
+      // partials) + output sort — prefix text travels as digest only
+      "q130_prefix_cache" -> 4,
+      // transcripts' derivation (2) + the bounded per-intent rollup +
+      // output sort — the conv_id groupBy's semilattice struct-min
+      // reuses the window's conv_id hash, no re-exchange
+      "q131_intent_mix" -> 4,
+      // one bounded (lang × guess) rollup (partial+final: 1) + the
+      // per-label share window's re-key over the BOUNDED confusion
+      // table + output sort — the corpus never exchanges
+      "q132_langid_confusion" -> 3)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
