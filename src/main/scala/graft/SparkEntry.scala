@@ -155,7 +155,10 @@ object SparkEntry {
     "q129_ts_anomalies" -> (P.tsAnomalies(_, _)),
     "q130_prefix_cache" -> (P.prefixCache(_, _)),
     "q131_intent_mix" -> (P.intentMix(_, _)),
-    "q132_langid_confusion" -> (T.langConfusionQ(_, _)))
+    "q132_langid_confusion" -> (T.langConfusionQ(_, _)),
+    "q133_margin_report" -> (P.marginReport(_, _)),
+    "q134_hapax_profile" -> (T.hapaxProfileQ(_, _)),
+    "q135_ungrounded_numbers" -> (P.ungroundedNumbers(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

@@ -791,6 +791,73 @@ object SftPrep {
       .orderBy(col("conv_id"))
   }
 
+  /** q133: preference-margin calibration report — the quality gate on
+    * q118's mined pairs. DPO-style training degrades when the
+    * chosen/rejected gap is noise (margin ≈ 0 teaches nothing and
+    * over-length-regularizes), so pipelines band pairs by margin and
+    * drop the bottom band. Bands are fixed char-length cuts
+    * (0 / 1–8 / 9–32 / 33–128 / >128); per band the report carries
+    * pair count, margin stats, mean candidate-pool size, and how many
+    * pairs a `margin ≥ gate` filter keeps.
+    *
+    * Scale shape: inherits q118's single conv_id partitioning, then
+    * ONE bounded (≤5-row) band rollup — margins are integer
+    * arithmetic on q118's already-aggregated output, no text. */
+  def marginReport(t: DataFrame, gate: Long = 9L): DataFrame = {
+    val m = col("chosen_len") - col("rejected_len")
+    preferencePairs(t)
+      .select(
+        when(m === 0, "b0_zero")
+          .when(m <= 8, "b1_1_8")
+          .when(m <= 32, "b2_9_32")
+          .when(m <= 128, "b3_33_128")
+          .otherwise("b4_gt128").as("margin_band"),
+        m.as("m"), col("n_candidates"))
+      .groupBy(col("margin_band"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(avg(col("m")), 6).as("avg_margin"),
+        min(col("m")).as("min_margin"),
+        max(col("m")).as("max_margin"),
+        round(avg(col("n_candidates")), 6).as("avg_candidates"),
+        sum(when(col("m") >= gate, 1L).otherwise(0L)).as("n_gate_kept"))
+      .orderBy(col("margin_band"))
+  }
+
+  /** q135: ungrounded-numbers audit — q127's grounding idea sharpened
+    * to the highest-risk token class: for every tool→assistant
+    * adjacency, which NUMBERS in the assistant's reply do not appear
+    * in the tool output it just received. A fabricated figure is the
+    * canonical agentic hallucination (prices, counts, IDs), and
+    * number-grounding is checkable exactly — digit-run extraction,
+    * set difference, no NLP. Rows with `has_ungrounded` feed the
+    * drop/review queue an agentic-SFT pipeline runs before training.
+    *
+    * Scale shape: the q127 pair walk — ONE conv_id partitioning for
+    * the lead() adjacency; number lists are extracted and differenced
+    * AFTER the pair filter, row-local, never shuffled. */
+  def ungroundedNumbers(t: DataFrame): DataFrame = {
+    def nums(c: Column): Column =
+      array_distinct(regexp_extract_all(c, lit("[0-9]+"), lit(0)))
+    t.select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        col("text"))
+      .withColumn("next_role", lead(col("role"), 1).over(convWindow))
+      .withColumn("next_text", lead(col("text"), 1).over(convWindow))
+      .filter(col("role") === "tool" && col("next_role") === "assistant")
+      .select(col("conv_id"), col("turn_idx"), col("tool"),
+        nums(col("text")).as("tnum"),
+        nums(col("next_text")).as("anum"))
+      .select(col("conv_id"), col("turn_idx"), col("tool"),
+        size(col("anum")).cast("long").as("n_nums"),
+        size(array_except(col("anum"), col("tnum"))).cast("long")
+          .as("n_ungrounded"))
+      .withColumn("ungrounded_share",
+        round(col("n_ungrounded").cast("double") /
+          greatest(col("n_nums"), lit(1L)), 6))
+      .withColumn("has_ungrounded", col("n_ungrounded") > 0)
+      .orderBy(col("conv_id"), col("turn_idx"))
+  }
+
   /** q130: KV-prefix-cache sharing report — group conversations by
     * the first `prefixChars` characters of their OPENING turn (the
     * shared-system-prompt / boilerplate-opener signature) and compute

@@ -55,6 +55,41 @@ object TextAnalysis {
   def langId(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), langGuess(col("text")).as("lang_guess"))
 
+  /** q134: per-document lexical profile — type-token ratio, hapax
+    * share (tokens seen exactly once) and peak token frequency
+    * (burstiness), the per-document complement of q94's per-source
+    * diversity: q94 ranks SOURCES, this flags individual DOCUMENTS
+    * (hapax_share → 1 is unique-gibberish, max_token_freq ≫ 1 on a
+    * short doc is degenerate repetition — both drop candidates).
+    *
+    * Scale shape: ZERO shuffle — the histogram is built row-local
+    * with higher-order array functions (distinct → per-type counts),
+    * embarrassingly parallel over the scan. The per-row cost is
+    * O(types × tokens), fine at chat/document lengths; a corpus of
+    * book-length texts would switch to q94's explode+agg plan, which
+    * is the same report at the other grain. */
+  def hapaxProfile(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("toks"),
+        array_distinct(toks).as("dts"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("dts")).cast("long").as("n_types"),
+        transform(col("dts"),
+          t => size(filter(col("toks"), x => x === t))).as("counts"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        size(filter(col("counts"), c => c === 1)).cast("long")
+          .as("n_hapax"),
+        array_max(col("counts")).cast("long").as("max_token_freq"))
+      .withColumn("ttr",
+        round(col("n_types").cast("double") / col("n_tokens"), 6))
+      .withColumn("hapax_share",
+        round(col("n_hapax").cast("double") /
+          greatest(col("n_types"), lit(1L)), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** q132: language-ID confusion audit — cross-tabulate the corpus's
     * DECLARED language label against [[langGuess]]'s prediction
     * (mapped onto the classifier's 4-class vocabulary: zh→cjk, en→en,

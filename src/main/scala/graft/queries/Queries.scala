@@ -422,6 +422,16 @@ object PipelineQueries {
   def intentMix(s: SparkSession, dir: String): DataFrame =
     graft.ops.SftPrep.intentMix(transcripts(s, dir))
 
+  /** q133: preference-margin calibration bands over q118's pairs at
+    * the default ≥9-char gate ([[graft.ops.SftPrep.marginReport]]). */
+  def marginReport(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.marginReport(transcripts(s, dir))
+
+  /** q135: ungrounded-numbers audit on the tool→assistant edge
+    * ([[graft.ops.SftPrep.ungroundedNumbers]]). */
+  def ungroundedNumbers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.ungroundedNumbers(transcripts(s, dir))
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -544,6 +554,51 @@ object AnalyticsQueries {
 object Oracles {
 
   private val T = TranscriptGen.fromEventsOracleSql
+
+  /** q118's full oracle, extracted so q133 can compose on it. */
+  private val preferencePairsOracle: String =
+    s"""WITH t AS ($T),
+       |tr AS (SELECT conv_id,
+       |    CAST(row_number() OVER (PARTITION BY conv_id
+       |      ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+       |    role, text FROM t),
+       |m AS (SELECT conv_id, turn_idx, role, text,
+       |    lag(role) OVER w AS prev_role,
+       |    lag(text) OVER w AS prev_text,
+       |    CASE WHEN lag(role) OVER w IS NULL
+       |         OR lag(role) OVER w <> role THEN 1 ELSE 0 END AS rs
+       |  FROM tr WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+       |r AS (SELECT *, sum(rs) OVER (PARTITION BY conv_id
+       |    ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS run_id
+       |  FROM m),
+       |rk AS (SELECT conv_id, run_id, turn_idx, prev_role, prev_text,
+       |    text, length(text) AS len,
+       |    row_number() OVER (PARTITION BY conv_id, run_id
+       |      ORDER BY turn_idx) AS rn_first,
+       |    row_number() OVER (PARTITION BY conv_id, run_id
+       |      ORDER BY length(text) DESC, turn_idx ASC) AS rn_ch,
+       |    row_number() OVER (PARTITION BY conv_id, run_id
+       |      ORDER BY length(text) ASC, turn_idx DESC) AS rn_rj,
+       |    count(*) OVER (PARTITION BY conv_id, run_id) AS n_cand
+       |  FROM r WHERE role = 'assistant'),
+       |g AS (SELECT conv_id, run_id,
+       |    max(n_cand) AS n_candidates,
+       |    max(CASE WHEN rn_first = 1 THEN turn_idx END) AS head_ti,
+       |    max(CASE WHEN rn_first = 1 THEN prev_role END) AS head_pr,
+       |    max(CASE WHEN rn_first = 1 THEN md5(prev_text) END)
+       |      AS prompt_md5,
+       |    max(CASE WHEN rn_ch = 1 THEN md5(text) END) AS chosen_md5,
+       |    max(CASE WHEN rn_ch = 1 THEN len END) AS chosen_len,
+       |    max(CASE WHEN rn_rj = 1 THEN md5(text) END) AS rejected_md5,
+       |    max(CASE WHEN rn_rj = 1 THEN len END) AS rejected_len
+       |  FROM rk GROUP BY 1, 2)
+       |SELECT conv_id,
+       |  CAST(head_ti - 1 AS INTEGER) AS prompt_turn_idx, prompt_md5,
+       |  n_candidates, chosen_md5,
+       |  CAST(chosen_len AS BIGINT) AS chosen_len,
+       |  rejected_md5, CAST(rejected_len AS BIGINT) AS rejected_len
+       |FROM g WHERE n_candidates >= 2 AND head_pr = 'user'
+       |ORDER BY conv_id, prompt_turn_idx""".stripMargin
 
   val all: Map[String, String] = Map(
     "q01_transcripts" ->
@@ -1128,49 +1183,7 @@ object Oracles {
     // struct max/min (len, -turn_idx, md5) equals the sort-based
     // definition; turn_idx is unique so no comparison ever reaches the
     // md5 element
-    "q118_preference_pairs" ->
-      s"""WITH t AS ($T),
-         |tr AS (SELECT conv_id,
-         |    CAST(row_number() OVER (PARTITION BY conv_id
-         |      ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
-         |    role, text FROM t),
-         |m AS (SELECT conv_id, turn_idx, role, text,
-         |    lag(role) OVER w AS prev_role,
-         |    lag(text) OVER w AS prev_text,
-         |    CASE WHEN lag(role) OVER w IS NULL
-         |         OR lag(role) OVER w <> role THEN 1 ELSE 0 END AS rs
-         |  FROM tr WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
-         |r AS (SELECT *, sum(rs) OVER (PARTITION BY conv_id
-         |    ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS run_id
-         |  FROM m),
-         |rk AS (SELECT conv_id, run_id, turn_idx, prev_role, prev_text,
-         |    text, length(text) AS len,
-         |    row_number() OVER (PARTITION BY conv_id, run_id
-         |      ORDER BY turn_idx) AS rn_first,
-         |    row_number() OVER (PARTITION BY conv_id, run_id
-         |      ORDER BY length(text) DESC, turn_idx ASC) AS rn_ch,
-         |    row_number() OVER (PARTITION BY conv_id, run_id
-         |      ORDER BY length(text) ASC, turn_idx DESC) AS rn_rj,
-         |    count(*) OVER (PARTITION BY conv_id, run_id) AS n_cand
-         |  FROM r WHERE role = 'assistant'),
-         |g AS (SELECT conv_id, run_id,
-         |    max(n_cand) AS n_candidates,
-         |    max(CASE WHEN rn_first = 1 THEN turn_idx END) AS head_ti,
-         |    max(CASE WHEN rn_first = 1 THEN prev_role END) AS head_pr,
-         |    max(CASE WHEN rn_first = 1 THEN md5(prev_text) END)
-         |      AS prompt_md5,
-         |    max(CASE WHEN rn_ch = 1 THEN md5(text) END) AS chosen_md5,
-         |    max(CASE WHEN rn_ch = 1 THEN len END) AS chosen_len,
-         |    max(CASE WHEN rn_rj = 1 THEN md5(text) END) AS rejected_md5,
-         |    max(CASE WHEN rn_rj = 1 THEN len END) AS rejected_len
-         |  FROM rk GROUP BY 1, 2)
-         |SELECT conv_id,
-         |  CAST(head_ti - 1 AS INTEGER) AS prompt_turn_idx, prompt_md5,
-         |  n_candidates, chosen_md5,
-         |  CAST(chosen_len AS BIGINT) AS chosen_len,
-         |  rejected_md5, CAST(rejected_len AS BIGINT) AS rejected_len
-         |FROM g WHERE n_candidates >= 2 AND head_pr = 'user'
-         |ORDER BY conv_id, prompt_turn_idx""".stripMargin,
+    "q118_preference_pairs" -> preferencePairsOracle,
     // q119: token counts are the q20/q117 whitespace contract; the
     // reverse cumulative sum and both per-conversation counts are
     // spelled as the same windows the Spark side plans on one conv_id
@@ -1416,5 +1429,53 @@ object Oracles {
          |SELECT intent, count(*) AS n_convs,
          |  round(avg(n_turns), 6) AS avg_turns,
          |  round(avg(n_tok), 6) AS avg_tokens
-         |FROM i GROUP BY intent ORDER BY intent""".stripMargin)
+         |FROM i GROUP BY intent ORDER BY intent""".stripMargin,
+    // q133: composed from q118's full oracle — the margin bands cannot
+    // drift from the pair miner they gate; margins are integer char
+    // arithmetic, avgs exact integer sums / counts
+    "q133_margin_report" ->
+      s"""WITH pp AS ($preferencePairsOracle),
+         |b AS (SELECT CASE
+         |    WHEN chosen_len - rejected_len = 0 THEN 'b0_zero'
+         |    WHEN chosen_len - rejected_len <= 8 THEN 'b1_1_8'
+         |    WHEN chosen_len - rejected_len <= 32 THEN 'b2_9_32'
+         |    WHEN chosen_len - rejected_len <= 128 THEN 'b3_33_128'
+         |    ELSE 'b4_gt128' END AS margin_band,
+         |    chosen_len - rejected_len AS m, n_candidates
+         |  FROM pp)
+         |SELECT margin_band, count(*) AS n_pairs,
+         |  round(avg(m), 6) AS avg_margin,
+         |  min(m) AS min_margin, max(m) AS max_margin,
+         |  round(avg(n_candidates), 6) AS avg_candidates,
+         |  CAST(sum(CASE WHEN m >= 9 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_gate_kept
+         |FROM b GROUP BY 1 ORDER BY margin_band""".stripMargin,
+    // q135: digit-run extraction + set difference on the
+    // tool→assistant edge — list built AFTER the pair filter on both
+    // engines; a number is grounded iff the exact digit run appears
+    // in the tool output
+    "q135_ungrounded_numbers" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id,
+         |    CAST(row_number() OVER w - 1 AS INTEGER) AS turn_idx,
+         |    role, tool, text,
+         |    lead(role) OVER w AS next_role,
+         |    lead(text) OVER w AS next_text
+         |  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)),
+         |p AS (SELECT conv_id, turn_idx, tool,
+         |    list_distinct(regexp_extract_all(text, '[0-9]+')) AS tnum,
+         |    list_distinct(regexp_extract_all(next_text, '[0-9]+'))
+         |      AS anum
+         |  FROM o WHERE role = 'tool' AND next_role = 'assistant'),
+         |u AS (SELECT conv_id, turn_idx, tool,
+         |    CAST(len(anum) AS BIGINT) AS n_nums,
+         |    CAST(len(list_filter(anum,
+         |      x -> NOT list_contains(tnum, x))) AS BIGINT)
+         |      AS n_ungrounded
+         |  FROM p)
+         |SELECT conv_id, turn_idx, tool, n_nums, n_ungrounded,
+         |  round(CAST(n_ungrounded AS DOUBLE) / greatest(n_nums, 1), 6)
+         |    AS ungrounded_share,
+         |  n_ungrounded > 0 AS has_ungrounded
+         |FROM u ORDER BY conv_id, turn_idx""".stripMargin)
 }

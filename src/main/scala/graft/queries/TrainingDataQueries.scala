@@ -29,6 +29,11 @@ object TrainingDataQueries {
   def langConfusionQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langConfusion(docs(s, dir))
 
+  /** q134: per-document lexical profile (TTR / hapax / burstiness)
+    * ([[graft.ops.TextAnalysis.hapaxProfile]]). */
+  def hapaxProfileQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hapaxProfile(docs(s, dir))
+
   def quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")
 
@@ -2730,5 +2735,27 @@ object TrainingDataQueries {
          |  round(CAST(n_docs AS DOUBLE) /
          |    sum(n_docs) OVER (PARTITION BY lang), 6) AS share_of_lang,
          |  declared_class = lang_guess AS agree
-         |FROM g ORDER BY lang, lang_guess""".stripMargin)
+         |FROM g ORDER BY lang, lang_guess""".stripMargin,
+    // q134: the row-local histogram spelled with the same lambda
+    // pipeline (distinct → per-type counts) — every output is an
+    // integer count or an integer-ratio round, no float sums
+    "q134_hapax_profile" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id, toks, list_distinct(toks) AS dts FROM f),
+         |h AS (SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(dts) AS BIGINT) AS n_types,
+         |    list_transform(dts,
+         |      t -> len(list_filter(toks, x -> x = t))) AS counts
+         |  FROM g)
+         |SELECT doc_id, n_tokens, n_types,
+         |  CAST(len(list_filter(counts, c -> c = 1)) AS BIGINT)
+         |    AS n_hapax,
+         |  CAST(list_max(counts) AS BIGINT) AS max_token_freq,
+         |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+         |  round(CAST(len(list_filter(counts, c -> c = 1)) AS DOUBLE) /
+         |    greatest(n_types, 1), 6) AS hapax_share
+         |FROM h ORDER BY doc_id""".stripMargin)
 }

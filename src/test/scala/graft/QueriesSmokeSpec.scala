@@ -386,7 +386,19 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // one bounded (lang × guess) rollup (partial+final: 1) + the
       // per-label share window's re-key over the BOUNDED confusion
       // table + output sort — the corpus never exchanges
-      "q132_langid_confusion" -> 3)
+      "q132_langid_confusion" -> 3,
+      // q118's pinned 4 (derivation 2 + conv_id re-exchange + its
+      // sort, which the ≤5-row band rollup's exchange replaces) + the
+      // band rollup + output sort — margins are integer arithmetic on
+      // q118's already-aggregated rows
+      "q133_margin_report" -> 5,
+      // ZERO shuffle histogram (row-local lambdas over the scan) —
+      // only the output sort exchanges
+      "q134_hapax_profile" -> 1,
+      // the q127 shape: transcripts' derivation (2) + the lead()
+      // pair-walk re-exchange + output sort; number lists extracted
+      // and differenced after the pair filter
+      "q135_ungrounded_numbers" -> 4)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
