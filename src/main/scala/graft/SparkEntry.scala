@@ -158,7 +158,10 @@ object SparkEntry {
     "q132_langid_confusion" -> (T.langConfusionQ(_, _)),
     "q133_margin_report" -> (P.marginReport(_, _)),
     "q134_hapax_profile" -> (T.hapaxProfileQ(_, _)),
-    "q135_ungrounded_numbers" -> (P.ungroundedNumbers(_, _)))
+    "q135_ungrounded_numbers" -> (P.ungroundedNumbers(_, _)),
+    "q136_embedding_drift" -> (T.batchDriftQ(_, _)),
+    "q137_heaps_fit" -> (T.heapsFitQ(_, _)),
+    "q138_effective_tokens" -> (T.effectiveTokensQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

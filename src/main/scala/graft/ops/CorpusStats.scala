@@ -1456,4 +1456,49 @@ object CorpusStats {
       .withColumn("cum_share", round(col("cum_turns").cast("double") /
         lit(total.toDouble), 6))
   }
+
+  /** Heaps'-law fit per source: least-squares regression of
+    * ln(n_types) on ln(n_tokens) across the source's documents —
+    * V(n) ≈ K·n^β, so heaps_beta ≪ the natural-text ~0.5 means
+    * machine-generated / template text (vocabulary saturates), β → 1
+    * means near-gibberish (every token novel); r2 says whether the
+    * power law holds at all. The corpus-growth complement of q94's
+    * point-estimate diversity and q134's per-document profile.
+    *
+    * Scale: per-doc (ln tokens, ln types) is a zero-shuffle row-local
+    * projection (array HOFs); the regression is ONE bounded partial+
+    * final agg of six moment sums keyed by source. The slope /
+    * intercept / r² algebra is spelled identically in the DuckDB
+    * oracle — raw moment sums, the textbook n·Σxy−ΣxΣy forms, rounded
+    * 1e-6 only at output — so both engines walk the same float path
+    * (double moment error ~1e-12 against the 1e-6 grid). Degenerate
+    * sources (zero token-count variance) map to 0.0 in BOTH engines
+    * rather than null. */
+  def heapsFit(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val per = docs.select(col("source"),
+      log(size(toks).cast("double")).as("x"),
+      log(size(array_distinct(toks)).cast("double")).as("y"))
+    val n = count(lit(1)).cast("double")
+    val agg = per.groupBy("source").agg(
+      n.as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varXN = col("n") * col("sxx") - col("sx") * col("sx")
+    val varYN = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = covN / varXN
+    agg.select(
+        col("source"), col("n").cast("long").as("n_docs"),
+        when(varXN =!= 0.0, round(slope, 6)).otherwise(0.0)
+          .as("heaps_beta"),
+        when(varXN =!= 0.0,
+          round(exp((col("sy") - slope * col("sx")) / col("n")), 6))
+          .otherwise(0.0).as("heaps_k"),
+        when(varXN =!= 0.0 && varYN =!= 0.0,
+          round(covN * covN / (varXN * varYN), 6)).otherwise(0.0)
+          .as("r2"))
+      .orderBy("source")
+  }
 }

@@ -1001,4 +1001,49 @@ object Dedup {
         round(col("n_hit").cast("double") /
           col("n_cand").cast("double"), 6).as("precision"))
   }
+
+  /** Dedup-aware effective token mass per source: each document's
+    * tokens are down-weighted by its near-dup cluster size (q31 pairs
+    * → q36 components, singletons their own cluster), so a source
+    * whose bulk is 40 copies of one page contributes ~1 page of
+    * effective tokens. dup_inflation = raw/effective is the per-source
+    * mixing-weight correction a token-budgeted sampler (q39/q122)
+    * applies — raw token counts over-credit duplicated sources.
+    *
+    * Scale: the pair→component derivation is exactly q36's (the
+    * intrinsic cost class; see [[connectedComponents]]); on top of it
+    * this adds one narrow token projection, a left join keyed doc_id
+    * (near-dup members only — the cluster map is the SMALL side at
+    * real dup rates, AQE-broadcastable), one cluster-size agg keyed
+    * cluster_id, and one bounded per-source rollup. Per-doc effective
+    * tokens round 1e-6 BEFORE the source sum (each quotient is
+    * bitwise-deterministic, so both engines sum the same 1e-6-grid
+    * values; the sum re-rounds at output). */
+  def effectiveTokens(docs: DataFrame, k: Int = 3,
+      minJaccard: Double = 0.1): DataFrame = {
+    val cl = connectedComponents(
+      ngramJaccardPairs(docs.select("doc_id", "text"), k, minJaccard)
+        .select("doc_a", "doc_b"))
+    val tok = docs.select(col("doc_id"), col("source"),
+      size(TextAnalysis.tokens(col("text"))).cast("long")
+        .as("n_tokens"))
+    val withCl = tok.join(cl, Seq("doc_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), col("doc_id")))
+    val sizes = withCl.groupBy("cluster_id")
+      .agg(count(lit(1)).as("csize"))
+    withCl.join(sizes, Seq("cluster_id"))
+      .withColumn("eff", round(col("n_tokens").cast("double") /
+        col("csize").cast("double"), 6))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1L, 1L).otherwise(0L))
+          .as("n_in_clusters"),
+        sum("n_tokens").as("raw_tokens"),
+        round(sum("eff"), 6).as("eff_tokens"))
+      .withColumn("dup_inflation",
+        round(col("raw_tokens").cast("double") / col("eff_tokens"), 6))
+      .orderBy("source")
+  }
 }

