@@ -161,7 +161,10 @@ object SparkEntry {
     "q135_ungrounded_numbers" -> (P.ungroundedNumbers(_, _)),
     "q136_embedding_drift" -> (T.batchDriftQ(_, _)),
     "q137_heaps_fit" -> (T.heapsFitQ(_, _)),
-    "q138_effective_tokens" -> (T.effectiveTokensQ(_, _)))
+    "q138_effective_tokens" -> (T.effectiveTokensQ(_, _)),
+    "q139_pmi_collocations" -> (T.pmiCollocationsQ(_, _)),
+    "q140_jaccard_sweep" -> (T.jaccardSweepQ(_, _)),
+    "q141_dedup_aware_plan" -> (T.dedupAwarePlanQ(_, _)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/order
     * as the Spark results — the driver sorts columns by name and hashes

@@ -1457,6 +1457,99 @@ object CorpusStats {
         lit(total.toDouble), 6))
   }
 
+  /** Top-N PMI collocations: pointwise mutual information
+    * ln(p(w1w2) / (p(w1)·p(w2))) over corpus bigrams with at least
+    * `minCount` occurrences — the collocation miner (Church & Hanks
+    * 1990). High-PMI pairs are multi-word units a tokenizer/dedup
+    * shingle should treat atomically; a corpus whose top PMI list is
+    * boilerplate ("click here", "all rights") is template-heavy.
+    *
+    * Scale: unigram and bigram tables are each ONE corpus agg with
+    * map-side partial combine (the q25 posture — hot grams arrive
+    * pre-summed); corpus token/bigram totals are bounded eager scalars
+    * inlined as literals (the q19 pattern, never a partition-less
+    * window); the `minCount` filter prunes the bigram table BEFORE its
+    * two unigram equi-joins (vocabulary-sized, keyed on word); the
+    * top-N is TakeOrderedAndProject with the bigram string as
+    * tie-break. PMI's float path (two divides, one multiply, ln,
+    * round 1e-6) is spelled identically in the oracle. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5,
+      topN: Int = 20): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val tot = docs.select(
+      sum(size(toks)).cast("double"),
+      sum(greatest(size(toks) - 1, lit(0))).cast("double")).head()
+    val (nU, nB) = (tot.getDouble(0), tot.getDouble(1))
+    val uni = docs.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val bi = docs
+      .select(explode(graft.functions.word_ngrams(col("text"), 2))
+        .as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .withColumn("w1", split(col("ngram"), " ")(0))
+      .withColumn("w2", split(col("ngram"), " ")(1))
+    bi
+      .join(uni.select(col("tok").as("w1"), col("n").as("n_w1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("n").as("n_w2")), "w2")
+      .select(col("ngram"), col("n_pair"), col("n_w1"), col("n_w2"),
+        round(log((col("n_pair").cast("double") / nB) /
+          ((col("n_w1").cast("double") / nU) *
+            (col("n_w2").cast("double") / nU))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("ngram")).limit(topN)
+  }
+
+  /** Dedup-aware mixture planner: [[mixturePlan]]'s integer quota
+    * apportionment re-based on EFFECTIVE token supply — each
+    * document's tokens down-weighted by its near-dup cluster size
+    * (q138's measure) in exact micro-token integer arithmetic. A
+    * source that looks big but is mostly copies gets epochs_eff ≫
+    * epochs_raw: the planner's raw epoch count under-states how often
+    * the model will actually see the same text (Muennighoff et al.'s
+    * data-constrained regime counts unique tokens, not raw).
+    *
+    * Scale: q36's intrinsic pair→component derivation plus q122's
+    * bounded per-source planner; micro-token sums are 64-bit exact
+    * (n_tok·1e6 per doc, quota·1e6 per source — switch to
+    * DECIMAL(38) arithmetic beyond ~9·10^12-token per-source quotas).
+    * All outputs integers/booleans — bit-identical across engines,
+    * retries and cluster sizes. */
+  def dedupAwarePlan(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val cl = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs.select("doc_id", "text"), 3, 0.1)
+        .select("doc_a", "doc_b"))
+    val tok = docs.select(col("doc_id"), col("source"),
+      substring(col("source"), 4, 10).cast("int").as("src_idx"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val withCl = tok.join(cl, Seq("doc_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), col("doc_id")))
+    val sizes = withCl.groupBy("cluster_id")
+      .agg(count(lit(1)).as("csize"))
+    val perSrc = Dedup.persistOnce(withCl
+      .join(sizes, Seq("cluster_id"))
+      .withColumn("eff_utok", expr("n_tok * 1000000 div csize"))
+      .groupBy("source")
+      .agg(min("src_idx").as("src_idx"), count(lit(1)).as("n_docs"),
+        sum("n_tok").as("avail_tok"), sum("eff_utok").as("eff_utok")))
+    // bounded eager scalar (#sources), inlined as a literal
+    val nSrc = math.max(perSrc.count(), 1L)
+    val base = budgetTokens / nSrc
+    val rem = budgetTokens % nSrc
+    perSrc
+      .withColumn("quota_tok",
+        lit(base) + when(col("src_idx") < lit(rem), 1L).otherwise(0L))
+      .withColumn("epochs_raw",
+        expr("(quota_tok + avail_tok - 1) div avail_tok"))
+      .withColumn("epochs_eff",
+        expr("(quota_tok * 1000000 + eff_utok - 1) div eff_utok"))
+      .select(col("source"), col("n_docs"), col("avail_tok"),
+        col("eff_utok"), col("quota_tok"), col("epochs_raw"),
+        col("epochs_eff"),
+        (col("epochs_eff") > col("epochs_raw")).as("dup_penalty"))
+      .orderBy("source")
+  }
+
   /** Heaps'-law fit per source: least-squares regression of
     * ln(n_types) on ln(n_tokens) across the source's documents —
     * V(n) ≈ K·n^β, so heaps_beta ≪ the natural-text ~0.5 means

@@ -1002,6 +1002,42 @@ object Dedup {
           col("n_cand").cast("double"), 6).as("precision"))
   }
 
+  /** Jaccard threshold-sensitivity sweep: near-dup pair counts at
+    * every candidate dedup threshold 0.1…0.9 from ONE pass of the
+    * q31 machinery — the tuning audit run before committing a corpus
+    * to a threshold. A sharp drop between two thresholds marks where
+    * the pair population separates into true dups vs topical overlap;
+    * a flat curve means the threshold barely matters.
+    *
+    * Scale: pairs are derived once at the base threshold (the
+    * intrinsic q31 cost) and reduced to a ≤10-row bucket histogram
+    * (exact micro-integer bucketing of the 1e-6-rounded jaccard — no
+    * float·10 floor, whose representation error misbuckets 0.3); the
+    * suffix accumulation runs on the driver over that bounded
+    * histogram (the q107 dailyVolume pattern — documented bound, ≤10
+    * rows), NOT as a theta-join (BNLJ) or partition-less window. */
+  def jaccardThresholdSweep(docs: DataFrame, k: Int = 3,
+      base: Double = 0.1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val buckets = ngramJaccardPairs(docs.select("doc_id", "text"), k,
+        base)
+      .withColumn("bucket",
+        expr("CAST(round(jaccard * 1000000) AS BIGINT) div 100000"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect() // bounded: ≤ 10 jaccard bands
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = buckets.filter(_._1 >= 1L).values.sum
+    (1 to 9).map { t =>
+      val nGe = buckets.filter(_._1 >= t).values.sum
+      (t / 10.0, nGe,
+        if (total == 0L) 0.0
+        else BigDecimal(nGe.toDouble / total)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("threshold", "n_pairs_ge", "share_of_base")
+      .orderBy("threshold")
+  }
+
   /** Dedup-aware effective token mass per source: each document's
     * tokens are down-weighted by its near-dup cluster size (q31 pairs
     * → q36 components, singletons their own cluster), so a source

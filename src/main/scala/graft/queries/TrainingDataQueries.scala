@@ -49,6 +49,21 @@ object TrainingDataQueries {
   def effectiveTokensQ(s: SparkSession, dir: String): DataFrame =
     Dedup.effectiveTokens(docs(s, dir))
 
+  /** q139: top-PMI collocations
+    * ([[graft.ops.CorpusStats.pmiCollocations]]). */
+  def pmiCollocationsQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.pmiCollocations(docs(s, dir))
+
+  /** q140: Jaccard threshold-sensitivity sweep
+    * ([[graft.ops.Dedup.jaccardThresholdSweep]]). */
+  def jaccardSweepQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardThresholdSweep(docs(s, dir))
+
+  /** q141: dedup-aware mixture planner at q122's budget
+    * ([[graft.ops.CorpusStats.dedupAwarePlan]]). */
+  def dedupAwarePlanQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.dedupAwarePlan(docs(s, dir), budgetTokens = 30010L)
+
   def quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")
 
@@ -2858,5 +2873,98 @@ object TrainingDataQueries {
          |  round(sum(eff), 6) AS eff_tokens,
          |  round(CAST(sum(n_tokens) AS DOUBLE) / round(sum(eff), 6), 6)
          |    AS dup_inflation
-         |FROM e GROUP BY source ORDER BY source""".stripMargin)
+         |FROM e GROUP BY source ORDER BY source""".stripMargin,
+    // q139: the same two gram tables, scalar totals, and the same
+    // divide-divide-multiply-ln-round float path as the Spark side;
+    // ties on the bigram string
+    "q139_pmi_collocations" ->
+      """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |tot AS (SELECT CAST(sum(len(w)) AS DOUBLE) AS nu,
+        |    CAST(sum(greatest(len(w) - 1, 0)) AS DOUBLE) AS nb
+        |  FROM w),
+        |uc AS (SELECT tok, count(*) AS n
+        |  FROM (SELECT unnest(w) AS tok FROM w) GROUP BY tok),
+        |g AS (SELECT w[i] AS w1, w[i+1] AS w2,
+        |    w[i] || ' ' || w[i+1] AS ngram
+        |  FROM w, UNNEST(generate_series(1, greatest(len(w) - 1, 0)))
+        |    AS t(i)),
+        |bc AS (SELECT ngram, min(w1) AS w1, min(w2) AS w2,
+        |    count(*) AS n_pair
+        |  FROM g GROUP BY ngram HAVING count(*) >= 5),
+        |j AS (SELECT bc.ngram, bc.n_pair, a.n AS n_w1, b.n AS n_w2
+        |  FROM bc JOIN uc a ON a.tok = bc.w1
+        |  JOIN uc b ON b.tok = bc.w2)
+        |SELECT ngram, CAST(n_pair AS BIGINT) AS n_pair,
+        |  CAST(n_w1 AS BIGINT) AS n_w1, CAST(n_w2 AS BIGINT) AS n_w2,
+        |  round(ln((CAST(n_pair AS DOUBLE) / (SELECT nb FROM tot)) /
+        |    ((CAST(n_w1 AS DOUBLE) / (SELECT nu FROM tot)) *
+        |     (CAST(n_w2 AS DOUBLE) / (SELECT nu FROM tot)))), 6) AS pmi
+        |FROM j ORDER BY pmi DESC, ngram LIMIT 20""".stripMargin,
+    // q140: q31's pair CTE once, exact micro-integer bucketing of the
+    // rounded jaccard, suffix sums via correlated scalars over the
+    // bounded histogram
+    "q140_jaccard_sweep" ->
+      s"""WITH b AS (SELECT
+         |    CAST(round(jaccard * 1000000) AS BIGINT) // 100000
+         |      AS bucket
+         |  FROM ($ngramJaccardOracle) t),
+         |c AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+         |th AS (SELECT unnest(generate_series(1, 9)) AS tb)
+         |SELECT CAST(tb AS DOUBLE) / 10.0 AS threshold,
+         |  CAST(coalesce((SELECT sum(n) FROM c WHERE bucket >= tb), 0)
+         |    AS BIGINT) AS n_pairs_ge,
+         |  CASE WHEN coalesce((SELECT sum(n) FROM c WHERE bucket >= 1),
+         |      0) = 0 THEN 0.0
+         |    ELSE round(CAST(coalesce((SELECT sum(n) FROM c
+         |        WHERE bucket >= tb), 0) AS DOUBLE) /
+         |      CAST((SELECT sum(n) FROM c WHERE bucket >= 1)
+         |        AS DOUBLE), 6) END AS share_of_base
+         |FROM th ORDER BY threshold""".stripMargin,
+    // q141: q138's component CTEs + q122's integer quota arithmetic
+    // on micro-token effective supply — every output integer/boolean
+    "q141_dedup_aware_plan" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT doc_a, doc_b FROM ($ngramJaccardOracle) t),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(node, lab) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, r.lab FROM edges e JOIN reach r ON e.d = r.node),
+         |cl AS (SELECT node AS doc_id, min(lab) AS cluster_id
+         |  FROM reach GROUP BY node),
+         |d AS (SELECT doc_id, source,
+         |    CAST(substr(source, 4) AS INT) AS src_idx,
+         |    CAST(len(string_split_regex(trim(text), '\\s+'))
+         |      AS BIGINT) AS n_tok
+         |  FROM documents),
+         |j AS (SELECT d.source, d.src_idx, d.n_tok,
+         |    coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |  FROM d LEFT JOIN cl USING (doc_id)),
+         |sz AS (SELECT cluster_id, count(*) AS csize
+         |  FROM j GROUP BY cluster_id),
+         |e AS (SELECT j.source, j.src_idx, j.n_tok,
+         |    (j.n_tok * 1000000) // sz.csize AS eff_utok
+         |  FROM j JOIN sz USING (cluster_id)),
+         |s AS (SELECT source, min(src_idx) AS src_idx,
+         |    count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS avail_tok,
+         |    CAST(sum(eff_utok) AS BIGINT) AS eff_utok
+         |  FROM e GROUP BY source),
+         |n AS (SELECT count(*) AS n_src FROM s),
+         |q AS (SELECT source, n_docs, avail_tok, eff_utok,
+         |    CAST(30010 // (SELECT n_src FROM n) +
+         |      CASE WHEN src_idx < 30010 % (SELECT n_src FROM n)
+         |        THEN 1 ELSE 0 END AS BIGINT) AS quota_tok
+         |  FROM s),
+         |f AS (SELECT source, n_docs, avail_tok, eff_utok, quota_tok,
+         |    CAST((quota_tok + avail_tok - 1) // avail_tok AS BIGINT)
+         |      AS epochs_raw,
+         |    CAST((quota_tok * 1000000 + eff_utok - 1) // eff_utok
+         |      AS BIGINT) AS epochs_eff
+         |  FROM q)
+         |SELECT source, n_docs, avail_tok, eff_utok, quota_tok,
+         |  epochs_raw, epochs_eff, epochs_eff > epochs_raw
+         |    AS dup_penalty
+         |FROM f ORDER BY source""".stripMargin)
 }

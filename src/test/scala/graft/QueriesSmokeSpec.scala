@@ -410,7 +410,19 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // q36's intrinsic pair→component derivation (the q31 shingle
       // machinery) + singleton left join + cluster-size agg + the
       // bounded source rollup + output sort
-      "q138_effective_tokens" -> 8)
+      "q138_effective_tokens" -> 8,
+      // unigram + bigram corpus aggs (map-side combined) + the
+      // minCount-pruned bigram table's two vocabulary equi-join
+      // re-keys; the top-N is TakeOrderedAndProject (no exchange)
+      "q139_pmi_collocations" -> 5,
+      // pairs reduce to a ≤10-row driver histogram; only the 9-row
+      // result table's output sort plans an exchange
+      "q140_jaccard_sweep" -> 1,
+      // plan-STRING artifact, not runtime cost: the cached per-source
+      // planner table (persistOnce) prints its q36-class lineage twice
+      // (InMemoryRelation body + scan); runtime executes q138's
+      // 8-exchange derivation once + bounded planner projection + sort
+      "q141_dedup_aware_plan" -> 17)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
