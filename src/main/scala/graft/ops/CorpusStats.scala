@@ -1499,6 +1499,29 @@ object CorpusStats {
       .orderBy(col("pmi").desc, col("ngram")).limit(topN)
   }
 
+  /** Top-N distance-2 skip-gram pairs (w_i, w_{i+2}) — the
+    * co-occurrence table a word2vec-style embedding trainer consumes
+    * beyond adjacent bigrams (q25/q139 cover distance 1): skip-grams
+    * see through function words ("state ___ art"), so their top list
+    * surfaces the corpus's multi-word frames rather than its
+    * stock adjacencies.
+    *
+    * Scale: identical posture to q25 — the pair extraction is one
+    * narrow zip_with over the token array (codegen'd, no explode
+    * until the pair string exists), the count is ONE corpus agg with
+    * map-side partial combine absorbing hot pairs, and the top-N is
+    * TakeOrderedAndProject with the pair string as tie-break. */
+  def skipgramPairs(docs: DataFrame, topN: Int = 20): DataFrame = {
+    val w = split(trim(col("text")), "\\s+")
+    val pairs = when(size(w) >= 3,
+      zip_with(slice(w, lit(1), size(w) - 2), slice(w, lit(3), size(w) - 2),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(typedLit(Seq.empty[String]))
+    docs.select(explode(pairs).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair")).limit(topN)
+  }
+
   /** Dedup-aware mixture planner: [[mixturePlan]]'s integer quota
     * apportionment re-based on EFFECTIVE token supply — each
     * document's tokens down-weighted by its near-dup cluster size

@@ -559,6 +559,71 @@ object TextAnalysis {
       .withColumn("keep", col("bad_frac") <= lit(maxBadFrac))
   }
 
+  /** Format/markup profile per document \u2014 the corpus-router signal
+    * BEFORE language or quality: is this byte stream prose, source
+    * code, or markup? Misrouted non-prose is where the prose quality
+    * gates (q22/q58/q63/q64) silently misfire, and a pretraining mix
+    * wants code and markup weighted as their own sources. Signals are
+    * plain character counts (braces/semicolons/equals for code,
+    * angle brackets for markup) \u2014 deliberately regex-free so both
+    * engines count identically; densities round 1e-6 BEFORE the
+    * class thresholds so the verdict can't straddle a ulp.
+    *
+    * Scale: ZERO shuffle \u2014 one narrow codegen'd projection over the
+    * scan; only the output sort exchanges. */
+  def markupProfile(docs: DataFrame): DataFrame = {
+    def cnt(ch: String): Column =
+      (length(col("text")) -
+        length(replace(col("text"), lit(ch), lit("")))).cast("long")
+    val nChars = greatest(length(col("text")), lit(1)).cast("double")
+    val code = cnt("{") + cnt("}") + cnt(";") + cnt("=")
+    val markup = cnt("<") + cnt(">")
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        code.as("n_code_chars"), markup.as("n_markup_chars"),
+        round(code.cast("double") / nChars, 6).as("code_density"),
+        round(markup.cast("double") / nChars, 6).as("markup_density"))
+      .withColumn("doc_class",
+        when(col("markup_density") >= 0.005 &&
+          col("markup_density") >= col("code_density"), "markup")
+          .when(col("code_density") >= 0.01, "code")
+          .otherwise("prose"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic-gate vs model-classifier calibration audit: every
+    * (source, q22 keep verdict, q58 keep verdict) cell with its doc
+    * count, mean classifier probability, and share of the source \u2014
+    * the QA report that says WHERE the cheap gate and the model
+    * disagree (large heuristic_keep=true / clf_keep=false cells mean
+    * the gate passes text the model would cut, and vice versa).
+    * Complements q68 (which grades the classifier against labels);
+    * this grades the two FILTERS against each other.
+    *
+    * Scale: both verdicts are the shared single-definition
+    * expressions ([[keepQualityExpr]], [[clfScoreExpr]]) evaluated in
+    * one narrow pass; ONE bounded rollup (source \u00d7 2 \u00d7 2) with
+    * map-side combine; the share window re-keys only the bounded
+    * cell table (the q132 pattern). */
+  def qualityCalibration(docs: DataFrame): DataFrame = {
+    val cells = docs.select(col("source"),
+        keepQualityExpr(col("text")).as("heuristic_keep"),
+        clfScoreExpr(col("text")).as("p"))
+      .withColumn("clf_keep", col("p") >= 0.5)
+      .groupBy("source", "heuristic_keep", "clf_keep")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("p"), 6).as("mean_clf_prob"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+    cells
+      .withColumn("share_of_source",
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(w), 6))
+      .select(col("source"), col("heuristic_keep"), col("clf_keep"),
+        col("n_docs"), col("mean_clf_prob"), col("share_of_source"))
+      .orderBy("source", "heuristic_keep", "clf_keep")
+  }
+
   /** Unicode-script composition per document \u2014 the code-switching /
     * wrong-corpus-routing detector: counts codepoints in the Latin,
     * Cyrillic, CJK and digit ranges (BMP ranges; the corpus contract \u2014

@@ -64,6 +64,21 @@ object TrainingDataQueries {
   def dedupAwarePlanQ(s: SparkSession, dir: String): DataFrame =
     CorpusStats.dedupAwarePlan(docs(s, dir), budgetTokens = 30010L)
 
+  /** q142: format/markup router profile
+    * ([[graft.ops.TextAnalysis.markupProfile]]). */
+  def markupProfileQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.markupProfile(docs(s, dir))
+
+  /** q143: distance-2 skip-gram co-occurrence top list
+    * ([[graft.ops.CorpusStats.skipgramPairs]]). */
+  def skipgramPairsQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.skipgramPairs(docs(s, dir))
+
+  /** q144: heuristic-gate vs classifier calibration audit
+    * ([[graft.ops.TextAnalysis.qualityCalibration]]). */
+  def qualityCalibrationQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityCalibration(docs(s, dir))
+
   def quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")
 
@@ -2966,5 +2981,75 @@ object TrainingDataQueries {
          |SELECT source, n_docs, avail_tok, eff_utok, quota_tok,
          |  epochs_raw, epochs_eff, epochs_eff > epochs_raw
          |    AS dup_penalty
-         |FROM f ORDER BY source""".stripMargin)
+         |FROM f ORDER BY source""".stripMargin,
+    // q142: regex-free character counts (length-of-replace), densities
+    // rounded 1e-6 before the class CASE — identical in both engines
+    "q142_markup_profile" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(replace(text, '{', '')) +
+        |      length(text) - length(replace(text, '}', '')) +
+        |      length(text) - length(replace(text, ';', '')) +
+        |      length(text) - length(replace(text, '=', ''))
+        |      AS BIGINT) AS n_code_chars,
+        |    CAST(length(text) - length(replace(text, '<', '')) +
+        |      length(text) - length(replace(text, '>', ''))
+        |      AS BIGINT) AS n_markup_chars
+        |  FROM documents),
+        |g AS (SELECT doc_id, n_chars, n_code_chars, n_markup_chars,
+        |    round(CAST(n_code_chars AS DOUBLE) /
+        |      greatest(n_chars, 1), 6) AS code_density,
+        |    round(CAST(n_markup_chars AS DOUBLE) /
+        |      greatest(n_chars, 1), 6) AS markup_density
+        |  FROM f)
+        |SELECT doc_id, n_chars, n_code_chars, n_markup_chars,
+        |  code_density, markup_density,
+        |  CASE WHEN markup_density >= 0.005 AND
+        |      markup_density >= code_density THEN 'markup'
+        |    WHEN code_density >= 0.01 THEN 'code'
+        |    ELSE 'prose' END AS doc_class
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // q143: the q25 bigram oracle at stride 2 — pair strings join on
+    // ' ', ties on the pair string
+    "q143_skipgram_pairs" ->
+      """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT w[i] || ' ' || w[i+2] AS pair
+        |  FROM w, UNNEST(generate_series(1, greatest(len(w) - 2, 0)))
+        |    AS t(i))
+        |SELECT pair, count(*) AS n_occurrences FROM g GROUP BY 1
+        |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin,
+    // q144: q22's keep gate and q58's classifier score composed
+    // verbatim (rounded-1e-4 features inside the logit, score rounded
+    // 1e-6 before the threshold), bounded cell rollup + share window
+    "q144_quality_calibration" ->
+      s"""WITH f AS (SELECT source, text,
+         |    ' ' || lower(text) || ' ' AS p,
+         |    CAST(len(string_split_regex(trim(text), '\\s+'))
+         |      AS BIGINT) AS nt,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+         |      AS np
+         |  FROM documents),
+         |s AS (SELECT source,
+         |    (nt BETWEEN 10 AND 2000 AND
+         |     CAST(np AS DOUBLE) / greatest(nt, 1) < 0.5)
+         |      AS heuristic_keep,
+         |    round(1.0 / (1.0 + exp(-(-2.0 +
+         |      6.0 * round(CAST(CAST(${stopHitsSql("p")} AS BIGINT)
+         |        AS DOUBLE) / greatest(nt, 1), 4) +
+         |      0.3 * round(CAST(length(text) AS DOUBLE) /
+         |        greatest(nt, 1), 4) -
+         |      4.0 * round(CAST(np AS DOUBLE) / greatest(nt, 1), 4) +
+         |      0.2 * ln(nt + 1)))), 6) AS pr
+         |  FROM f),
+         |h AS (SELECT source, heuristic_keep, pr >= 0.5 AS clf_keep,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    round(avg(pr), 6) AS mean_clf_prob
+         |  FROM s GROUP BY 1, 2, 3)
+         |SELECT source, heuristic_keep, clf_keep, n_docs,
+         |  mean_clf_prob,
+         |  round(CAST(n_docs AS DOUBLE) /
+         |    sum(n_docs) OVER (PARTITION BY source), 6)
+         |    AS share_of_source
+         |FROM h ORDER BY source, heuristic_keep, clf_keep""".stripMargin)
 }

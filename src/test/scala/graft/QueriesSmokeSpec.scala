@@ -422,7 +422,15 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // planner table (persistOnce) prints its q36-class lineage twice
       // (InMemoryRelation body + scan); runtime executes q138's
       // 8-exchange derivation once + bounded planner projection + sort
-      "q141_dedup_aware_plan" -> 17)
+      "q141_dedup_aware_plan" -> 17,
+      // narrow char-count projection; only the output sort exchanges
+      "q142_markup_profile" -> 1,
+      // ONE corpus pair agg (map-side combined); top-N is
+      // TakeOrderedAndProject, no output sort exchange beyond the agg
+      "q143_skipgram_pairs" -> 1,
+      // bounded (source × 2 × 2) cell rollup + the share window's
+      // re-key over that bounded table + output sort (q132's shape)
+      "q144_quality_calibration" -> 3)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
