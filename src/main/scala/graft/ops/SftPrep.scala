@@ -927,6 +927,99 @@ object SftPrep {
       .orderBy(col("intent"))
   }
 
+  /** Conversation-outcome report: how did each conversation END — an
+    * assistant answer ("answered"), a user message nobody replied to
+    * ("abandoned"), or a tool result no assistant consumed
+    * ("tool_dangling")? Abandonment and dangling-tool rates are the
+    * first triage cut for SFT harvesting (q101/q123 want answered
+    * conversations) and for serving-side incident review.
+    *
+    * Scale: ONE conv-keyed agg — the last turn is a semilattice
+    * struct-max on (turn_idx, …) (turn_idx is unique per conv, so the
+    * argmax is total), partial-agg combined map-side; billions of
+    * conversations are just groups. No window, no self-join. */
+  def conversationOutcome(t: DataFrame): DataFrame =
+    t.groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        max(struct(col("turn_idx"), col("role"),
+          length(col("text")).cast("long").as("len"))).as("last"))
+      .select(col("conv_id"), col("n_turns"),
+        col("last.turn_idx").as("last_turn_idx"),
+        col("last.role").as("last_role"),
+        col("last.len").as("last_text_len"))
+      .withColumn("outcome",
+        when(col("last_role") === "assistant", "answered")
+          .when(col("last_role") === "user", "abandoned")
+          .when(col("last_role") === "tool", "tool_dangling")
+          .otherwise("other"))
+      .orderBy(col("conv_id"))
+
+  /** Topic-drift score: token-set Jaccard between the FIRST and LAST
+    * user turn of each conversation (≥ 2 user turns). Low overlap
+    * means the user's final ask is not the opening ask — the
+    * conversation wandered — which matters both for intent labeling
+    * (q131 labels only the opener) and for context-trim policies
+    * (q119 must not cut the turns that carried the topic shift).
+    *
+    * Scale: first/last user turns are semilattice struct-min/max in
+    * ONE conv-keyed agg (no window, no per-conv sort); the Jaccard is
+    * a row-local array intersect/union on exactly two token sets per
+    * conversation. */
+  def topicDrift(t: DataFrame, minJaccard: Double = 0.2): DataFrame = {
+    def toks(c: Column): Column =
+      array_distinct(split(trim(c), "\\s+"))
+    val g = t.filter(col("role") === "user")
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_user_turns"),
+        min(struct(col("turn_idx"), col("text"))).as("first"),
+        max(struct(col("turn_idx"), col("text"))).as("last"))
+      .filter(col("n_user_turns") >= 2)
+    val f = toks(col("first.text"))
+    val l = toks(col("last.text"))
+    g.select(col("conv_id"), col("n_user_turns"),
+        col("first.turn_idx").as("first_turn_idx"),
+        col("last.turn_idx").as("last_turn_idx"),
+        round(size(array_intersect(f, l)).cast("double") /
+          greatest(size(array_union(f, l)), lit(1)), 6).as("jaccard"))
+      .withColumn("drifted", col("jaccard") < minJaccard)
+      .orderBy(col("conv_id"))
+  }
+
+  /** Verbosity-slope audit: per-conversation least-squares slope of
+    * assistant turn LENGTH on turn index — a positive slope says the
+    * assistant's replies lengthen as context grows (the rambling /
+    * sycophantic-padding signature); strongly negative says it
+    * degenerates to one-liners. The per-conversation complement of
+    * q108's corpus-level position curve.
+    *
+    * Scale: ONE conv-keyed moment agg (six sums, map-side combined).
+    * Exactness: x (turn index) and y (char length) are integers, so
+    * every moment sum is an EXACT double (< 2^53) — the slope is
+    * bit-identical across engines and partitionings with no rounding
+    * discipline needed before the 1e-6 output round. turn_idx is
+    * unique per conversation, so n ≥ 2 ⇒ nonzero variance. */
+  def verbositySlope(t: DataFrame): DataFrame = {
+    val x = col("turn_idx").cast("double")
+    val y = length(col("text")).cast("double")
+    t.filter(col("role") === "assistant")
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_assistant_turns"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"),
+        sum(x * y).as("sxy"))
+      .filter(col("n_assistant_turns") >= 2)
+      .withColumn("n", col("n_assistant_turns").cast("double"))
+      .select(col("conv_id"), col("n_assistant_turns"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("len_slope"),
+        round(col("sy") / col("n"), 6).as("mean_resp_len"))
+      .withColumn("lengthening", col("len_slope") > 0.0)
+      .orderBy(col("conv_id"))
+  }
+
   def sftRender(t: DataFrame): DataFrame = {
     val line = concat(lit("<|"), col("role"), lit("|>\n"), col("text"))
     t.select(col("conv_id"), col("turn_idx"), line.as("line"))

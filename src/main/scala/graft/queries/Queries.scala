@@ -432,6 +432,21 @@ object PipelineQueries {
   def ungroundedNumbers(s: SparkSession, dir: String): DataFrame =
     graft.ops.SftPrep.ungroundedNumbers(transcripts(s, dir))
 
+  /** q145: conversation-outcome triage
+    * ([[graft.ops.SftPrep.conversationOutcome]]). */
+  def convOutcome(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.conversationOutcome(transcripts(s, dir))
+
+  /** q146: first-vs-last user-turn topic drift
+    * ([[graft.ops.SftPrep.topicDrift]]). */
+  def topicDrift(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.topicDrift(transcripts(s, dir))
+
+  /** q147: per-conversation assistant verbosity slope
+    * ([[graft.ops.SftPrep.verbositySlope]]). */
+  def verbositySlope(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.verbositySlope(transcripts(s, dir))
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -1477,5 +1492,82 @@ object Oracles {
          |  round(CAST(n_ungrounded AS DOUBLE) / greatest(n_nums, 1), 6)
          |    AS ungrounded_share,
          |  n_ungrounded > 0 AS has_ungrounded
-         |FROM u ORDER BY conv_id, turn_idx""".stripMargin)
+         |FROM u ORDER BY conv_id, turn_idx""".stripMargin,
+    // q145: arg_max by the unique turn_idx ≡ the Spark semilattice
+    // struct-max; outcome CASE identical
+    "q145_conv_outcome" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id,
+         |    CAST(row_number() OVER (PARTITION BY conv_id
+         |      ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         |    role, text FROM t),
+         |g AS (SELECT conv_id, count(*) AS n_turns,
+         |    max(turn_idx) AS last_turn_idx,
+         |    arg_max(role, turn_idx) AS last_role,
+         |    CAST(arg_max(length(text), turn_idx) AS BIGINT)
+         |      AS last_text_len
+         |  FROM o GROUP BY conv_id)
+         |SELECT conv_id, n_turns, last_turn_idx, last_role,
+         |  last_text_len,
+         |  CASE WHEN last_role = 'assistant' THEN 'answered'
+         |    WHEN last_role = 'user' THEN 'abandoned'
+         |    WHEN last_role = 'tool' THEN 'tool_dangling'
+         |    ELSE 'other' END AS outcome
+         |FROM g ORDER BY conv_id""".stripMargin,
+    // q146: arg_min/arg_max user turns by turn_idx, distinct token
+    // sets, intersect / distinct-concat union, rounded 1e-6 before
+    // the drift threshold
+    "q146_topic_drift" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id,
+         |    CAST(row_number() OVER (PARTITION BY conv_id
+         |      ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         |    role, text FROM t),
+         |u AS (SELECT conv_id, count(*) AS n_user_turns,
+         |    min(turn_idx) AS first_turn_idx,
+         |    max(turn_idx) AS last_turn_idx,
+         |    arg_min(text, turn_idx) AS ftext,
+         |    arg_max(text, turn_idx) AS ltext
+         |  FROM o WHERE role = 'user' GROUP BY conv_id
+         |  HAVING count(*) >= 2),
+         |j AS (SELECT conv_id, n_user_turns, first_turn_idx,
+         |    last_turn_idx,
+         |    list_distinct(string_split_regex(trim(ftext), '\\s+'))
+         |      AS f,
+         |    list_distinct(string_split_regex(trim(ltext), '\\s+'))
+         |      AS l
+         |  FROM u),
+         |k AS (SELECT conv_id, n_user_turns, first_turn_idx,
+         |    last_turn_idx,
+         |    round(CAST(len(list_intersect(f, l)) AS DOUBLE) /
+         |      greatest(len(list_distinct(list_concat(f, l))), 1), 6)
+         |      AS jaccard
+         |  FROM j)
+         |SELECT conv_id, n_user_turns, first_turn_idx, last_turn_idx,
+         |  jaccard, jaccard < 0.2 AS drifted
+         |FROM k ORDER BY conv_id""".stripMargin,
+    // q147: integer x/y make every moment sum an exact double — the
+    // slope needs no pre-round discipline; same textbook algebra
+    "q147_verbosity_slope" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id,
+         |    CAST(row_number() OVER (PARTITION BY conv_id
+         |      ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         |    role, text FROM t),
+         |a AS (SELECT conv_id, CAST(turn_idx AS DOUBLE) AS x,
+         |    CAST(length(text) AS DOUBLE) AS y
+         |  FROM o WHERE role = 'assistant'),
+         |g AS (SELECT conv_id, count(*) AS n_assistant_turns,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * x) AS sxx, sum(x * y) AS sxy
+         |  FROM a GROUP BY conv_id HAVING count(*) >= 2),
+         |f AS (SELECT conv_id, n_assistant_turns,
+         |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+         |      AS len_slope,
+         |    round(sy / n, 6) AS mean_resp_len
+         |  FROM g)
+         |SELECT conv_id, n_assistant_turns, len_slope, mean_resp_len,
+         |  len_slope > 0.0 AS lengthening
+         |FROM f ORDER BY conv_id""".stripMargin)
 }

@@ -430,7 +430,20 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q143_skipgram_pairs" -> 1,
       // bounded (source × 2 × 2) cell rollup + the share window's
       // re-key over that bounded table + output sort (q132's shape)
-      "q144_quality_calibration" -> 3)
+      "q144_quality_calibration" -> 3,
+      // turn_idx window's conv_id hash + output sort only: the
+      // derivation's own sort is eliminated under the order-insensitive
+      // count/struct-max agg (EliminateSorts), which reuses the
+      // window's conv_id partitioning
+      "q145_conv_outcome" -> 2,
+      // same shape: struct-min/max + count are order-insensitive, so
+      // the agg sits directly on the window's conv_id exchange
+      "q146_topic_drift" -> 2,
+      // transcripts' derivation (2: window hash + its contract sort,
+      // which Catalyst must KEEP below float-moment sums — order-
+      // sensitive) + the conv_id agg re-exchange + output sort; the
+      // q114 class
+      "q147_verbosity_slope" -> 4)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
