@@ -1617,4 +1617,90 @@ object CorpusStats {
           .as("r2"))
       .orderBy("source")
   }
+
+  /** q149: per-term burstiness (Church & Gale) — mean occurrences per
+    * CONTAINING document, tf_total / df. A term with high burstiness
+    * clumps (topical content words: when it appears, it appears many
+    * times); burstiness ≈ 1 is the evenly-sprinkled function-word
+    * signature. The corpus-level per-TERM dispersion complement of the
+    * per-DOC profile in q134 and of frequency-only rankings (q25/q78
+    * see total counts; burstiness separates "common everywhere" from
+    * "rare but dense").
+    *
+    * Scale: per-doc term frequencies are computed ROW-LOCALLY (the
+    * q134 distinct→count lambda pipeline), so the only corpus shuffle
+    * ships (term, tf) partials into ONE map-side-combined agg; top-N
+    * lands via TakeOrderedAndProject on the rounded score (round
+    * BEFORE ordering so the rank can't straddle a ulp), term asc
+    * tie-break. minDf suppresses unstable low-support ratios. */
+  def termBurstiness(docs: DataFrame, minDf: Long = 5,
+      topN: Int = 100): DataFrame =
+    docs.select(TextAnalysis.tokens(col("text")).as("toks"))
+      .select(explode(transform(array_distinct(col("toks")),
+        t => struct(t.as("term"),
+          size(filter(col("toks"), x => x === t)).cast("long")
+            .as("tf")))).as("e"))
+      .groupBy(col("e.term").as("term"))
+      .agg(count(lit(1)).as("df"), sum(col("e.tf")).as("tf_total"))
+      .filter(col("df") >= minDf)
+      .withColumn("burstiness",
+        round(col("tf_total").cast("double") / col("df"), 6))
+      .orderBy(col("burstiness").desc, col("term").asc)
+      .limit(topN)
+
+  /** q150: per-source Kolmogorov–Smirnov drift on the token-length
+    * distribution — for every source, the exact two-sample KS
+    * statistic of its doc-length CDF against the REST of the corpus,
+    * with the length where the supremum is attained and the
+    * α=0.05 critical value (1.358·√((n_s+n_r)/(n_s·n_r))). The
+    * distribution-SHAPE counterpart of q79's token-histogram KL: KL
+    * sees vocabulary drift, KS sees length drift (truncation bugs,
+    * boilerplate injection, a scraper that started cutting pages
+    * short), and the sup-gap length says WHERE.
+    *
+    * Scale: lengths cap at `lenCap` buckets, so the corpus reduces to
+    * ONE bounded (source × ≤lenCap) histogram agg — map-side combined,
+    * the only corpus shuffle — and the CDF sweep runs on the driver
+    * over that documented-bound table (the q68 rocAuc posture; a
+    * distributed grid would need a sources×lengths cross join for
+    * lengths a source lacks). All ratios are IEEE divisions of exact
+    * longs, so the driver and the SQL oracle agree bit-for-bit. */
+  def lengthKsDrift(docs: DataFrame, lenCap: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    val cell = docs
+      .select(col("source"),
+        least(size(TextAnalysis.tokens(col("text"))), lit(lenCap))
+          .cast("long").as("len"))
+      .groupBy(col("source"), col("len"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val lens = cell.map(_._2).distinct.sorted
+    val allByLen = cell.groupBy(_._2).view
+      .mapValues(_.map(_._3).sum).toMap
+    val nAll = cell.map(_._3).sum
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = cell.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (source, rs) =>
+        val srcByLen = rs.map(r => (r._2, r._3)).toMap
+        val nS = rs.map(_._3).sum
+        val nR = math.max(nAll - nS, 1L)
+        var cumS = 0L; var cumAll = 0L
+        var ks = 0.0; var ksLen = lens.headOption.getOrElse(0L)
+        lens.foreach { len =>
+          cumS += srcByLen.getOrElse(len, 0L)
+          cumAll += allByLen(len)
+          val gap = math.abs(
+            cumS.toDouble / nS - (cumAll - cumS).toDouble / nR)
+          if (gap > ks) { ks = gap; ksLen = len }
+        }
+        val crit = 1.358 * math.sqrt((nS + nR).toDouble / (nS.toDouble * nR))
+        (source, nS, r6(ks), ksLen, r6(crit), r6(ks) > r6(crit))
+    }
+    import spark.implicits._
+    rows.toDF("source", "n_docs", "ks_stat", "ks_len", "crit_005",
+        "drifted")
+      .orderBy("source")
+  }
 }

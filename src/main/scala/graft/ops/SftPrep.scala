@@ -1020,6 +1020,43 @@ object SftPrep {
       .orderBy(col("conv_id"))
   }
 
+  /** q148: answer-consistency audit over REPEATED user questions —
+    * for every user prompt asked verbatim in ≥ minAsks adjacent
+    * user→assistant pairs across the corpus, how many DISTINCT
+    * assistant answers did it receive? High diversity on a factual
+    * question is the inconsistency signature (conflicting supervision
+    * an SFT run should reconcile before training); n_distinct = 1 is
+    * the consistent case. The question-keyed complement of q105
+    * (which finds repeated ANSWERS regardless of prompt) and of q115
+    * (which skeletonizes prompts but never looks at the reply).
+    *
+    * Scale shape: the pair walk is the q101/q114 lead() over the
+    * conv_id window (billions of SMALL partitions); both texts reduce
+    * to md5 BEFORE the corpus shuffle (16-byte keys on the wire, the
+    * q30/q105 posture), so the question-keyed agg ships no text. The
+    * two COUNT(DISTINCT) land in one Expand-based aggregate — one
+    * logical agg, no self-join. */
+  def answerConsistency(t: DataFrame, minAsks: Long = 2): DataFrame =
+    t.select(col("conv_id"), col("turn_idx"), col("role"), col("text"))
+      .withColumn("next_role", lead(col("role"), 1).over(convWindow))
+      .withColumn("next_text", lead(col("text"), 1).over(convWindow))
+      .filter(col("role") === "user" && col("next_role") === "assistant")
+      .select(
+        md5(col("text").cast("binary")).as("q_md5"),
+        md5(col("next_text").cast("binary")).as("a_md5"),
+        col("conv_id"))
+      .groupBy(col("q_md5"))
+      .agg(
+        count(lit(1)).as("n_asks"),
+        countDistinct(col("conv_id")).as("n_convs"),
+        countDistinct(col("a_md5")).as("n_distinct_answers"))
+      .filter(col("n_asks") >= minAsks)
+      .withColumn("answer_diversity",
+        round(col("n_distinct_answers").cast("double") /
+          col("n_asks"), 6))
+      .withColumn("consistent", col("n_distinct_answers") === 1)
+      .orderBy(col("q_md5"))
+
   def sftRender(t: DataFrame): DataFrame = {
     val line = concat(lit("<|"), col("role"), lit("|>\n"), col("text"))
     t.select(col("conv_id"), col("turn_idx"), line.as("line"))

@@ -447,6 +447,11 @@ object PipelineQueries {
   def verbositySlope(s: SparkSession, dir: String): DataFrame =
     graft.ops.SftPrep.verbositySlope(transcripts(s, dir))
 
+  /** q148: answer-consistency audit over repeated user questions
+    * ([[graft.ops.SftPrep.answerConsistency]]). */
+  def answerConsistency(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.answerConsistency(transcripts(s, dir))
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -1569,5 +1574,31 @@ object Oracles {
          |  FROM g)
          |SELECT conv_id, n_assistant_turns, len_slope, mean_resp_len,
          |  len_slope > 0.0 AS lengthening
-         |FROM f ORDER BY conv_id""".stripMargin)
+         |FROM f ORDER BY conv_id""".stripMargin,
+    // q148: the same lead() pair walk; both texts md5'd before the
+    // question-keyed agg; two COUNT(DISTINCT) in one GROUP BY
+    "q148_answer_consistency" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id,
+         |    CAST(row_number() OVER (PARTITION BY conv_id
+         |      ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         |    role, text FROM t),
+         |p AS (SELECT conv_id, role, text,
+         |    lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         |      AS next_role,
+         |    lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         |      AS next_text
+         |  FROM o),
+         |h AS (SELECT md5(text) AS q_md5, md5(next_text) AS a_md5,
+         |    conv_id
+         |  FROM p WHERE role = 'user' AND next_role = 'assistant'),
+         |g AS (SELECT q_md5, count(*) AS n_asks,
+         |    count(DISTINCT conv_id) AS n_convs,
+         |    count(DISTINCT a_md5) AS n_distinct_answers
+         |  FROM h GROUP BY q_md5 HAVING count(*) >= 2)
+         |SELECT q_md5, n_asks, n_convs, n_distinct_answers,
+         |  round(CAST(n_distinct_answers AS DOUBLE) / n_asks, 6)
+         |    AS answer_diversity,
+         |  n_distinct_answers = 1 AS consistent
+         |FROM g ORDER BY q_md5""".stripMargin)
 }

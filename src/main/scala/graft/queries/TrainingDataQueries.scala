@@ -79,6 +79,16 @@ object TrainingDataQueries {
   def qualityCalibrationQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityCalibration(docs(s, dir))
 
+  /** q149: per-term burstiness, Church & Gale's tf/df dispersion
+    * ([[graft.ops.CorpusStats.termBurstiness]]). */
+  def termBurstinessQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.termBurstiness(docs(s, dir))
+
+  /** q150: per-source KS drift on the token-length distribution
+    * ([[graft.ops.CorpusStats.lengthKsDrift]]). */
+  def lengthKsDriftQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.lengthKsDrift(docs(s, dir))
+
   def quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")
 
@@ -3051,5 +3061,65 @@ object TrainingDataQueries {
          |  round(CAST(n_docs AS DOUBLE) /
          |    sum(n_docs) OVER (PARTITION BY source), 6)
          |    AS share_of_source
-         |FROM h ORDER BY source, heuristic_keep, clf_keep""".stripMargin)
+         |FROM h ORDER BY source, heuristic_keep, clf_keep""".stripMargin,
+    // q149: the q134 row-local distinct→count lambda pipeline feeding
+    // one term-keyed agg; ORDER BY the ROUNDED score (same grid the
+    // Spark side sorts on) with the term tie-break
+    "q149_term_burstiness" ->
+      """WITH f AS (SELECT string_split_regex(trim(text), '\s+')
+        |    AS toks FROM documents),
+        |e AS (SELECT unnest(list_transform(list_distinct(toks),
+        |    t -> {'term': t,
+        |          'tf': len(list_filter(toks, x -> x = t))})) AS e
+        |  FROM f),
+        |g AS (SELECT e.term AS term, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(e.tf) AS BIGINT) AS tf_total
+        |  FROM e GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT term, df, tf_total,
+        |  round(CAST(tf_total AS DOUBLE) / df, 6) AS burstiness
+        |FROM g ORDER BY burstiness DESC, term LIMIT 100""".stripMargin,
+    // q150: the full sources×lengths CDF grid in SQL (the Spark side
+    // sweeps the same bounded histogram on the driver); every ratio
+    // is an IEEE division of the same exact longs, so gap/ks/crit are
+    // bit-identical before their 1e-6 output rounds
+    "q150_length_ks_drift" ->
+      """WITH l AS (SELECT source,
+        |    CAST(least(len(string_split_regex(trim(text), '\s+')),
+        |      4096) AS BIGINT) AS len
+        |  FROM documents),
+        |c AS (SELECT source, len, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM l GROUP BY 1, 2),
+        |s AS (SELECT source, sum(cnt) AS n_s FROM c GROUP BY 1),
+        |t AS (SELECT len, sum(cnt) AS cnt_all FROM c GROUP BY 1),
+        |n AS (SELECT sum(cnt_all) AS n_all FROM t),
+        |g AS (SELECT s.source, t.len, s.n_s, t.cnt_all
+        |  FROM s CROSS JOIN t),
+        |j AS (SELECT g.source, g.len, g.n_s, g.cnt_all,
+        |    coalesce(c.cnt, 0) AS cnt
+        |  FROM g LEFT JOIN c ON c.source = g.source AND c.len = g.len),
+        |k AS (SELECT source, len, n_s,
+        |    sum(cnt) OVER (PARTITION BY source ORDER BY len) AS cum_s,
+        |    sum(cnt_all) OVER (PARTITION BY source ORDER BY len)
+        |      AS cum_all
+        |  FROM j),
+        |d AS (SELECT source, len, n_s,
+        |    greatest((SELECT n_all FROM n) - n_s, 1) AS n_r,
+        |    abs(CAST(cum_s AS DOUBLE) / n_s -
+        |      CAST(cum_all - cum_s AS DOUBLE) /
+        |        greatest((SELECT n_all FROM n) - n_s, 1)) AS gap
+        |  FROM k),
+        |m AS (SELECT source, max(n_s) AS n_s, max(n_r) AS n_r,
+        |    max(gap) AS ks FROM d GROUP BY 1),
+        |a AS (SELECT m.source, m.n_s, m.n_r, m.ks,
+        |    min(d.len) AS ks_len
+        |  FROM m JOIN d ON d.source = m.source AND d.gap = m.ks
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT source, CAST(n_s AS BIGINT) AS n_docs,
+        |  round(ks, 6) AS ks_stat, ks_len,
+        |  round(1.358 * sqrt(CAST(n_s + n_r AS DOUBLE) /
+        |    (CAST(n_s AS DOUBLE) * n_r)), 6) AS crit_005,
+        |  round(ks, 6) >
+        |    round(1.358 * sqrt(CAST(n_s + n_r AS DOUBLE) /
+        |      (CAST(n_s AS DOUBLE) * n_r)), 6) AS drifted
+        |FROM a ORDER BY source""".stripMargin)
 }

@@ -443,7 +443,20 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // which Catalyst must KEEP below float-moment sums — order-
       // sensitive) + the conv_id agg re-exchange + output sort; the
       // q114 class
-      "q147_verbosity_slope" -> 4)
+      "q147_verbosity_slope" -> 4,
+      // turn_idx window hash + its contract sort + the two
+      // COUNT(DISTINCT) in one Expand agg (partial re-key + distinct
+      // re-key + final q_md5 re-key) + output sort; only 16-byte md5
+      // keys ever cross the wire
+      "q148_answer_consistency" -> 6,
+      // per-doc tf lambda is row-local; ONE term-keyed map-side-
+      // combined agg; top-N is TakeOrderedAndProject (no sort
+      // exchange)
+      "q149_term_burstiness" -> 1,
+      // corpus reduces to the bounded (source × len) histogram agg
+      // EAGERLY (rocAuc posture); the returned local table only plans
+      // its output sort
+      "q150_length_ks_drift" -> 1)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
