@@ -1648,6 +1648,62 @@ object CorpusStats {
       .orderBy(col("burstiness").desc, col("term").asc)
       .limit(topN)
 
+  /** q151: ingestion-order composition drift — the corpus split into
+    * `nBuckets` equal doc_id deciles (doc_id IS arrival order in this
+    * data model), each scored with q79's KL(decile ‖ corpus) over the
+    * token distribution, plus the round-over-round delta. A rising
+    * tail says the crawler's recent intake no longer looks like the
+    * corpus (pipeline drift BEFORE it poisons the mixture); the
+    * TEMPORAL complement of q79 (per-source) and q136 (embedding
+    * batches).
+    *
+    * Scale: decile = exact integer `div` on doc_id against the eager
+    * max-id literal (the q19 scalar pattern — no window, no
+    * crossJoin); then exactly q79's plan with decile as the key: ONE
+    * (decile, tok) agg, bounded decile totals broadcast, token-keyed
+    * corpus join. The round-over-round delta runs on the DRIVER over
+    * the collected ≤nBuckets-row result (the q68 bounded-collect
+    * posture — a decile−1 self-join would re-derive the whole KL
+    * lineage on both sides, and a lag() would need a partition-less
+    * window). */
+  def ingestionDrift(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val n = maxId + 1
+    val dec = least(expr(s"doc_id * $nBuckets DIV ${n}L"),
+      lit(nBuckets - 1L)).cast("int")
+    val st = Dedup.persistOnce(docs
+      .select(dec.as("decile"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("decile", "tok").agg(count(lit(1)).as("n_dt")))
+    val decTot = st.groupBy("decile").agg(sum(col("n_dt")).as("n_d"))
+    val ct = st.groupBy("tok").agg(sum(col("n_dt")).as("n_t"))
+    val nTot = lit(st.agg(sum(col("n_dt"))).head().getLong(0))
+    val pd = col("n_dt").cast("double") / col("n_d").cast("double")
+    val pc = col("n_t").cast("double") / nTot.cast("double")
+    val kl = st.join(broadcast(decTot), Seq("decile"))
+      .join(ct, Seq("tok"))
+      .groupBy("decile")
+      .agg(max(col("n_d")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        round(sum(pd * log(pd / pc)), 6).as("kl_vs_corpus"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(_._1)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = kl.zipWithIndex.map { case ((d, ntk, ntm, k), i) =>
+      val delta =
+        if (i == 0) None else Some(r6(k - kl(i - 1)._4))
+      (d, ntk, ntm, k, delta)
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    rows.toSeq.toDF("decile", "n_tokens", "n_terms", "kl_vs_corpus",
+        "delta_kl")
+      .orderBy("decile")
+  }
+
   /** q150: per-source Kolmogorov–Smirnov drift on the token-length
     * distribution — for every source, the exact two-sample KS
     * statistic of its doc-length CDF against the REST of the corpus,

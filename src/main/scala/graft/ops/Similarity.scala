@@ -387,6 +387,44 @@ object Similarity {
       round(array_min(col("ds")), 6).as("dist_sq"))
   }
 
+  /** q152: k-center greedy coreset selection (Gonzalez farthest-first
+    * traversal) — pick k vectors that maximize coverage of the
+    * embedding space: seed with the lowest vec_id, then repeatedly
+    * take the vector FARTHEST (squared L2) from everything selected
+    * so far. The classic 2-approximation to the k-center objective;
+    * data-selection pipelines use it as the diversity-maximizing
+    * counterpart of [[clusterBalancedSample]] (which balances MASS —
+    * this maximizes SPREAD, e.g. seeding labeling/eval sets).
+    *
+    * Scale shape: the k selected vectors live on the DRIVER as inline
+    * literals (k×d doubles — the lloydFit posture), so every round is
+    * ONE narrow zero-shuffle pass computing min-distance-to-selected
+    * plus a TakeOrdered(1) argmax (ties → lowest vec_id); k bounded,
+    * documented driver actions. min_dist is the strict left fold in
+    * index order (oracle-parity contract), reported at selection time
+    * (the classic coverage-radius sequence, non-increasing). */
+  def coresetSelect(embeddings: DataFrame, k: Int = 6): DataFrame = {
+    val spark = embeddings.sparkSession
+    val base = lloydBase(embeddings)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val seed = base.orderBy("vec_id").limit(1).collect().head
+    var picks = Vector((0, seed.getLong(0), 0.0))
+    var selVecs = Vector(seed.getSeq[Double](1))
+    for (r <- 1 until k) {
+      val md =
+        if (selVecs.size == 1) sqDistFold(col("e"), selVecs.head)
+        else least(selVecs.map(c => sqDistFold(col("e"), c)): _*)
+      val win = base.select(col("vec_id"), md.as("md"), col("e"))
+        .orderBy(col("md").desc, col("vec_id").asc)
+        .limit(1).collect().head
+      picks :+= ((r, win.getLong(0), r6(win.getDouble(1))))
+      selVecs :+= win.getSeq[Double](2)
+    }
+    import spark.implicits._
+    picks.toDF("round", "vec_id", "min_dist").orderBy("round")
+  }
+
   /** Cluster-balanced corpus downsampling: run [[kmeansLloyd]], then
     * keep each cluster at rate min(1, perCluster / |cluster|) so hot
     * clusters shed mass and small ones survive whole — the

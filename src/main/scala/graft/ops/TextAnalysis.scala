@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines over a document
@@ -503,6 +504,49 @@ object TextAnalysis {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     spark.range(1).select(
       lit(p).as("n_pos"), lit(n).as("n_neg"), lit(auc).as("auc"))
+  }
+
+  /** q153: within-source percentile normalization of the q58 quality
+    * score — maps every document's classifier score to its percentile
+    * INSIDE its own source, so a "keep the top 40% of every source"
+    * policy compares documents against their peers instead of letting
+    * one verbose source dominate a global threshold (the
+    * quantile-normalization step quality-pruning pipelines run before
+    * cross-source mixing; q54 prunes at a fixed per-source quantile —
+    * this emits the full normalized score for ANY downstream cut).
+    *
+    * Scale: the naive plan — percent_rank over a source-partitioned
+    * window — funnels entire sources (billions of rows each; source
+    * cardinality is SMALL) through single tasks, exactly the
+    * partition-less-window trap the registry guard forbids. Instead
+    * scores quantize to 1e-3 buckets (the q68 rocAuc grid), the
+    * corpus reduces to ONE bounded (source × ≤1001) histogram agg,
+    * the inclusive-CDF window re-keys only that bounded table, and
+    * the CDF broadcast-joins back — the scoring pass stays narrow.
+    * All ratios are divisions of exact longs. */
+  def scorePercentiles(docs: DataFrame): DataFrame = {
+    val score = clfScoreExpr(col("text"))
+    val scored = docs.select(col("doc_id"), col("source"),
+      score.as("clf_score"))
+    val bucket = floor(col("clf_score").cast("decimal(9,6)") * 1000)
+      .cast("int").as("b")
+    val hist = scored.groupBy(col("source"), bucket)
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n_s",
+        sum(col("cnt")).over(Window.partitionBy("source")))
+      .select(col("source"), col("b"),
+        round(col("cum").cast("double") / col("n_s"), 6)
+          .as("pct_in_source"))
+    scored.withColumn("b",
+        floor(col("clf_score").cast("decimal(9,6)") * 1000).cast("int"))
+      .join(broadcast(cdf), Seq("source", "b"))
+      .select(col("doc_id"), col("source"), col("clf_score"),
+        col("pct_in_source"))
+      .orderBy("doc_id")
   }
 
   /** Encoding-artifact (mojibake) detection — the web-scrape hygiene

@@ -89,6 +89,21 @@ object TrainingDataQueries {
   def lengthKsDriftQ(s: SparkSession, dir: String): DataFrame =
     CorpusStats.lengthKsDrift(docs(s, dir))
 
+  /** q151: ingestion-order (doc_id decile) KL composition drift
+    * ([[graft.ops.CorpusStats.ingestionDrift]]). */
+  def ingestionDriftQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.ingestionDrift(docs(s, dir))
+
+  /** q152: k-center greedy coreset selection at k=6
+    * ([[graft.ops.Similarity.coresetSelect]]). */
+  def coresetSelectQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.coresetSelect(embs(s, dir), k = 6)
+
+  /** q153: within-source percentile normalization of the q58 score
+    * ([[graft.ops.TextAnalysis.scorePercentiles]]). */
+  def scorePercentilesQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.scorePercentiles(docs(s, dir))
+
   def quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")
 
@@ -2074,6 +2089,47 @@ object TrainingDataQueries {
     (head +: rounds :+ assign(iters + 1)).mkString(",\n")
   }
 
+  /** q152 oracle: the farthest-first traversal unrolled — pick r is
+    * an ORDER BY md DESC, vec_id LIMIT 1 over d_r, and d_{r+1} folds
+    * the new pick into the running min-distance (same strict
+    * index-order fold as every embedding oracle). */
+  private def coresetOracle(k: Int): String = {
+    def fold(b: String) =
+      s"""list_reduce(list_transform(list_zip(v.e, $b),
+         |      x -> (x[1] - x[2]) * (x[1] - x[2])),
+         |      (acc, t2) -> acc + t2)""".stripMargin
+    val head =
+      s"""e AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |p0 AS MATERIALIZED (SELECT vec_id, e FROM e
+         |  ORDER BY vec_id LIMIT 1),
+         |d1 AS MATERIALIZED (SELECT v.vec_id, v.e,
+         |    ${fold("(SELECT e FROM p0)")} AS md
+         |  FROM e v)""".stripMargin
+    val rounds = (1 until k).map { r =>
+      val pick =
+        s"""p$r AS MATERIALIZED (SELECT vec_id, e, md FROM d$r
+           |  ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+      val next =
+        if (r == k - 1) ""
+        else s""",
+           |d${r + 1} AS MATERIALIZED (SELECT v.vec_id, v.e,
+           |    least(v.md, ${fold(s"(SELECT e FROM p$r)")}) AS md
+           |  FROM d$r v)""".stripMargin
+      pick + next
+    }
+    val sel = (1 until k).map(r =>
+      s"""UNION ALL SELECT CAST($r AS INTEGER), vec_id, round(md, 6)
+         |FROM p$r""".stripMargin).mkString("\n")
+    s"""WITH ${(head +: rounds).mkString(",\n")}
+       |SELECT CAST(0 AS INTEGER) AS round,
+       |  (SELECT vec_id FROM p0) AS vec_id,
+       |  CAST(0.0 AS DOUBLE) AS min_dist
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
   private def kmeansOracle(k: Int, iters: Int): String =
     s"""WITH ${kmeansCtes(k, iters)}
        |SELECT vec_id, cluster, round(d, 6) AS dist_sq
@@ -3121,5 +3177,70 @@ object TrainingDataQueries {
         |  round(ks, 6) >
         |    round(1.358 * sqrt(CAST(n_s + n_r AS DOUBLE) /
         |      (CAST(n_s AS DOUBLE) * n_r)), 6) AS drifted
-        |FROM a ORDER BY source""".stripMargin)
+        |FROM a ORDER BY source""".stripMargin,
+    // q151: q79's KL machinery keyed by the exact-integer-div decile
+    // of doc_id against max(doc_id)+1 (the Spark side inlines the
+    // same value as an eager literal); the delta is a self-join on
+    // decile−1 of already-rounded values
+    "q151_ingestion_drift" ->
+      """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        |w AS (SELECT CAST(least(doc_id * 10 // (SELECT n FROM nn), 9)
+        |      AS INTEGER) AS decile,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |st AS (SELECT decile, tok, count(*) AS n_dt FROM w
+        |  GROUP BY 1, 2),
+        |d AS (SELECT decile, sum(n_dt) AS n_d FROM st GROUP BY 1),
+        |ct AS (SELECT tok, sum(n_dt) AS n_t FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_t) AS DOUBLE) AS n FROM ct),
+        |kl AS (SELECT st.decile,
+        |    CAST(max(n_d) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_terms,
+        |    round(sum((CAST(n_dt AS DOUBLE) / CAST(n_d AS DOUBLE)) *
+        |      ln((CAST(n_dt AS DOUBLE) / CAST(n_d AS DOUBLE)) /
+        |         (CAST(n_t AS DOUBLE) / (SELECT n FROM tot)))), 6)
+        |      AS kl_vs_corpus
+        |  FROM st JOIN d USING (decile) JOIN ct USING (tok)
+        |  GROUP BY 1)
+        |SELECT k.decile, k.n_tokens, k.n_terms, k.kl_vs_corpus,
+        |  round(k.kl_vs_corpus - p.kl_vs_corpus, 6) AS delta_kl
+        |FROM kl k LEFT JOIN kl p ON p.decile = k.decile - 1
+        |ORDER BY k.decile""".stripMargin,
+    "q152_coreset" -> coresetOracle(6),
+    // q153: q58's score chain with source carried through; inclusive
+    // CDF over the bounded (source × 1e-3-bucket) histogram, joined
+    // back on the same decimal-exact bucket
+    "q153_score_percentiles" ->
+      s"""WITH f AS (SELECT doc_id, source, text,
+         |    ' ' || lower(text) || ' ' AS p,
+         |    CAST(len(string_split_regex(trim(text), '\\s+'))
+         |      AS BIGINT) AS nt
+         |  FROM documents),
+         |sc AS (SELECT doc_id, source,
+         |    round(1.0 / (1.0 + exp(-(-2.0 +
+         |      6.0 * round(CAST(CAST(${stopHitsSql("p")} AS BIGINT)
+         |        AS DOUBLE) / greatest(nt, 1), 4) +
+         |      0.3 * round(CAST(length(text) AS DOUBLE) /
+         |        greatest(nt, 1), 4) -
+         |      4.0 * round(CAST(len(regexp_extract_all(text,
+         |        '[.,!?;:]')) AS DOUBLE) / greatest(nt, 1), 4) +
+         |      0.2 * ln(nt + 1)))), 6) AS clf_score
+         |  FROM f),
+         |h AS (SELECT source,
+         |    CAST(floor(CAST(clf_score AS DECIMAL(9,6)) * 1000)
+         |      AS INTEGER) AS b,
+         |    count(*) AS cnt
+         |  FROM sc GROUP BY 1, 2),
+         |c AS (SELECT source, b,
+         |    sum(cnt) OVER (PARTITION BY source ORDER BY b) AS cum,
+         |    sum(cnt) OVER (PARTITION BY source) AS n_s
+         |  FROM h),
+         |pc AS (SELECT source, b,
+         |    round(CAST(cum AS DOUBLE) / n_s, 6) AS pct_in_source
+         |  FROM c)
+         |SELECT sc.doc_id, sc.source, sc.clf_score, pc.pct_in_source
+         |FROM sc JOIN pc ON pc.source = sc.source AND
+         |  pc.b = CAST(floor(CAST(sc.clf_score AS DECIMAL(9,6)) * 1000)
+         |    AS INTEGER)
+         |ORDER BY sc.doc_id""".stripMargin)
 }

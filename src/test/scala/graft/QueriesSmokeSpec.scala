@@ -456,7 +456,20 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // corpus reduces to the bounded (source × len) histogram agg
       // EAGERLY (rocAuc posture); the returned local table only plans
       // its output sort
-      "q150_length_ks_drift" -> 1)
+      "q150_length_ks_drift" -> 1,
+      // q79's KL plan keyed by decile runs EAGERLY into a ≤10-row
+      // driver table (delta computed there — a decile−1 self-join
+      // would re-derive the KL lineage twice); returned plan is the
+      // local table's output sort
+      "q151_ingestion_drift" -> 1,
+      // k bounded rounds, each a zero-shuffle literal-distance pass +
+      // TakeOrdered(1); the returned k-row local table plans only its
+      // output sort
+      "q152_coreset" -> 1,
+      // scoring is narrow; ONE bounded (source × ≤1001) histogram agg
+      // + the CDF window's re-key over that bounded table + the
+      // broadcast join back (no corpus re-shuffle) + output sort
+      "q153_score_percentiles" -> 4)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
