@@ -1648,6 +1648,51 @@ object CorpusStats {
       .orderBy(col("burstiness").desc, col("term").asc)
       .limit(topN)
 
+  /** q156: per-source bigram conditional entropy rate H(next ∣ prev)
+    * — how predictable is each source's text, one token ahead? −Σ
+    * p(ab)·ln p(b∣a) over the source's adjacent-token pairs, with
+    * p(b∣a) = n_ab / n_a• (the bigram LEFT marginal). Low entropy =
+    * templated/boilerplate text (every token determines the next);
+    * high = diverse prose. The information-theoretic summary that
+    * q94's count ratios approximate, with exp(H) as the familiar
+    * per-token perplexity. (Per-source counterpart of q70, which
+    * scores DOCUMENTS under the corpus LM.)
+    *
+    * Scale: q70's pair machinery keyed by source — the corpus
+    * shuffles once into (source, w1, w2) counts (map-side combined),
+    * the left marginal re-aggregates that table, the join re-keys on
+    * (source, w1), and source totals broadcast; the output is one
+    * bounded per-source rollup. Float-sum + 1e-6 round = the q79
+    * discipline. */
+  def bigramEntropyRate(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"),
+      split(trim(col("text")), "\\s+").as("w"))
+    val bg = toks.select(col("source"), explode(expr(
+      """IF(size(w) >= 2,
+        |  transform(sequence(1, size(w) - 1),
+        |    i -> struct(element_at(w, i) AS w1,
+        |                element_at(w, i + 1) AS w2)),
+        |  array())""".stripMargin)).as("b"))
+      .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bi = Dedup.persistOnce(bg.groupBy("source", "w1", "w2")
+      .agg(count(lit(1)).as("n_ab")))
+    val marg = bi.groupBy("source", "w1").agg(sum(col("n_ab")).as("n_a"))
+    val tot = bi.groupBy("source").agg(sum(col("n_ab")).as("t_s"))
+    val pab = col("n_ab").cast("double") / col("t_s").cast("double")
+    val pba = col("n_ab").cast("double") / col("n_a").cast("double")
+    bi.join(marg, Seq("source", "w1"))
+      .join(broadcast(tot), Seq("source"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("t_s")).as("n_bigrams"),
+        // 0.0 − sum, not unary minus: a perfectly deterministic
+        // source sums to +0.0 and must not flip to −0.0
+        round(lit(0.0) - sum(pab * log(pba)), 6).as("entropy_rate"))
+      .withColumn("perplexity", round(exp(col("entropy_rate")), 6))
+      .orderBy("source")
+  }
+
   /** q151: ingestion-order composition drift — the corpus split into
     * `nBuckets` equal doc_id deciles (doc_id IS arrival order in this
     * data model), each scored with q79's KL(decile ‖ corpus) over the

@@ -411,11 +411,7 @@ object SftPrep {
     * distinct-conversation count rides the same exchange via the
     * standard two-phase expand). */
   def refusalReport(t: DataFrame): DataFrame = {
-    val markers = Seq(
-      "i cannot", "i can't", "i'm sorry", "i am unable", "as an ai",
-      "refuse", "error", "failed", "申し訳", "できません")
-    val p = lower(col("text"))
-    val isRefusal = markers.map(m => p.contains(lit(m))).reduce(_ || _)
+    val isRefusal = isRefusalExpr(col("text"))
     t.filter(col("role") === "assistant")
       .select(TextAnalysis.langGuess(col("text")).as("lang"),
         col("conv_id"), isRefusal.cast("int").as("r"))
@@ -898,26 +894,49 @@ object SftPrep {
     * (turn_idx, text) structs — full map-side partial aggregation on
     * the conv_id key the transcript derivation already hashed by (no
     * re-exchange), then one bounded per-intent rollup. */
+  /** The opening-intent rule table shared by q131 and q154 — the
+    * single definition, so the refusal attribution grades the same
+    * router q131 reports on. */
+  val DefaultIntentRules: Seq[(String, String)] = Seq(
+    "error" -> "troubleshooting",
+    "purchase" -> "transactional",
+    "signup" -> "transactional",
+    "click" -> "navigational",
+    "view" -> "navigational")
+
+  /** The refusal-marker gate shared by q116 and q154 (single
+    * definition — same contract discipline as
+    * [[TextAnalysis.clfScoreExpr]]). */
+  def isRefusalExpr(text: Column): Column = {
+    val markers = Seq(
+      "i cannot", "i can't", "i'm sorry", "i am unable", "as an ai",
+      "refuse", "error", "failed", "申し訳", "できません")
+    val p = lower(text)
+    markers.map(m => p.contains(lit(m))).reduce(_ || _)
+  }
+
+  /** Opening-intent resolution from the (turn_idx, text) struct of a
+    * conversation's FIRST user turn — shared by q131 and q154. */
+  private def intentOf(firstUser: Column,
+      rules: Seq[(String, String)]): Column = {
+    val ft = firstUser.getField("text")
+    rules
+      .foldLeft(when(ft.isNull, lit("no_user"))) {
+        case (acc, (p, i)) => acc.when(ft.startsWith(p), lit(i))
+      }
+      .otherwise(lit("other"))
+  }
+
   def intentMix(
       t: DataFrame,
-      rules: Seq[(String, String)] = Seq(
-        "error" -> "troubleshooting",
-        "purchase" -> "transactional",
-        "signup" -> "transactional",
-        "click" -> "navigational",
-        "view" -> "navigational")): DataFrame = {
+      rules: Seq[(String, String)] = DefaultIntentRules): DataFrame = {
     val conv = t.groupBy(col("conv_id")).agg(
       count(lit(1)).as("n_turns"),
       sum(size(split(trim(col("text")), "\\s+")).cast("long"))
         .as("n_tok"),
       min(when(col("role") === "user",
         struct(col("turn_idx"), col("text")))).as("fu"))
-    val ft = col("fu").getField("text")
-    val intent = rules
-      .foldLeft(when(ft.isNull, lit("no_user"))) {
-        case (acc, (p, i)) => acc.when(ft.startsWith(p), lit(i))
-      }
-      .otherwise(lit("other"))
+    val intent = intentOf(col("fu"), rules)
     conv.select(intent.as("intent"), col("n_turns"), col("n_tok"))
       .groupBy(col("intent"))
       .agg(
@@ -1018,6 +1037,37 @@ object SftPrep {
         round(col("sy") / col("n"), 6).as("mean_resp_len"))
       .withColumn("lengthening", col("len_slope") > 0.0)
       .orderBy(col("conv_id"))
+  }
+
+  /** q154: refusal rate by OPENING INTENT — q131's intent router
+    * crossed with q116's refusal gate at conversation grain: per
+    * intent, how many conversations contain at least one refusing
+    * assistant turn? The attribution report that turns two corpus
+    * totals into an actionable signal (a refusal spike localized to
+    * one intent is a policy/routing bug; spread evenly it's a model
+    * change). Both component expressions are the SHARED single
+    * definitions ([[DefaultIntentRules]]/[[intentOf]],
+    * [[isRefusalExpr]]) so this grades exactly what q131/q116 report.
+    *
+    * Scale: ONE conv-keyed agg (struct-min first-user turn + max
+    * refusal flag, both semilattice, map-side combined) feeding a
+    * bounded per-intent rollup. No window, no join. */
+  def refusalByIntent(
+      t: DataFrame,
+      rules: Seq[(String, String)] = DefaultIntentRules): DataFrame = {
+    val conv = t.groupBy(col("conv_id")).agg(
+      min(when(col("role") === "user",
+        struct(col("turn_idx"), col("text")))).as("fu"),
+      max(when(col("role") === "assistant" &&
+        isRefusalExpr(col("text")), 1L).otherwise(0L)).as("refused"))
+    conv.select(intentOf(col("fu"), rules).as("intent"), col("refused"))
+      .groupBy(col("intent"))
+      .agg(
+        count(lit(1)).as("n_convs"),
+        sum(col("refused")).as("n_refusing"),
+        round(sum(col("refused")).cast("double") / count(lit(1)), 6)
+          .as("refusal_conv_rate"))
+      .orderBy(col("intent"))
   }
 
   /** q148: answer-consistency audit over REPEATED user questions —

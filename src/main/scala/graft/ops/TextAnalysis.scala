@@ -549,6 +549,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q155: quality-selection token curve — "if we keep every document
+    * scoring ≥ s, how much of the corpus (docs AND tokens) survives?"
+    * evaluated at every 1e-2 score floor. The curve a data-mixture
+    * owner reads before choosing a quality cut: q153 normalizes
+    * per-document scores, this prices the CUT ITSELF in token mass
+    * (the budget currency), descending so each row is one candidate
+    * policy.
+    *
+    * Scale: one narrow scoring pass reduces the corpus to a ≤101-row
+    * (bucket → docs, tokens) histogram (ONE map-side-combined agg);
+    * the top-down cumulative sweep runs on the driver over that
+    * bounded table (the q68 posture — a partition-less window even
+    * over bounded data is banned registry-wide). Shares are IEEE
+    * divisions of exact longs. */
+  def selectionCurve(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val b = floor(clfScoreExpr(col("text")).cast("decimal(9,6)") * 100)
+      .cast("int")
+    val hist = docs
+      .select(b.as("b"), size(tokens(col("text"))).cast("long")
+        .as("nt"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1)
+    val totD = hist.map(_._2).sum
+    val totT = hist.map(_._3).sum
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cd = 0L; var ct = 0L
+    val rows = hist.map { case (bk, nd, nt) =>
+      cd += nd; ct += nt
+      (bk.toDouble / 100.0, nd, nt, cd, ct,
+        r6(cd.toDouble / totD), r6(ct.toDouble / totT))
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("score_floor", "n_docs", "n_tokens", "cum_docs",
+        "cum_tokens", "doc_share", "token_share")
+      .orderBy(col("score_floor").desc)
+  }
+
   /** Encoding-artifact (mojibake) detection — the web-scrape hygiene
     * filter: UTF-8 bytes decoded as Latin-1 leave 'Ã'/'Â' lead-byte
     * characters (e.g. "café" → "cafÃ©", NBSP → "Â "), and lossy

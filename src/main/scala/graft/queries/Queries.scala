@@ -452,6 +452,11 @@ object PipelineQueries {
   def answerConsistency(s: SparkSession, dir: String): DataFrame =
     graft.ops.SftPrep.answerConsistency(transcripts(s, dir))
 
+  /** q154: refusal rate by opening intent
+    * ([[graft.ops.SftPrep.refusalByIntent]]). */
+  def refusalByIntent(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.refusalByIntent(transcripts(s, dir))
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -1600,5 +1605,43 @@ object Oracles {
          |  round(CAST(n_distinct_answers AS DOUBLE) / n_asks, 6)
          |    AS answer_diversity,
          |  n_distinct_answers = 1 AS consistent
-         |FROM g ORDER BY q_md5""".stripMargin)
+         |FROM g ORDER BY q_md5""".stripMargin,
+    // q154: q131's arg_min intent router × q116's marker gate, both
+    // verbatim; ONE conv agg then the bounded intent rollup
+    "q154_refusal_by_intent" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id,
+         |    CAST(row_number() OVER (PARTITION BY conv_id
+         |      ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         |    role, text FROM t),
+         |c AS (SELECT conv_id,
+         |    arg_min(text, turn_idx) FILTER (WHERE role = 'user')
+         |      AS fu,
+         |    max(CASE WHEN role = 'assistant' AND (
+         |      contains(lower(text), 'i cannot')
+         |      OR contains(lower(text), 'i can''t')
+         |      OR contains(lower(text), 'i''m sorry')
+         |      OR contains(lower(text), 'i am unable')
+         |      OR contains(lower(text), 'as an ai')
+         |      OR contains(lower(text), 'refuse')
+         |      OR contains(lower(text), 'error')
+         |      OR contains(lower(text), 'failed')
+         |      OR contains(lower(text), '申し訳')
+         |      OR contains(lower(text), 'できません'))
+         |      THEN 1 ELSE 0 END) AS refused
+         |  FROM o GROUP BY conv_id),
+         |i AS (SELECT CASE
+         |    WHEN fu IS NULL THEN 'no_user'
+         |    WHEN starts_with(fu, 'error') THEN 'troubleshooting'
+         |    WHEN starts_with(fu, 'purchase')
+         |      OR starts_with(fu, 'signup') THEN 'transactional'
+         |    WHEN starts_with(fu, 'click')
+         |      OR starts_with(fu, 'view') THEN 'navigational'
+         |    ELSE 'other' END AS intent,
+         |    refused FROM c)
+         |SELECT intent, count(*) AS n_convs,
+         |  CAST(sum(refused) AS BIGINT) AS n_refusing,
+         |  round(CAST(sum(refused) AS DOUBLE) / count(*), 6)
+         |    AS refusal_conv_rate
+         |FROM i GROUP BY intent ORDER BY intent""".stripMargin)
 }

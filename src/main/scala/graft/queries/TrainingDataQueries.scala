@@ -104,6 +104,16 @@ object TrainingDataQueries {
   def scorePercentilesQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.scorePercentiles(docs(s, dir))
 
+  /** q155: quality-selection token curve
+    * ([[graft.ops.TextAnalysis.selectionCurve]]). */
+  def selectionCurveQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.selectionCurve(docs(s, dir))
+
+  /** q156: per-source bigram conditional entropy rate
+    * ([[graft.ops.CorpusStats.bigramEntropyRate]]). */
+  def bigramEntropyRateQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.bigramEntropyRate(docs(s, dir))
+
   def quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")
 
@@ -3242,5 +3252,68 @@ object TrainingDataQueries {
          |FROM sc JOIN pc ON pc.source = sc.source AND
          |  pc.b = CAST(floor(CAST(sc.clf_score AS DECIMAL(9,6)) * 1000)
          |    AS INTEGER)
-         |ORDER BY sc.doc_id""".stripMargin)
+         |ORDER BY sc.doc_id""".stripMargin,
+    // q155: the same score chain at the 1e-2 grid; top-down
+    // cumulative over the bounded histogram (window in SQL, driver
+    // sweep in Spark — same exact longs either way)
+    "q155_selection_curve" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |    ' ' || lower(text) || ' ' AS p,
+         |    CAST(len(string_split_regex(trim(text), '\\s+'))
+         |      AS BIGINT) AS nt
+         |  FROM documents),
+         |sc AS (SELECT nt,
+         |    round(1.0 / (1.0 + exp(-(-2.0 +
+         |      6.0 * round(CAST(CAST(${stopHitsSql("p")} AS BIGINT)
+         |        AS DOUBLE) / greatest(nt, 1), 4) +
+         |      0.3 * round(CAST(length(text) AS DOUBLE) /
+         |        greatest(nt, 1), 4) -
+         |      4.0 * round(CAST(len(regexp_extract_all(text,
+         |        '[.,!?;:]')) AS DOUBLE) / greatest(nt, 1), 4) +
+         |      0.2 * ln(nt + 1)))), 6) AS s
+         |  FROM f),
+         |h AS (SELECT CAST(floor(CAST(s AS DECIMAL(9,6)) * 100)
+         |      AS INTEGER) AS b,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens
+         |  FROM sc GROUP BY 1),
+         |c AS (SELECT b, n_docs, n_tokens,
+         |    CAST(sum(n_docs) OVER (ORDER BY b DESC) AS BIGINT)
+         |      AS cum_docs,
+         |    CAST(sum(n_tokens) OVER (ORDER BY b DESC) AS BIGINT)
+         |      AS cum_tokens,
+         |    CAST(sum(n_docs) OVER () AS BIGINT) AS tot_d,
+         |    CAST(sum(n_tokens) OVER () AS BIGINT) AS tot_t
+         |  FROM h)
+         |SELECT CAST(b AS DOUBLE) / 100 AS score_floor, n_docs,
+         |  n_tokens, cum_docs, cum_tokens,
+         |  round(CAST(cum_docs AS DOUBLE) / tot_d, 6) AS doc_share,
+         |  round(CAST(cum_tokens AS DOUBLE) / tot_t, 6) AS token_share
+         |FROM c ORDER BY score_floor DESC""".stripMargin,
+    // q156: q70's pair extraction keyed by source; entropy written as
+    // 0.0 − sum (the −0.0 guard) over the same IEEE divisions;
+    // perplexity = exp of the already-rounded rate
+    "q156_bigram_entropy" ->
+      """WITH t AS (SELECT source,
+        |    string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |bg AS (SELECT source, w[i] AS w1, w[i+1] AS w2
+        |  FROM t, UNNEST(generate_series(1, len(w) - 1)) AS s(i)),
+        |bi AS (SELECT source, w1, w2, count(*) AS n_ab
+        |  FROM bg GROUP BY 1, 2, 3),
+        |ma AS (SELECT source, w1, sum(n_ab) AS n_a
+        |  FROM bi GROUP BY 1, 2),
+        |tt AS (SELECT source, sum(n_ab) AS t_s FROM bi GROUP BY 1),
+        |e AS (SELECT bi.source,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+        |    CAST(max(t_s) AS BIGINT) AS n_bigrams,
+        |    round(0.0 - sum(
+        |      (CAST(n_ab AS DOUBLE) / CAST(t_s AS DOUBLE)) *
+        |      ln(CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE))), 6)
+        |      AS entropy_rate
+        |  FROM bi JOIN ma USING (source, w1) JOIN tt USING (source)
+        |  GROUP BY bi.source)
+        |SELECT source, n_distinct_bigrams, n_bigrams, entropy_rate,
+        |  round(exp(entropy_rate), 6) AS perplexity
+        |FROM e ORDER BY source""".stripMargin)
 }

@@ -469,7 +469,19 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // scoring is narrow; ONE bounded (source × ≤1001) histogram agg
       // + the CDF window's re-key over that bounded table + the
       // broadcast join back (no corpus re-shuffle) + output sort
-      "q153_score_percentiles" -> 4)
+      "q153_score_percentiles" -> 4,
+      // turn_idx window hash (the conv agg reuses its partitioning
+      // under EliminateSorts) + bounded intent rollup + output sort
+      "q154_refusal_by_intent" -> 3,
+      // corpus reduces to the ≤101-row bucket histogram EAGERLY (q68
+      // posture); returned local table plans only its output sort
+      "q155_selection_curve" -> 1,
+      // plan-string artifact of the persistOnce'd pair table (q141's
+      // class): the InMemoryRelation body prints its lineage per
+      // consumer. Runtime: ONE (source,w1,w2) pair agg (cached) + the
+      // left-marginal and total re-aggs + the (source,w1) join re-key
+      // + bounded source rollup + output sort
+      "q156_bigram_entropy" -> 9)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
