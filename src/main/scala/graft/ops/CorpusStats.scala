@@ -1648,6 +1648,49 @@ object CorpusStats {
       .orderBy(col("burstiness").desc, col("term").asc)
       .limit(topN)
 
+  /** q159: vocabulary churn across ingestion deciles — per q151
+    * decile: how many distinct token TYPES appear, how many appear
+    * here for the FIRST time, and the running vocabulary size. The
+    * set-membership complement of q151's distributional KL: a decile
+    * can match the corpus distribution (low KL) while still minting
+    * new vocabulary (tokenizer OOV pressure), or churn nothing while
+    * drifting in frequency. First-seen = min(decile) per type — one
+    * agg, no ordered scan.
+    *
+    * Scale: the corpus reduces ONCE to DISTINCT (decile, tok) rows
+    * (map-side combined); per-decile type counts and the
+    * first-seen histogram are two bounded re-aggs of that table, and
+    * the cumulative sweep runs on the driver over ≤nBuckets rows
+    * (the q151 posture). */
+  def vocabChurn(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val n = maxId + 1
+    val dec = least(expr(s"doc_id * $nBuckets DIV ${n}L"),
+      lit(nBuckets - 1L)).cast("int")
+    val st = Dedup.persistOnce(docs
+      .select(dec.as("decile"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .distinct())
+    val perDec = st.groupBy("decile").agg(count(lit(1)).as("n_types"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val newPerDec = st.groupBy("tok").agg(min(col("decile")).as("fd"))
+      .groupBy("fd").agg(count(lit(1)).as("n_new"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cum = 0L
+    val rows = perDec.keys.toSeq.sorted.map { d =>
+      val types = perDec(d)
+      val nw = newPerDec.getOrElse(d, 0L)
+      cum += nw
+      (d, types, nw, r6(nw.toDouble / types), cum)
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    rows.toDF("decile", "n_types", "n_new", "new_share", "cum_vocab")
+      .orderBy("decile")
+  }
+
   /** q156: per-source bigram conditional entropy rate H(next ∣ prev)
     * — how predictable is each source's text, one token ahead? −Σ
     * p(ab)·ln p(b∣a) over the source's adjacent-token pairs, with

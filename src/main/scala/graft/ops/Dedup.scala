@@ -1082,4 +1082,56 @@ object Dedup {
         round(col("raw_tokens").cast("double") / col("eff_tokens"), 6))
       .orderBy("source")
   }
+
+  /** q157: CROSS-corpus leak detection — which pretraining DOCUMENTS
+    * contain spans of user CONVERSATIONS? The privacy/contamination
+    * audit q37 can't do: q37 checks corpus-vs-eval with a broadcastable
+    * eval side; here BOTH sides are corpora (billions of docs ×
+    * billions of conversations), so the overlap must resolve through a
+    * hash-keyed equi-join, never a broadcast. Each conversation is
+    * rendered to its turn-ordered text (the q123 frame-order-safe
+    * array_sort render) and both sides reduce to DISTINCT k-shingle
+    * md5s.
+    *
+    * Scale: 16-byte hashes are all that shuffles; df-caps on BOTH
+    * sides (shingles in > dfCap docs, or > dfCap conversations —
+    * boilerplate, not leaks) bound the join's per-key fan-out exactly
+    * like q31's hot-shingle anti-join, so no key can go quadratic.
+    * Output: (doc_id, conv_id) pairs sharing ≥ minShared distinctive
+    * shingles, with the doc-side containment fraction. */
+  def crossCorpusLeak(docs: DataFrame, turns: DataFrame, k: Int = 3,
+      minShared: Long = 2, dfCap: Long = 50): DataFrame = {
+    val docSh = persistOnce(docs
+      .select(col("doc_id"),
+        explode(graft.functions.word_shingles(col("text"), k))
+          .as("sh"))
+      .select(col("doc_id"), md5(col("sh").cast("binary")).as("h")))
+    val hotDoc = docSh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("h")
+    val convText = turns.groupBy(col("conv_id")).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+        x => x.getField("text")), " ").as("ctext"))
+    val convSh = persistOnce(convText
+      .select(col("conv_id"),
+        explode(graft.functions.word_shingles(col("ctext"), k))
+          .as("sh"))
+      .select(col("conv_id"), md5(col("sh").cast("binary")).as("h")))
+    val hotConv = convSh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("h")
+    val docN = docSh.groupBy("doc_id")
+      .agg(count(lit(1)).as("doc_shingles"))
+    docSh.join(hotDoc, Seq("h"), "left_anti")
+      .join(hotConv, Seq("h"), "left_anti")
+      .join(convSh, Seq("h"))
+      .groupBy("doc_id", "conv_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(docN, Seq("doc_id"))
+      .select(col("doc_id"), col("conv_id"), col("n_shared"),
+        col("doc_shingles"),
+        round(col("n_shared").cast("double") / col("doc_shingles"), 6)
+          .as("leak_frac"))
+      .orderBy("doc_id", "conv_id")
+  }
 }

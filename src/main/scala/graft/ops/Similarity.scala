@@ -387,6 +387,65 @@ object Similarity {
       round(array_min(col("ds")), 6).as("dist_sq"))
   }
 
+  /** q158: top principal component of the (mean-centered) embedding
+    * cloud by power iteration — the anisotropy diagnostic: embedding
+    * spaces collapse toward a dominant direction ("all vectors look
+    * alike"), and var_share = λ₁ / trace(C) says how collapsed. A
+    * share near 1 means cosine similarity is mostly measuring the
+    * common direction, so ANN/dedup thresholds (q34/q35/q51) are
+    * operating on noise; healthy isotropic spaces sit near 1/d.
+    *
+    * Scale: the classic "big data once, small state iterated" shape —
+    * per-dim means are ONE bounded agg (inlined as a literal, the
+    * lloydFit posture); each power round is one narrow pass computing
+    * s = c·v against the driver-held v literal plus one (dim)-keyed
+    * bounded agg of c·s; v re-rounds to the 1e-6 grid every round
+    * (the q71 centroid discipline) so both engines iterate identical
+    * vectors. d ≪ n always; nothing materializes beyond d doubles. */
+  def topPrincipalComponent(embeddings: DataFrame, iters: Int = 3)
+      : DataFrame = {
+    val spark = embeddings.sparkSession
+    val base = lloydBase(embeddings)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val m = base.select(posexplode(col("e")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(round(avg(col("v")), 6).as("mv"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1).map(_._2).toSeq
+    val d = m.size
+    val cent = Dedup.persistOnce(base.select(col("vec_id"),
+      zip_with(col("e"), typedLit(m), (a, b) => a - b).as("c")))
+    var v: Seq[Double] = Seq.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to iters) {
+      val s = aggregate(zip_with(col("c"), typedLit(v), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+      val w = cent.select(s.as("s"), posexplode(col("c"))
+          .as(Seq("dim", "cv")))
+        .groupBy("dim").agg(round(sum(col("cv") * col("s")), 6)
+          .as("wv"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1)))
+        .sortBy(_._1).map(_._2)
+      val norm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+      v = w.map(x => r6(x / norm)).toSeq
+    }
+    val sFinal = aggregate(
+      zip_with(col("c"), typedLit(v), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val cc = aggregate(zip_with(col("c"), col("c"), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val agg = cent.agg(count(lit(1)).as("n"),
+      sum(sFinal * sFinal).as("ss"), sum(cc).as("tr")).head()
+    val n = agg.getLong(0)
+    val lambda1 = r6(agg.getDouble(1) / n)
+    val trace = r6(agg.getDouble(2) / n)
+    val domDim = v.zipWithIndex.maxBy { case (x, i) =>
+      (math.abs(x), -i) }._2
+    import spark.implicits._
+    Seq((n, lambda1, trace, r6(lambda1 / trace), domDim))
+      .toDF("n_vecs", "lambda1", "trace_var", "var_share",
+        "dominant_dim")
+  }
+
   /** q152: k-center greedy coreset selection (Gonzalez farthest-first
     * traversal) — pick k vectors that maximize coverage of the
     * embedding space: seed with the lowest vec_id, then repeatedly

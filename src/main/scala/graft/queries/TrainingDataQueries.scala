@@ -114,6 +114,37 @@ object TrainingDataQueries {
   def bigramEntropyRateQ(s: SparkSession, dir: String): DataFrame =
     CorpusStats.bigramEntropyRate(docs(s, dir))
 
+  /** q157: cross-corpus leak audit over a deterministic injection —
+    * every 31st conversation's rendered text is planted as a
+    * pretraining document (the q37/q26 injected-stripe convention) so
+    * the detector has real leaks to find
+    * ([[graft.ops.Dedup.crossCorpusLeak]]). */
+  def crossCorpusLeakQ(s: SparkSession, dir: String): DataFrame = {
+    val t = PipelineQueries.transcripts(s, dir)
+    val convNum = substring(col("conv_id"), 6, 10).cast("long")
+    val leaked = t.groupBy(col("conv_id")).agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("turn_idx"),
+            col("text")))),
+          x => x.getField("text")), " ").as("text"))
+      .withColumn("n", convNum)
+      .filter(pmod(col("n"), lit(31)) === 0)
+      .select((col("n") + lit(2000000000000L)).as("doc_id"),
+        col("text"))
+    Dedup.crossCorpusLeak(
+      docs(s, dir).select("doc_id", "text").unionByName(leaked), t)
+  }
+
+  /** q158: top principal component / anisotropy diagnostic
+    * ([[graft.ops.Similarity.topPrincipalComponent]]). */
+  def topPcQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.topPrincipalComponent(embs(s, dir))
+
+  /** q159: vocabulary churn across ingestion deciles
+    * ([[graft.ops.CorpusStats.vocabChurn]]). */
+  def vocabChurnQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.vocabChurn(docs(s, dir))
+
   def quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")
 
@@ -3315,5 +3346,123 @@ object TrainingDataQueries {
         |  GROUP BY bi.source)
         |SELECT source, n_distinct_bigrams, n_bigrams, entropy_rate,
         |  round(exp(entropy_rate), 6) AS perplexity
-        |FROM e ORDER BY source""".stripMargin)
+        |FROM e ORDER BY source""".stripMargin,
+    // q157: the q37 shingle fragment on BOTH corpora; the leak stripe
+    // (every 31st conversation's ordered render planted at +2·10^12)
+    // and both df-caps mirrored exactly
+    "q157_cross_corpus_leak" ->
+      s"""WITH t AS (${graft.gen.TranscriptGen.fromEventsOracleSql}),
+         |tr AS (SELECT conv_id,
+         |    CAST(row_number() OVER (PARTITION BY conv_id
+         |      ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         |    text FROM t),
+         |ct AS (SELECT conv_id,
+         |    string_agg(text, ' ' ORDER BY turn_idx) AS ctext
+         |  FROM tr GROUP BY conv_id),
+         |leak AS (SELECT CAST(substr(conv_id, 6) AS BIGINT)
+         |      + 2000000000000 AS doc_id, ctext AS text
+         |  FROM ct WHERE CAST(substr(conv_id, 6) AS BIGINT) % 31 = 0),
+         |d AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM leak),
+         |dw AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS w FROM d),
+         |ds AS (SELECT DISTINCT doc_id,
+         |    md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+         |  FROM dw, UNNEST(generate_series(1, greatest(len(w) - 2, 0)))
+         |    AS s(i)),
+         |hotd AS (SELECT h FROM ds GROUP BY h HAVING count(*) > 50),
+         |cw AS (SELECT conv_id,
+         |    string_split_regex(trim(ctext), '\\s+') AS w FROM ct),
+         |cs AS (SELECT DISTINCT conv_id,
+         |    md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+         |  FROM cw, UNNEST(generate_series(1, greatest(len(w) - 2, 0)))
+         |    AS s(i)),
+         |hotc AS (SELECT h FROM cs GROUP BY h HAVING count(*) > 50),
+         |dn AS (SELECT doc_id, count(*) AS doc_shingles
+         |  FROM ds GROUP BY 1),
+         |j AS (SELECT ds.doc_id, cs.conv_id,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM ds JOIN cs USING (h)
+         |  WHERE ds.h NOT IN (SELECT h FROM hotd)
+         |    AND ds.h NOT IN (SELECT h FROM hotc)
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT j.doc_id, j.conv_id, j.n_shared, dn.doc_shingles,
+         |  round(CAST(n_shared AS DOUBLE) / doc_shingles, 6)
+         |    AS leak_frac
+         |FROM j JOIN dn USING (doc_id)
+         |ORDER BY doc_id, conv_id""".stripMargin,
+    "q158_top_pc" -> topPcOracle(3),
+    // q159: the q151 decile key; DISTINCT (decile, tok) once,
+    // first-seen = min(decile) per type, cumulative via window over
+    // the bounded rollup
+    "q159_vocab_churn" ->
+      """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        |st AS (SELECT DISTINCT
+        |    CAST(least(doc_id * 10 // (SELECT n FROM nn), 9)
+        |      AS INTEGER) AS decile,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |pd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_types
+        |  FROM st GROUP BY 1),
+        |fd AS (SELECT tok, min(decile) AS fd FROM st GROUP BY 1),
+        |np AS (SELECT fd AS decile, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM fd GROUP BY 1)
+        |SELECT pd.decile, pd.n_types,
+        |  coalesce(np.n_new, 0) AS n_new,
+        |  round(CAST(coalesce(np.n_new, 0) AS DOUBLE) / pd.n_types, 6)
+        |    AS new_share,
+        |  CAST(sum(coalesce(np.n_new, 0))
+        |    OVER (ORDER BY pd.decile) AS BIGINT) AS cum_vocab
+        |FROM pd LEFT JOIN np USING (decile)
+        |ORDER BY pd.decile""".stripMargin)
+
+  /** q158 oracle: power iteration unrolled — per-dim means round 1e-6
+    * (the Spark side inlines the same values), v₀ = 1/√64 = 0.125
+    * exactly, every round re-rounds v to the 1e-6 grid, and the final
+    * Rayleigh/trace ratios divide the same float sums the Spark agg
+    * produces. */
+  private def topPcOracle(iters: Int): String = {
+    def foldDot(a: String, b: String) =
+      s"""list_reduce(list_transform(list_zip($a, $b),
+         |      x -> x[1] * x[2]), (acc, t2) -> acc + t2)""".stripMargin
+    val head =
+      s"""e AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |mm AS (SELECT i, round(avg(e[i]), 6) AS mv
+         |  FROM e, UNNEST(generate_series(1, len(e))) s(i) GROUP BY i),
+         |ml AS (SELECT list(mv ORDER BY i) AS m FROM mm),
+         |cent AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(list_zip(e, (SELECT m FROM ml)),
+         |      x -> x[1] - x[2]) AS c
+         |  FROM e),
+         |v0 AS (SELECT list_transform(generate_series(1, 64),
+         |    x -> CAST(0.125 AS DOUBLE)) AS v)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""s$r AS (SELECT vec_id, c,
+         |    ${foldDot("c", s"(SELECT v FROM v${r - 1})")} AS s
+         |  FROM cent),
+         |w$r AS (SELECT i, round(sum(c[i] * s), 6) AS wv
+         |  FROM s$r, UNNEST(generate_series(1, 64)) t(i) GROUP BY i),
+         |n$r AS (SELECT sqrt(sum(wv * wv)) AS nm FROM w$r),
+         |v$r AS (SELECT list(round(wv / (SELECT nm FROM n$r), 6)
+         |    ORDER BY i) AS v FROM w$r)""".stripMargin
+    }
+    s"""WITH ${(head +: rounds).mkString(",\n")},
+       |sf AS (SELECT
+       |    ${foldDot("c", s"(SELECT v FROM v$iters)")} AS s,
+       |    ${foldDot("c", "c")} AS cc
+       |  FROM cent),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(s * s) AS ss,
+       |    sum(cc) AS tr FROM sf),
+       |dd AS (SELECT CAST(i - 1 AS INTEGER) AS dim
+       |  FROM v$iters, UNNEST(generate_series(1, 64)) t(i)
+       |  ORDER BY abs(v[i]) DESC, i LIMIT 1)
+       |SELECT a.n AS n_vecs, round(a.ss / a.n, 6) AS lambda1,
+       |  round(a.tr / a.n, 6) AS trace_var,
+       |  round(round(a.ss / a.n, 6) / round(a.tr / a.n, 6), 6)
+       |    AS var_share,
+       |  dd.dim AS dominant_dim
+       |FROM a, dd""".stripMargin
+  }
 }

@@ -481,7 +481,21 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // consumer. Runtime: ONE (source,w1,w2) pair agg (cached) + the
       // left-marginal and total re-aggs + the (source,w1) join re-key
       // + bounded source rollup + output sort
-      "q156_bigram_entropy" -> 9)
+      "q156_bigram_entropy" -> 9,
+      // q141-class plan-string inflation: the persistOnce'd doc- and
+      // conv-shingle tables print their lineage per consumer (df-cap,
+      // size, join), and the wrapper's leak-injection union re-derives
+      // the transcript render. Runtime: each shingle table once
+      // (cached), two bounded hot-set anti-joins, ONE hash-keyed
+      // pair join + (doc,conv) agg + size join + output sort
+      "q157_cross_corpus_leak" -> 24,
+      // everything (means, power rounds, Rayleigh/trace) runs EAGERLY
+      // into driver scalars (lloydFit posture); the returned single
+      // literal row plans NO exchange at all
+      "q158_top_pc" -> 0,
+      // DISTINCT (decile, tok) agg + two bounded re-aggs run EAGERLY
+      // (q151 posture); returned local table plans only its sort
+      "q159_vocab_churn" -> 1)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
