@@ -1083,6 +1083,68 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** q160: cosine threshold-sensitivity sweep — q140's dedup-tuning
+    * curve for the EMBEDDING near-dup family: the q35 banded-LSH
+    * candidate pairs (high-recall banding, r=3×b=12) bucketed per 0.1
+    * of cosine, reported as cumulative pair counts at every candidate
+    * threshold. Read together with q140 (Jaccard) and q161 (SimHash
+    * hamming), it prices a threshold choice in each family's own
+    * metric before anyone re-runs the full dedup.
+    *
+    * Scale: the pair derivation is exactly q35's (banded equi-join,
+    * no BNLJ); pairs reduce to a ≤11-bucket histogram collected to
+    * the driver (q140's posture) — the returned table is literal. */
+  def cosineThresholdSweep(embeddings: DataFrame, base: Double = 0.1,
+      rowsPerBand: Int = 3, nBands: Int = 12): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val buckets = embeddingNearDupsLsh(embeddings, minCosine = base,
+        rowsPerBand = rowsPerBand, nBands = nBands)
+      .withColumn("bucket",
+        expr("CAST(round(cos_sim * 1000000) AS BIGINT) div 100000"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = buckets.filter(_._1 >= 1L).values.sum
+    (1 to 9).map { t =>
+      val nGe = buckets.filter(_._1 >= t).values.sum
+      (t / 10.0, nGe,
+        if (total == 0L) 0.0
+        else BigDecimal(nGe.toDouble / total)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("threshold", "n_pairs_ge", "share_of_base")
+      .orderBy("threshold")
+  }
+
+  /** q161: SimHash hamming-distance sweep — the third dedup family's
+    * tuning curve (q140 Jaccard, q160 cosine): q33's banded candidate
+    * pairs histogrammed by hamming distance, reported as cumulative
+    * pairs at every ≤h cut. The knee of this curve is where a SimHash
+    * dedup's hamming budget stops buying near-dups and starts buying
+    * false positives.
+    *
+    * Scale: q33's machinery verbatim (persisted signatures, 8×8-bit
+    * pigeonhole banding — exact for h ≤ 7); the histogram is ≤8 rows
+    * collected to the driver. */
+  def hammingThresholdSweep(docs: DataFrame, maxHamming: Int = 7)
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = simhashPairs(docs, maxHamming)
+      .groupBy("hamming").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = hist.values.sum
+    (0 to maxHamming).map { h =>
+      val nLe = hist.filter(_._1 <= h).values.sum
+      (h, nLe,
+        if (total == 0L) 0.0
+        else BigDecimal(nLe.toDouble / total)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("max_hamming", "n_pairs_le", "share_of_candidates")
+      .orderBy("max_hamming")
+  }
+
   /** q157: CROSS-corpus leak detection — which pretraining DOCUMENTS
     * contain spans of user CONVERSATIONS? The privacy/contamination
     * audit q37 can't do: q37 checks corpus-vs-eval with a broadcastable

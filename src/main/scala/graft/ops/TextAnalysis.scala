@@ -591,6 +591,27 @@ object TextAnalysis {
       .orderBy(col("score_floor").desc)
   }
 
+  /** q162: k-anonymity cell audit over document quasi-identifiers —
+    * every (source, lang, length-bucket) combination with its
+    * population, flagging cells under k. A document whose visible
+    * attribute combination is shared by fewer than k corpus members
+    * is re-identifiable from metadata alone even after q26 scrubs the
+    * text — the governance report data-release reviews ask for
+    * (Sweeney's k-anonymity, applied at corpus grain).
+    *
+    * Scale: ONE bounded cell rollup (sources × langs × ≤buckets,
+    * map-side combined) — the corpus never re-shuffles; the length
+    * bucket is exact integer div so no float boundary can move a
+    * document between cells. */
+  def kAnonymityCells(docs: DataFrame, k: Long = 5,
+      charsPerBucket: Long = 50): DataFrame =
+    docs.select(col("source"), col("lang"),
+        expr(s"n_chars DIV ${charsPerBucket}L").as("chars_bucket"))
+      .groupBy("source", "lang", "chars_bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("at_risk", col("n_docs") < k)
+      .orderBy("source", "lang", "chars_bucket")
+
   /** Encoding-artifact (mojibake) detection — the web-scrape hygiene
     * filter: UTF-8 bytes decoded as Latin-1 leave 'Ã'/'Â' lead-byte
     * characters (e.g. "café" → "cafÃ©", NBSP → "Â "), and lossy

@@ -145,6 +145,21 @@ object TrainingDataQueries {
   def vocabChurnQ(s: SparkSession, dir: String): DataFrame =
     CorpusStats.vocabChurn(docs(s, dir))
 
+  /** q160: cosine threshold sweep over q35's LSH candidates
+    * ([[graft.ops.Dedup.cosineThresholdSweep]]). */
+  def cosineSweepQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.cosineThresholdSweep(embs(s, dir))
+
+  /** q161: SimHash hamming sweep over q33's candidates
+    * ([[graft.ops.Dedup.hammingThresholdSweep]]). */
+  def hammingSweepQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.hammingThresholdSweep(docs(s, dir))
+
+  /** q162: k-anonymity quasi-identifier cell audit
+    * ([[graft.ops.TextAnalysis.kAnonymityCells]]). */
+  def kAnonymityQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.kAnonymityCells(docs(s, dir))
+
   def quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")
 
@@ -3392,6 +3407,48 @@ object TrainingDataQueries {
          |FROM j JOIN dn USING (doc_id)
          |ORDER BY doc_id, conv_id""".stripMargin,
     "q158_top_pc" -> topPcOracle(3),
+    // q160: q35's LSH candidate oracle at the sweep's high-recall
+    // banding (r=3, b=12, base 0.1) inside q140's cumulative shell
+    "q160_cosine_sweep" ->
+      s"""WITH b AS (SELECT
+         |    CAST(round(cos_sim * 1000000) AS BIGINT) // 100000
+         |      AS bucket
+         |  FROM (${nearDupLshOracle(0.1, 3, 12, 64)}) t),
+         |c AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+         |th AS (SELECT unnest(generate_series(1, 9)) AS tb)
+         |SELECT CAST(tb AS DOUBLE) / 10.0 AS threshold,
+         |  CAST(coalesce((SELECT sum(n) FROM c WHERE bucket >= tb), 0)
+         |    AS BIGINT) AS n_pairs_ge,
+         |  CASE WHEN coalesce((SELECT sum(n) FROM c WHERE bucket >= 1),
+         |      0) = 0 THEN 0.0
+         |    ELSE round(CAST(coalesce((SELECT sum(n) FROM c
+         |        WHERE bucket >= tb), 0) AS DOUBLE) /
+         |      CAST((SELECT sum(n) FROM c WHERE bucket >= 1)
+         |        AS DOUBLE), 6) END AS share_of_base
+         |FROM th ORDER BY threshold""".stripMargin,
+    // q161: q33's candidate oracle, cumulative ≤h counts over the
+    // ≤8-row hamming histogram
+    "q161_hamming_sweep" ->
+      s"""WITH c AS (SELECT hamming, count(*) AS n
+         |  FROM ($simhashOracle) t GROUP BY hamming),
+         |tot AS (SELECT coalesce(sum(n), 0) AS tn FROM c),
+         |th AS (SELECT unnest(generate_series(0, 7)) AS h)
+         |SELECT CAST(h AS INTEGER) AS max_hamming,
+         |  CAST(coalesce((SELECT sum(n) FROM c WHERE hamming <= h), 0)
+         |    AS BIGINT) AS n_pairs_le,
+         |  CASE WHEN (SELECT tn FROM tot) = 0 THEN 0.0
+         |    ELSE round(CAST(coalesce((SELECT sum(n) FROM c
+         |        WHERE hamming <= h), 0) AS DOUBLE) /
+         |      CAST((SELECT tn FROM tot) AS DOUBLE), 6) END
+         |    AS share_of_candidates
+         |FROM th ORDER BY max_hamming""".stripMargin,
+    // q162: one bounded cell rollup; the length bucket is integer div
+    "q162_k_anonymity" ->
+      """SELECT source, lang, n_chars // 50 AS chars_bucket,
+        |  count(*) AS n_docs, count(*) < 5 AS at_risk
+        |FROM documents
+        |GROUP BY 1, 2, 3
+        |ORDER BY source, lang, chars_bucket""".stripMargin,
     // q159: the q151 decile key; DISTINCT (decile, tok) once,
     // first-seen = min(decile) per type, cumulative via window over
     // the bounded rollup

@@ -495,7 +495,15 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q158_top_pc" -> 0,
       // DISTINCT (decile, tok) agg + two bounded re-aggs run EAGERLY
       // (q151 posture); returned local table plans only its sort
-      "q159_vocab_churn" -> 1)
+      "q159_vocab_churn" -> 1,
+      // q35's banded pair join runs EAGERLY into a ≤11-bucket driver
+      // histogram (q140 posture); returned local table sorts only
+      "q160_cosine_sweep" -> 1,
+      // q33's banding runs EAGERLY into the ≤8-row hamming histogram;
+      // returned local table sorts only
+      "q161_hamming_sweep" -> 1,
+      // ONE bounded (source × lang × bucket) cell rollup + output sort
+      "q162_k_anonymity" -> 2)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
