@@ -911,9 +911,15 @@ object CorpusStats {
     * is partitioned by shard, never partition-less). No global
     * ordering is ever materialized.
     */
-  def shardAssign(docs: DataFrame, nShards: Int = 64): DataFrame = {
-    val h = conv(substring(md5(col("doc_id").cast("string")
+  /** q60/q164 shared shard key: md5-derived 48-bit hash of doc_id —
+    * the single definition, so the balance audit grades exactly the
+    * assignment q60 ships. */
+  private[ops] def shardHash: Column =
+    conv(substring(md5(col("doc_id").cast("string")
       .cast("binary")), 1, 12), 16, 10).cast("long")
+
+  def shardAssign(docs: DataFrame, nShards: Int = 64): DataFrame = {
+    val h = shardHash
     val keyed = docs.select(col("doc_id"), h.as("h"),
       pmod(h, lit(nShards.toLong)).cast("int").as("shard"))
     val w = Window.partitionBy(col("shard"))
@@ -1647,6 +1653,38 @@ object CorpusStats {
         round(col("tf_total").cast("double") / col("df"), 6))
       .orderBy(col("burstiness").desc, col("term").asc)
       .limit(topN)
+
+  /** q164: shard-balance audit for q60's assignment — per-shard TOKEN
+    * load (training shards are consumed by token count, not doc
+    * count), reduced to the one-row report a data-loading team reads:
+    * shards used, min/max/mean load and the max/mean straggler ratio.
+    * A ratio near 1 says the md5 key is doing its job; a high ratio
+    * says one shard gates every epoch. Uses [[shardHash]] — the SAME
+    * key q60 writes with, so the audit grades the real layout.
+    *
+    * Scale: ONE bounded nShards-row agg (map-side combined), swept on
+    * the driver (q68 posture). */
+  def shardBalance(docs: DataFrame, nShards: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    val loads = docs
+      .select(pmod(shardHash, lit(nShards.toLong)).cast("int")
+          .as("shard"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("shard").agg(sum(col("nt")).as("load"))
+      .collect().map(r => r.getLong(1))
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val total = loads.sum
+    val mean = total.toDouble / nShards
+    import spark.implicits._
+    Seq((nShards, loads.length, total,
+        if (loads.isEmpty) 0L else loads.min,
+        if (loads.isEmpty) 0L else loads.max,
+        r6(mean),
+        if (total == 0L) 0.0 else r6(loads.max / mean)))
+      .toDF("n_shards", "n_shards_used", "total_tokens", "min_load",
+        "max_load", "mean_load", "max_over_mean")
+  }
 
   /** q159: vocabulary churn across ingestion deciles — per q151
     * decile: how many distinct token TYPES appear, how many appear

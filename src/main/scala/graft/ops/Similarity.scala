@@ -560,6 +560,62 @@ object Similarity {
     ranked(pairs, k).orderBy(col("query_id"), col("rank"))
   }
 
+  /** q163: ANN recall-vs-nProbe curve — the tuning sweep for the IVF
+    * family (the q140/q160/q161 counterpart for ANN): train the q71
+    * Lloyd coarse quantizer ONCE, then measure recall@k against the
+    * exact brute-force top-k at every nProbe from 1 to nCells. The
+    * curve's knee is the nProbe a deployment should ship; the
+    * nProbe = nCells row must hit recall 1.0 by construction (probing
+    * everything IS brute force), which doubles as an in-query
+    * self-check.
+    *
+    * Scale: training is lloydFit (bounded driver state); each probe
+    * level reuses the SAME persisted assignment — only the
+    * ≤nQueries·k top-k tables are collected per level (bounded,
+    * documented). Cosines are the strict-fold form so ties and ranks
+    * reproduce in the oracle bit-for-bit. */
+  def annRecallCurve(embeddings: DataFrame, nCells: Int = 4,
+      kmIters: Int = 2, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    val base = lloydBase(embeddings)
+    val cents = lloydFit(base, nCells, kmIters)
+    val assigned = Dedup.persistOnce(lloydAssign(base, cents))
+    val cand = assigned.select(col("vec_id").as("neighbor_id"),
+      col("e").as("ce"), col("cluster").as("cell"))
+    def norm2(c: Column) =
+      aggregate(c, lit(0.0), (acc, x) => acc + x * x)
+    val cos = round(
+      aggregate(zip_with(col("qe"), col("ce"), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x) /
+        (sqrt(norm2(col("qe"))) * sqrt(norm2(col("ce")))), 6)
+    val q = assigned.filter(col("vec_id") < nQueries)
+    def topkSet(pairs: DataFrame): Set[(Long, Long)] =
+      ranked(pairs.select(col("query_id"), col("neighbor_id"),
+          cos.as("cos_sim")), k)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = topkSet(cand.join(
+      broadcast(q.select(col("vec_id").as("query_id"),
+        col("e").as("qe"))),
+      col("query_id") =!= col("neighbor_id")))
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = (1 to nCells).map { np =>
+      val probeCells = slice(transform(array_sort(
+        zip_with(col("ds"), sequence(lit(0), lit(nCells - 1)),
+          (d, i) => struct(d.as("d"), i.as("c")))),
+        s => s.getField("c")), 1, np)
+      val probes = q.select(col("vec_id").as("query_id"),
+        col("e").as("qe"), explode(probeCells).as("cell"))
+      val got = topkSet(cand.join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id")))
+      val hits = got.count(truth.contains)
+      (np, hits.toLong, r6(hits.toDouble / truth.size))
+    }
+    import spark.implicits._
+    rows.toDF("n_probe", "n_hits", "recall_at_k").orderBy("n_probe")
+  }
+
   /** Strict left-fold squared-L2 distance of an array column to a
     * driver-held codeword (index order — the oracle-parity fold). */
   private def sqDistFold(v: Column, cw: Seq[Double]): Column =

@@ -591,6 +591,52 @@ object TextAnalysis {
       .orderBy(col("score_floor").desc)
   }
 
+  /** q165: mutual information between quality score and document
+    * length — "is the quality classifier just re-measuring length?"
+    * MI over the discretized (score 1e-1 grid × length-div-16 bucket)
+    * joint distribution, with both marginal entropies and the
+    * normalized MI/min(H) coefficient. High normalized MI means q58's
+    * score adds little beyond a length cut (and the cheap gate
+    * should win); near 0 means the two filters are complementary.
+    *
+    * Scale: the corpus reduces to ONE bounded 2-D histogram agg
+    * (≤11 score cells × bounded length buckets, map-side combined);
+    * MI/entropy sums run on the driver over that table (q68 posture).
+    * All probabilities are IEEE divisions of exact longs. */
+  def qualityLengthMi(docs: DataFrame, toksPerBucket: Long = 16)
+      : DataFrame = {
+    val spark = docs.sparkSession
+    val sb = floor(clfScoreExpr(col("text")).cast("decimal(9,6)") * 10)
+      .cast("int")
+    val lb = expr(
+      s"CAST(size(split(trim(text), '\\\\s+')) DIV ${toksPerBucket}L" +
+        " AS INT)")
+    val cells = docs.select(sb.as("sb"), lb.as("lb"))
+      .groupBy("sb", "lb").agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+    val total = cells.map(_._2).sum.toDouble
+    val px = cells.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val py = cells.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // deterministic iteration order: sorted by (sb, lb) / key
+    val mi = cells.sortBy(_._1).foldLeft(0.0) { case (acc, ((x, y), n)) =>
+      val pxy = n / total
+      acc + pxy * math.log(pxy / ((px(x) / total) * (py(y) / total)))
+    }
+    def entropy(m: Map[Int, Long]): Double =
+      m.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (_, n)) =>
+        val p = n / total; acc - p * math.log(p)
+      }
+    val hx = entropy(px); val hy = entropy(py)
+    val minH = math.min(hx, hy)
+    import spark.implicits._
+    Seq((total.toLong, cells.length.toLong, r6(mi), r6(hx), r6(hy),
+        if (minH == 0.0) 0.0 else r6(mi / minH)))
+      .toDF("n_docs", "n_cells", "mi_nats", "h_score", "h_length",
+        "normalized_mi")
+  }
+
   /** q162: k-anonymity cell audit over document quasi-identifiers —
     * every (source, lang, length-bucket) combination with its
     * population, flagging cells under k. A document whose visible

@@ -160,6 +160,21 @@ object TrainingDataQueries {
   def kAnonymityQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.kAnonymityCells(docs(s, dir))
 
+  /** q163: IVF recall-vs-nProbe curve at 4 cells
+    * ([[graft.ops.Similarity.annRecallCurve]]). */
+  def annRecallCurveQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.annRecallCurve(embs(s, dir))
+
+  /** q164: shard-balance audit over q60's md5 key
+    * ([[graft.ops.CorpusStats.shardBalance]]). */
+  def shardBalanceQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.shardBalance(docs(s, dir))
+
+  /** q165: quality×length mutual information
+    * ([[graft.ops.TextAnalysis.qualityLengthMi]]). */
+  def qualityLengthMiQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityLengthMi(docs(s, dir))
+
   def quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")
 
@@ -3449,6 +3464,71 @@ object TrainingDataQueries {
         |FROM documents
         |GROUP BY 1, 2, 3
         |ORDER BY source, lang, chars_bucket""".stripMargin,
+    "q163_ann_recall_curve" -> annRecallCurveOracle(4, 2, 5, 10),
+    // q164: q60's md5 shard key verbatim; min over PRESENT shards,
+    // mean over the full nShards denominator — both as the Spark side
+    "q164_shard_balance" ->
+      """WITH l AS (SELECT
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |      1, 12) AS BIGINT) % 64 AS INTEGER) AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+'))
+        |      AS BIGINT) AS nt
+        |  FROM documents),
+        |g AS (SELECT shard, sum(nt) AS load FROM l GROUP BY 1),
+        |a AS (SELECT CAST(sum(load) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS used,
+        |    CAST(min(load) AS BIGINT) AS mn,
+        |    CAST(max(load) AS BIGINT) AS mx FROM g)
+        |SELECT CAST(64 AS INTEGER) AS n_shards, used AS n_shards_used,
+        |  total AS total_tokens, mn AS min_load, mx AS max_load,
+        |  round(CAST(total AS DOUBLE) / 64, 6) AS mean_load,
+        |  CASE WHEN total = 0 THEN 0.0
+        |    ELSE round(CAST(mx AS DOUBLE) /
+        |      (CAST(total AS DOUBLE) / 64), 6) END AS max_over_mean
+        |FROM a""".stripMargin,
+    // q165: q58's score chain at the 1e-1 grid × exact-div length
+    // bucket; MI / entropies over the bounded cell table (driver
+    // sweep in Spark, plain aggregates here — same exact longs)
+    "q165_quality_length_mi" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |    ' ' || lower(text) || ' ' AS p,
+         |    CAST(len(string_split_regex(trim(text), '\\s+'))
+         |      AS BIGINT) AS nt
+         |  FROM documents),
+         |sc AS (SELECT nt,
+         |    round(1.0 / (1.0 + exp(-(-2.0 +
+         |      6.0 * round(CAST(CAST(${stopHitsSql("p")} AS BIGINT)
+         |        AS DOUBLE) / greatest(nt, 1), 4) +
+         |      0.3 * round(CAST(length(text) AS DOUBLE) /
+         |        greatest(nt, 1), 4) -
+         |      4.0 * round(CAST(len(regexp_extract_all(text,
+         |        '[.,!?;:]')) AS DOUBLE) / greatest(nt, 1), 4) +
+         |      0.2 * ln(nt + 1)))), 6) AS s
+         |  FROM f),
+         |cells AS (SELECT
+         |    CAST(floor(CAST(s AS DECIMAL(9,6)) * 10) AS INTEGER)
+         |      AS sb,
+         |    CAST(nt // 16 AS INTEGER) AS lb, count(*) AS n
+         |  FROM sc GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t,
+         |    CAST(sum(n) AS BIGINT) AS nd,
+         |    CAST(count(*) AS BIGINT) AS nc FROM cells),
+         |px AS (SELECT sb, sum(n) AS nx FROM cells GROUP BY 1),
+         |py AS (SELECT lb, sum(n) AS ny FROM cells GROUP BY 1),
+         |mi AS (SELECT sum((c.n / t.t) * ln((c.n / t.t) /
+         |      ((px.nx / t.t) * (py.ny / t.t)))) AS v
+         |  FROM cells c JOIN px USING (sb) JOIN py USING (lb), tot t),
+         |hx AS (SELECT 0.0 - sum((nx / t.t) * ln(nx / t.t)) AS v
+         |  FROM px, tot t),
+         |hy AS (SELECT 0.0 - sum((ny / t.t) * ln(ny / t.t)) AS v
+         |  FROM py, tot t)
+         |SELECT t.nd AS n_docs, t.nc AS n_cells,
+         |  round(mi.v, 6) AS mi_nats, round(hx.v, 6) AS h_score,
+         |  round(hy.v, 6) AS h_length,
+         |  CASE WHEN least(hx.v, hy.v) = 0.0 THEN 0.0
+         |    ELSE round(mi.v / least(hx.v, hy.v), 6) END
+         |    AS normalized_mi
+         |FROM tot t, mi, hx, hy""".stripMargin,
     // q159: the q151 decile key; DISTINCT (decile, tok) once,
     // first-seen = min(decile) per type, cumulative via window over
     // the bounded rollup
@@ -3472,6 +3552,61 @@ object TrainingDataQueries {
         |    OVER (ORDER BY pd.decile) AS BIGINT) AS cum_vocab
         |FROM pd LEFT JOIN np USING (decile)
         |ORDER BY pd.decile""".stripMargin)
+
+  /** q163 oracle: the q74 chain trained once, probed at every nProbe
+    * 1..nCells, each level's top-k intersected with the brute-force
+    * truth (q40's shape over the same fold cosines). */
+  private def annRecallCurveOracle(nCells: Int, kmIters: Int, k: Int,
+      nQueries: Int): String = {
+    val aF = s"a${kmIters + 1}"
+    val cF = s"c$kmIters"
+    def fold(zipped: String) =
+      s"list_reduce(list_transform($zipped, x -> x[1] * x[2])," +
+        " (acc, t2) -> acc + t2)"
+    def norm2(e: String) =
+      s"list_reduce(list_transform($e, v -> v * v)," +
+        " (acc, t2) -> acc + t2)"
+    val cos = s"round(${fold("list_zip(q.qe, a.e)")} /" +
+      s" (sqrt(${norm2("q.qe")}) * sqrt(${norm2("a.e")})), 6)"
+    val perNp = (1 to nCells).map { np =>
+      s"""pr$np AS (SELECT query_id, qe, c AS cell FROM (
+         |    SELECT query_id, qe, c, row_number()
+         |        OVER (PARTITION BY query_id ORDER BY d, c) AS rn
+         |    FROM pd) WHERE rn <= $np),
+         |tk$np AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, a.vec_id AS neighbor_id, $cos AS cs,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY $cos DESC, a.vec_id) AS rank
+         |    FROM pr$np q JOIN $aF a
+         |      ON q.cell = a.cluster AND q.query_id <> a.vec_id)
+         |  WHERE rank <= $k),
+         |r$np AS (SELECT $np AS n_probe, CAST(count(*) AS BIGINT)
+         |    AS n_hits
+         |  FROM tk$np JOIN bt USING (query_id, neighbor_id))"""
+        .stripMargin
+    }
+    val union = (1 to nCells).map(np => s"SELECT * FROM r$np")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${kmeansCtes(nCells, kmIters)},
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe
+       |  FROM e WHERE vec_id < $nQueries),
+       |bt AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, a.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY $cos DESC, a.vec_id) AS rank
+       |    FROM q JOIN e a ON q.query_id <> a.vec_id)
+       |  WHERE rank <= $k),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bt),
+       |pd AS MATERIALIZED (SELECT q.query_id, q.qe, cc.c,
+       |    list_reduce(list_transform(list_zip(q.qe, cc.cent),
+       |        x -> (x[1] - x[2]) * (x[1] - x[2])),
+       |      (acc, t2) -> acc + t2) AS d
+       |  FROM q CROSS JOIN $cF cc),
+       |${perNp.mkString(",\n")}
+       |SELECT n_probe, n_hits,
+       |  round(n_hits / (SELECT t FROM tot), 6) AS recall_at_k
+       |FROM ($union) ORDER BY n_probe""".stripMargin
+  }
 
   /** q158 oracle: power iteration unrolled — per-dim means round 1e-6
     * (the Spark side inlines the same values), v₀ = 1/√64 = 0.125

@@ -503,7 +503,17 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // returned local table sorts only
       "q161_hamming_sweep" -> 1,
       // ONE bounded (source × lang × bucket) cell rollup + output sort
-      "q162_k_anonymity" -> 2)
+      "q162_k_anonymity" -> 2,
+      // training + per-nProbe probe joins + brute truth all run
+      // EAGERLY into bounded driver top-k sets (lloydFit posture);
+      // returned ≤nCells-row local table plans only its sort
+      "q163_ann_recall_curve" -> 1,
+      // ONE bounded nShards-row agg swept on the driver (q68
+      // posture); returned single literal row plans NO exchange
+      "q164_shard_balance" -> 0,
+      // ONE bounded (score-cell × length-bucket) 2-D histogram agg
+      // swept on the driver; returned single literal row, 0 exchanges
+      "q165_quality_length_mi" -> 0)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
