@@ -1196,4 +1196,95 @@ object Dedup {
           .as("leak_frac"))
       .orderBy("doc_id", "conv_id")
   }
+
+  /** q166: source-level MinHash similarity matrix — each SOURCE's
+    * entire shingle set compressed to one numHashes-component MinHash
+    * signature (the q32 hash family, source-keyed), pairwise estimated
+    * Jaccard = matching-component fraction. The corpus-composition
+    * twin of q93: q93 counts document-pair dups ACROSS sources; this
+    * estimates whole-source content overlap even when no individual
+    * pair survives banding — the "are these two crawls the same site
+    * list?" screen run before paying for a full cross-dedup.
+    *
+    * Scale: ONE shingle explode → ONE source-keyed agg of numHashes
+    * mins (map-side combined — per-partition partials are numHashes ×
+    * nSources cells, shingle strings never shuffle beyond the md5
+    * partials' keys); the signature table is nSources rows, paired on
+    * the driver (bounded, documented — sources are O(100) in any real
+    * mixture). */
+  def sourceMinhashSim(docs: DataFrame, numHashes: Int = 8)
+      : DataFrame = {
+    val spark = docs.sparkSession
+    val sh = docs.select(col("source"),
+      explode(graft.functions.word_shingles(col("text"), 3))
+        .as("shingle"))
+    val sig = sh.groupBy(col("source"))
+      .agg(
+        min(md5(concat(lit("0:"), col("shingle")).cast("binary")))
+          .as("mh0"),
+        (1 until numHashes).map(i =>
+          min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary")))
+            .as(s"mh$i")): _*)
+      .collect()
+      .map(r => r.getString(0) ->
+        (0 until numHashes).map(i => r.getString(i + 1)))
+      .sortBy(_._1)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    (for {
+      i <- sig.indices; j <- (i + 1) until sig.length
+    } yield {
+      val n = sig(i)._2.zip(sig(j)._2).count { case (a, b) => a == b }
+      (sig(i)._1, sig(j)._1, n, r6(n.toDouble / numHashes))
+    }).toDF("source_a", "source_b", "n_matching", "est_jaccard")
+      .orderBy("source_a", "source_b")
+  }
+
+  /** q168: duplicate-growth curve across ingestion deciles — for each
+    * prefix of the corpus (q151's exact-integer decile key), the
+    * cumulative exact-dup rate 1 − distinct/total. Dup rate GROWS
+    * superlinearly with corpus size (every new doc can collide with
+    * everything before it), so the curve extrapolates what dedup will
+    * reclaim at 10× the crawl — the capacity-planning number behind
+    * q141's dedup-aware quotas, measured instead of assumed.
+    *
+    * Scale: text reduces to its md5 in the scan; ONE (hash → min
+    * decile) agg keyed on the 16-byte fingerprint + ONE bounded
+    * ≤nBuckets re-agg each for first-seen and doc counts; cumulative
+    * sweep on the driver over ≤nBuckets rows (q151 posture). */
+  def dupGrowthCurve(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val n = maxId + 1
+    val dec = least(expr(s"doc_id * $nBuckets DIV ${n}L"),
+      lit(nBuckets - 1L)).cast("int")
+    val keyed = persistOnce(docs.select(dec.as("decile"),
+      md5(col("text").cast("binary")).as("h")))
+    val perDec = keyed.groupBy("decile")
+      .agg(count(lit(1)).as("n_docs")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val firstSeen = keyed.groupBy("h")
+      .agg(min(col("decile")).as("first_decile"))
+      .groupBy("first_decile").agg(count(lit(1)).as("n_new"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    keyed.unpersist()
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val deciles = perDec.keys.toSeq.sorted
+    var cumDocs = 0L
+    var cumNew = 0L
+    import spark.implicits._
+    deciles.map { d =>
+      val nd = perDec(d)
+      val nw = firstSeen.getOrElse(d, 0L)
+      cumDocs += nd
+      cumNew += nw
+      (d, nd, nw, cumDocs, cumNew,
+        r6(1.0 - cumNew.toDouble / cumDocs))
+    }.toDF("decile", "n_docs", "n_new_hashes", "cum_docs",
+        "cum_distinct", "cum_dup_rate")
+      .orderBy("decile")
+  }
 }

@@ -244,18 +244,29 @@ object TextAnalysis {
     * the line stream, no shuffle); one codegen'd pass, output sort
     * only. The same shape as [[CorpusStats.winnowFingerprints]].
     */
+  /** The C4 kept-lines expression over `text` — the single definition
+    * [[c4Filter]] (q63) and [[filterAgreement]] (q167) both gate on,
+    * so the agreement audit grades exactly the filter that ships. */
+  private def c4KeptLines: Column = expr(
+    """filter(split(text, '\n'), ln ->
+      |  trim(ln) RLIKE '[.!?"]$' AND
+      |  size(split(trim(ln), '\\s+')) >= 5 AND
+      |  NOT contains(lower(ln), 'javascript'))""".stripMargin)
+
+  /** q63/q167 shared C4 document gate: ≥ 3 kept lines, no
+    * "lorem ipsum", no '{'. */
+  private[ops] def keepC4Expr: Column =
+    size(c4KeptLines) >= 3 &&
+      !lower(col("text")).contains("lorem ipsum") &&
+      !col("text").contains("{")
+
   def c4Filter(docs: DataFrame): DataFrame = {
-    val keptExpr = expr(
-      """filter(split(text, '\n'), ln ->
-        |  trim(ln) RLIKE '[.!?"]$' AND
-        |  size(split(trim(ln), '\\s+')) >= 5 AND
-        |  NOT contains(lower(ln), 'javascript'))""".stripMargin)
     val hasLorem = lower(col("text")).contains("lorem ipsum")
     val hasBrace = col("text").contains("{")
     docs
       .select(col("doc_id"),
         size(split(col("text"), "\n")).cast("long").as("n_lines"),
-        keptExpr.as("kept"),
+        c4KeptLines.as("kept"),
         hasLorem.as("has_lorem"), hasBrace.as("has_brace"))
       .select(col("doc_id"), col("n_lines"),
         size(col("kept")).cast("long").as("n_kept"),
@@ -284,33 +295,59 @@ object TextAnalysis {
     * arrays (filter/transform HOFs, no explode): one narrow codegen'd
     * pass, zero shuffle, output sort only.
     */
-  def gopherFilter(docs: DataFrame): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    val lines = split(col("text"), "\n")
-    val nWords = size(toks).cast("long")
-    val nLines = greatest(size(lines), lit(1)).cast("double")
-    def occurrences(needle: String): Column =
+  /** The Gopher component expressions over `text` — single
+    * definitions shared by [[gopherFilter]] (q64) and the
+    * [[keepGopherExpr]] gate [[filterAgreement]] (q167) audits, so
+    * both always grade the same rule set. Ratios round 1e-4 BEFORE
+    * the gate (engine-ulp discipline). */
+  private object Gopher {
+    def toks: Column = split(trim(col("text")), "\\s+")
+    def nWords: Column = size(toks).cast("long")
+    private def nLines: Column =
+      greatest(size(split(col("text"), "\n")), lit(1)).cast("double")
+    private def occurrences(needle: String): Column =
       (length(col("text")) -
         length(replace(col("text"), lit(needle), lit("")))) / needle.length
-    val meanWordLen = round(
+    def meanWordLen: Column = round(
       expr("aggregate(split(trim(text), '\\\\s+'), 0L, (a, w) -> a + length(w))")
         .cast("double") / greatest(nWords, lit(1)), 4)
-    val symbolRatio = round(
+    def symbolRatio: Column = round(
       (occurrences("#") + occurrences("...") + occurrences("…"))
         .cast("double") / greatest(nWords, lit(1)), 4)
-    val bulletFrac = round(size(expr(
+    def bulletFrac: Column = round(size(expr(
       "filter(split(text, '\\n'), ln -> ltrim(ln) RLIKE '^[-*•]')"))
       .cast("double") / nLines, 4)
-    val ellipsisFrac = round(size(expr(
+    def ellipsisFrac: Column = round(size(expr(
       "filter(split(text, '\\n'), ln -> rtrim(ln) RLIKE '(\\\\.\\\\.\\\\.|…)$')"))
       .cast("double") / nLines, 4)
-    val alphaFrac = round(size(expr(
+    def alphaFrac: Column = round(size(expr(
       "filter(split(trim(text), '\\\\s+'), w -> w RLIKE '[A-Za-z]')"))
       .cast("double") / greatest(nWords, lit(1)), 4)
-    val stopPresent = Seq("the", "be", "to", "of", "and", "that",
-      "have", "with").map { w =>
+    def stopPresent: Column = Seq("the", "be", "to", "of", "and",
+      "that", "have", "with").map { w =>
       array_contains(transform(toks, t => lower(t)), w).cast("int")
     }.reduce(_ + _).cast("long")
+  }
+
+  /** q64/q167 shared Gopher document gate over the rounded
+    * components. */
+  private[ops] def keepGopherExpr: Column =
+    Gopher.nWords.between(50, 100000) &&
+      Gopher.meanWordLen.between(3.0, 10.0) &&
+      Gopher.symbolRatio < 0.1 &&
+      Gopher.bulletFrac < 0.1 &&
+      Gopher.ellipsisFrac < 0.3 &&
+      Gopher.alphaFrac > 0.8 &&
+      Gopher.stopPresent >= 2
+
+  def gopherFilter(docs: DataFrame): DataFrame = {
+    val nWords = Gopher.nWords
+    val meanWordLen = Gopher.meanWordLen
+    val symbolRatio = Gopher.symbolRatio
+    val bulletFrac = Gopher.bulletFrac
+    val ellipsisFrac = Gopher.ellipsisFrac
+    val alphaFrac = Gopher.alphaFrac
+    val stopPresent = Gopher.stopPresent
     docs.select(
       col("doc_id"),
       nWords.as("n_words"),
@@ -635,6 +672,46 @@ object TextAnalysis {
         if (minH == 0.0) 0.0 else r6(mi / minH)))
       .toDF("n_docs", "n_cells", "mi_nats", "h_score", "h_length",
         "normalized_mi")
+  }
+
+  /** q167: filter-agreement audit — the 2³ Venn table of the three
+    * shipped quality gates (C4 line rules, Gopher document rules, the
+    * q58 logistic classifier at 0.5), with each cell's corpus share
+    * and the number of gates passed. Answers the ablation question a
+    * data team asks before stacking filters: do they remove the SAME
+    * documents (stack for free) or DIFFERENT ones (each costs fresh
+    * token mass — price via q155 before enabling)? Uses the single
+    * shared gate definitions ([[keepC4Expr]], [[keepGopherExpr]],
+    * [[clfScoreExpr]]) so the audit grades exactly the filters that
+    * ship.
+    *
+    * Scale: all three gates are narrow codegen'd expressions over the
+    * same text scan — ONE pass, ONE bounded ≤8-cell rollup (map-side
+    * combined), shares on the driver (q68 posture). Zero joins: the
+    * naive compose-the-three-filter-outputs form would shuffle three
+    * corpus-wide (id, bool) tables. */
+  def filterAgreement(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val cells = docs.select(
+        keepC4Expr.as("keep_c4"),
+        keepGopherExpr.as("keep_gopher"),
+        (clfScoreExpr(col("text")) >= 0.5).as("keep_clf"))
+      .groupBy("keep_c4", "keep_gopher", "keep_clf")
+      .agg(count(lit(1)).as("n_docs"))
+      .collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2),
+        r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val total = cells.map(_._4).sum.toDouble
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    cells.toSeq.map { case (c4, gp, clf, n) =>
+      (c4, gp, clf, n, r6(n / total),
+        (if (c4) 1 else 0) + (if (gp) 1 else 0) + (if (clf) 1 else 0))
+    }.toDF("keep_c4", "keep_gopher", "keep_clf", "n_docs", "share",
+        "n_filters_pass")
+      .orderBy("keep_c4", "keep_gopher", "keep_clf")
   }
 
   /** q162: k-anonymity cell audit over document quasi-identifiers —

@@ -175,6 +175,21 @@ object TrainingDataQueries {
   def qualityLengthMiQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityLengthMi(docs(s, dir))
 
+  /** q166: source-level MinHash similarity matrix
+    * ([[graft.ops.Dedup.sourceMinhashSim]]). */
+  def sourceMinhashSimQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceMinhashSim(docs(s, dir))
+
+  /** q167: three-gate filter-agreement Venn audit
+    * ([[graft.ops.TextAnalysis.filterAgreement]]). */
+  def filterAgreementQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.filterAgreement(docs(s, dir))
+
+  /** q168: duplicate-growth curve across ingestion deciles
+    * ([[graft.ops.Dedup.dupGrowthCurve]]). */
+  def dupGrowthCurveQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupGrowthCurve(docs(s, dir))
+
   def quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")
 
@@ -3529,6 +3544,121 @@ object TrainingDataQueries {
          |    ELSE round(mi.v / least(hx.v, hy.v), 6) END
          |    AS normalized_mi
          |FROM tot t, mi, hx, hy""".stripMargin,
+    // q166: q32's seed:shingle md5 family keyed by SOURCE; min is
+    // duplicate-immune so the per-doc-distinct shingle nuance drops out
+    "q166_source_minhash" -> {
+      val mins = (0 until 8).map(i =>
+        s"min(md5('$i:' || shingle)) AS mh$i").mkString(",\n|    ")
+      val eq = (0 until 8).map(i =>
+        s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+        .mkString(" +\n|    ")
+      s"""WITH w AS (SELECT source,
+         |    string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sh AS (SELECT source,
+         |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         |  FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0)))
+         |    AS t(i)),
+         |m AS (SELECT source,
+         |    $mins
+         |  FROM sh GROUP BY 1)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(($eq) AS INTEGER) AS n_matching,
+         |  round(CAST(($eq) AS DOUBLE) / 8, 6) AS est_jaccard
+         |FROM m a JOIN m b ON a.source < b.source
+         |ORDER BY source_a, source_b""".stripMargin
+    },
+    // q167: the q63 gate, the q64 gate and the q58/q165 score chain
+    // composed per doc, rolled into the ≤8-cell Venn with shares
+    "q167_filter_agreement" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |    string_split(text, chr(10)) AS lines,
+         |    string_split_regex(trim(text), '\\s+') AS toks,
+         |    ' ' || lower(text) || ' ' AS p
+         |  FROM documents),
+         |g AS (SELECT
+         |    (len(list_filter(lines, ln ->
+         |        regexp_matches(trim(ln), '[.!?"]$$') AND
+         |        len(string_split_regex(trim(ln), '\\s+')) >= 5 AND
+         |        NOT contains(lower(ln), 'javascript'))) >= 3
+         |      AND NOT contains(lower(text), 'lorem ipsum')
+         |      AND NOT contains(text, '{')) AS keep_c4,
+         |    (len(toks) BETWEEN 50 AND 100000 AND
+         |     round(CAST(list_sum(list_transform(toks,
+         |         w -> length(w))) AS DOUBLE) /
+         |       greatest(len(toks), 1), 4) BETWEEN 3.0 AND 10.0 AND
+         |     round((
+         |       (length(text) - length(replace(text, '#', ''))) +
+         |       (length(text) - length(replace(text, '...', ''))) / 3 +
+         |       (length(text) - length(replace(text, '…', '')))
+         |     ) / CAST(greatest(len(toks), 1) AS DOUBLE), 4) < 0.1 AND
+         |     round(CAST(len(list_filter(lines,
+         |         ln -> regexp_matches(ltrim(ln), '^[-*•]')))
+         |       AS DOUBLE) / greatest(len(lines), 1), 4) < 0.1 AND
+         |     round(CAST(len(list_filter(lines,
+         |         ln -> regexp_matches(rtrim(ln), '(\\.\\.\\.|…)$$')))
+         |       AS DOUBLE) / greatest(len(lines), 1), 4) < 0.3 AND
+         |     round(CAST(len(list_filter(toks,
+         |         w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) /
+         |       greatest(len(toks), 1), 4) > 0.8 AND
+         |     (CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'the') THEN 1 ELSE 0 END +
+         |      CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'be') THEN 1 ELSE 0 END +
+         |      CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'to') THEN 1 ELSE 0 END +
+         |      CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'of') THEN 1 ELSE 0 END +
+         |      CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'and') THEN 1 ELSE 0 END +
+         |      CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'that') THEN 1 ELSE 0 END +
+         |      CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'have') THEN 1 ELSE 0 END +
+         |      CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'with') THEN 1 ELSE 0 END)
+         |       >= 2) AS keep_gopher,
+         |    (round(1.0 / (1.0 + exp(-(-2.0 +
+         |      6.0 * round(CAST(CAST(${stopHitsSql("p")} AS BIGINT)
+         |        AS DOUBLE) / greatest(len(toks), 1), 4) +
+         |      0.3 * round(CAST(length(text) AS DOUBLE) /
+         |        greatest(len(toks), 1), 4) -
+         |      4.0 * round(CAST(len(regexp_extract_all(text,
+         |        '[.,!?;:]')) AS DOUBLE) / greatest(len(toks), 1), 4) +
+         |      0.2 * ln(len(toks) + 1)))), 6) >= 0.5) AS keep_clf
+         |  FROM f),
+         |c AS (SELECT keep_c4, keep_gopher, keep_clf,
+         |    CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM g GROUP BY 1, 2, 3),
+         |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot FROM c)
+         |SELECT keep_c4, keep_gopher, keep_clf, n_docs,
+         |  round(n_docs / t.tot, 6) AS share,
+         |  CAST((CASE WHEN keep_c4 THEN 1 ELSE 0 END +
+         |        CASE WHEN keep_gopher THEN 1 ELSE 0 END +
+         |        CASE WHEN keep_clf THEN 1 ELSE 0 END) AS INTEGER)
+         |    AS n_filters_pass
+         |FROM c, t
+         |ORDER BY keep_c4, keep_gopher, keep_clf""".stripMargin,
+    // q168: q151's exact-integer decile key over q30's md5(text);
+    // first-seen = min(decile) per hash, cumulative via window over
+    // the ≤10-row rollup
+    "q168_dup_growth" ->
+      """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        |k AS (SELECT CAST(least(doc_id * 10 // (SELECT n FROM nn), 9)
+        |      AS INTEGER) AS decile,
+        |    md5(text) AS h
+        |  FROM documents),
+        |d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM k GROUP BY 1),
+        |fs AS (SELECT h, min(decile) AS first_decile FROM k GROUP BY 1),
+        |nw AS (SELECT first_decile AS decile,
+        |    CAST(count(*) AS BIGINT) AS n_new
+        |  FROM fs GROUP BY 1),
+        |j AS (SELECT d.decile, d.n_docs,
+        |    CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new_hashes
+        |  FROM d LEFT JOIN nw USING (decile)),
+        |c AS (SELECT decile, n_docs, n_new_hashes,
+        |    CAST(sum(n_docs) OVER (ORDER BY decile) AS BIGINT)
+        |      AS cum_docs,
+        |    CAST(sum(n_new_hashes) OVER (ORDER BY decile) AS BIGINT)
+        |      AS cum_distinct
+        |  FROM j)
+        |SELECT decile, n_docs, n_new_hashes, cum_docs, cum_distinct,
+        |  round(1.0 - CAST(cum_distinct AS DOUBLE) / cum_docs, 6)
+        |    AS cum_dup_rate
+        |FROM c ORDER BY decile""".stripMargin,
     // q159: the q151 decile key; DISTINCT (decile, tok) once,
     // first-seen = min(decile) per type, cumulative via window over
     // the bounded rollup

@@ -513,7 +513,16 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q164_shard_balance" -> 0,
       // ONE bounded (score-cell × length-bucket) 2-D histogram agg
       // swept on the driver; returned single literal row, 0 exchanges
-      "q165_quality_length_mi" -> 0)
+      "q165_quality_length_mi" -> 0,
+      // ONE source-keyed min agg runs EAGERLY into the bounded
+      // signature table; pairs built on the driver, local sort only
+      "q166_source_minhash" -> 1,
+      // three narrow shared-gate expressions in ONE pass + ONE ≤8-cell
+      // rollup, collected (q68 posture); local table sorts only
+      "q167_filter_agreement" -> 1,
+      // hash-keyed first-seen agg + two bounded ≤10-row re-aggs run
+      // EAGERLY (q151 posture); returned local table sorts only
+      "q168_dup_growth" -> 1)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
