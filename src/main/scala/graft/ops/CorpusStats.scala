@@ -629,6 +629,46 @@ object CorpusStats {
       .select("doc_id", "n_lines", "n_kept", "clean_md5")
   }
 
+  /** q169: per-document boilerplate-line share — the fraction of each
+    * doc's lines that are corpus-common (line appears in more than
+    * `maxDocFreq` distinct docs: navigation, footers, cookie banners).
+    * Where q52 REMOVES the hot lines, this op MEASURES how much of
+    * each document is boilerplate and flags the template-dominated
+    * docs (ratio ≥ `flagAt`) that quality gates should drop whole —
+    * a chrome-heavy page is junk even after its chrome is stripped.
+    *
+    * Scale: lines reduce to 16-byte md5s in the scan; the hot-line
+    * table (df > maxDocFreq) is small by construction — boilerplate
+    * is, definitionally, the tiny set of lines repeated across many
+    * docs — so the mark-join AQE-broadcasts it (q52's anti-join
+    * posture, as a left mark instead). Per-doc rollup is the one
+    * corpus-keyed agg; text itself never shuffles. */
+  def boilerplateShare(docs: DataFrame, maxDocFreq: Long = 50,
+      flagAt: Double = 0.3): DataFrame = {
+    def lines = docs
+      .select(col("doc_id"),
+        explode(split(col("text"), "\n")).as("line"))
+      .select(col("doc_id"), md5(col("line").cast("binary")).as("lh"))
+    val hot = lines
+      .groupBy("lh")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("lh"), lit(1L).as("is_hot"))
+    lines
+      .join(hot, Seq("lh"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(coalesce(col("is_hot"), lit(0L))).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler").cast("double") / col("n_lines"), 6))
+      // flag on the ROUNDED ratio (1e-6 discipline): the keep decision
+      // can't straddle a ulp between engines
+      .withColumn("boiler_heavy", col("boiler_ratio") >= flagAt)
+      .select("doc_id", "n_lines", "n_boiler", "boiler_ratio",
+        "boiler_heavy")
+  }
+
   /** Per-source corpus report — the "corpus card" every curated
     * pretraining dataset ships with: per source, document count, total
     * and mean whitespace tokens, total estimated BPE tokens, and how

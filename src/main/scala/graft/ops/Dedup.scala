@@ -1287,4 +1287,88 @@ object Dedup {
         "cum_distinct", "cum_dup_rate")
       .orderBy("decile")
   }
+
+  /** q170: canonicalization dedup sweep — exact-dup yield at four
+    * nested canonicalization levels (raw text, lowercase, +whitespace
+    * collapse, +punctuation strip). Exact dedup's recall depends
+    * entirely on what "exact" means: crawls carry near-identical
+    * pages differing only in case, spacing or punctuation, and this
+    * curve prices each normalization step in reclaimed duplicates —
+    * the tuning table for q30's key choice, the canonical-form
+    * counterpart of q140's Jaccard-threshold and q160's cosine
+    * sweeps. Levels are nested (each extends the previous), so
+    * distinct counts are non-increasing down the table.
+    *
+    * Scale: every canonical hash is computed in the ONE scan's
+    * codegen span (text never leaves the mapper — only four 16-byte
+    * md5s per doc reach the agg); the four COUNT(DISTINCT)s share a
+    * single Expand agg (4× narrow-row duplication, the q148
+    * posture), so the corpus is read and shuffled once regardless of
+    * how many levels the sweep prices. Returned ≤4-row table is
+    * driver-local (q164 posture: zero exchanges in the final plan).
+    */
+  def canonDedupSweep(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val lowered = lower(col("text"))
+    val ws = trim(regexp_replace(lowered, "\\s+", " "))
+    val alnum = trim(regexp_replace(
+      regexp_replace(lowered, "[^a-z0-9\\s]", ""), "\\s+", " "))
+    val row = docs
+      .select(
+        md5(col("text").cast("binary")).as("h0"),
+        md5(lowered.cast("binary")).as("h1"),
+        md5(ws.cast("binary")).as("h2"),
+        md5(alnum.cast("binary")).as("h3"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("h0")).as("d0"),
+        countDistinct(col("h1")).as("d1"),
+        countDistinct(col("h2")).as("d2"),
+        countDistinct(col("h3")).as("d3"))
+      .head()
+    val n = row.getLong(0)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    Seq("raw", "lower", "lower_ws", "lower_ws_alnum").zipWithIndex
+      .map { case (level, i) =>
+        val d = row.getLong(i + 1)
+        (i, level, n, d, n - d,
+          r6(if (n == 0) 0.0 else (n - d).toDouble / n))
+      }
+      .toDF("level_idx", "level", "n_docs", "n_distinct", "n_dup",
+        "dup_rate")
+      .orderBy("level_idx")
+  }
+
+  /** q172: prefix-duplicate clusters — docs sharing the md5 of their
+    * first `prefixLen` chars while their FULL hashes differ. Crawls
+    * carry the same page truncated at different byte limits, with
+    * different footers, or with trailing comment sections; exact
+    * dedup (q30) sees distinct hashes and keeps every copy, and the
+    * shingle families only catch them above the Jaccard threshold.
+    * A shared long prefix is the cheap, high-precision signal for
+    * exactly this truncation class. Pure-exact-dup clusters
+    * (n_full_distinct = 1) are excluded — q30 already owns those.
+    *
+    * Scale: each doc reduces to two 16-byte md5s + its id in the
+    * scan; ONE groupBy on the prefix hash (count + COUNT(DISTINCT
+    * full) + min-id representative) is the only corpus shuffle, and
+    * text itself never moves. Same plan class as q30 at one extra
+    * hash column. */
+  def prefixDupReport(docs: DataFrame, prefixLen: Int = 64)
+      : DataFrame =
+    docs
+      .select(
+        md5(substring(col("text"), 1, prefixLen).cast("binary"))
+          .as("prefix_hash"),
+        md5(col("text").cast("binary")).as("fh"),
+        col("doc_id"))
+      .groupBy("prefix_hash")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fh")).as("n_full_distinct"),
+        min(col("doc_id")).as("rep_doc_id"))
+      .filter(col("n_docs") > 1 && col("n_full_distinct") > 1)
+      .orderBy(col("n_docs").desc, col("prefix_hash"))
 }

@@ -829,4 +829,49 @@ object Similarity {
           .as("drift_cos"))
       .orderBy("batch")
   }
+
+  /** q173: TwoNN intrinsic-dimension estimate (Facco et al. 2017) over
+    * cosine distance — the MLE d = n / Σ ln(d₂/d₁) from each point's
+    * two nearest neighbors. Embedding spaces with low intrinsic
+    * dimension collapse to a thin manifold: near-dup detection gets
+    * easier but coverage-diversity claims get weaker, and anisotropy
+    * fixes (q158's top-PC removal) become mandatory. This is the
+    * one-number diagnostic behind those calls.
+    *
+    * Scale: the 2-NN derivation IS [[knnGraph]] at k=2 (in-bucket LSH
+    * pairs — the corpus never goes all-pairs; nPlanes is the knob);
+    * points whose nearest neighbor ties them exactly (d₁ = 0 after
+    * the 1e-6 cosine rounding) or that lack two in-bucket neighbors
+    * are excluded, per the paper's discard rule. Each surviving
+    * point's ln μ rounds to 1e-6 and sums as exact integer
+    * micro-units — summation-order-immune (the q77 fixed-point
+    * discipline), so the estimate is engine-exact. Returned single
+    * literal row plans zero exchanges. */
+  def twoNnDimension(embeddings: DataFrame, nPlanes: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    val nVectors = embeddings.count()
+    val two = knnGraph(embeddings, nPlanes, k = 2, dim)
+      .groupBy("src")
+      .agg(
+        max(when(col("rank") === 1, col("cos_sim"))).as("cos1"),
+        max(when(col("rank") === 2, col("cos_sim"))).as("cos2"))
+      .filter(col("cos2").isNotNull && col("cos1") < 1.0)
+    val row = two
+      .select(
+        round(round(log((lit(1.0) - col("cos2")) /
+          (lit(1.0) - col("cos1"))), 6) * 1e6, 0)
+          .cast("long").as("ln_ppm"))
+      .agg(count(lit(1)).as("n_used"),
+        coalesce(sum(col("ln_ppm")), lit(0L)).as("s"))
+      .head()
+    val nUsed = row.getLong(0)
+    val sPpm = row.getLong(1)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    Seq((nVectors, nUsed, r6(sPpm.toDouble / 1e6),
+      if (sPpm > 0) r6(nUsed.toDouble * 1e6 / sPpm) else 0.0))
+      .toDF("n_vectors", "n_used", "sum_ln_mu", "intrinsic_dim")
+  }
 }

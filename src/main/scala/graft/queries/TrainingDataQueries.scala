@@ -190,6 +190,67 @@ object TrainingDataQueries {
   def dupGrowthCurveQ(s: SparkSession, dir: String): DataFrame =
     Dedup.dupGrowthCurve(docs(s, dir))
 
+  /** q169: per-doc boilerplate-line share over q52's injected-footer
+    * corpus (every 5th doc gains the shared footer line — the same
+    * stripe q52 strips, here measured per doc;
+    * [[graft.ops.CorpusStats.boilerplateShare]]). */
+  def boilerplateShareQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val corpus = d.withColumn("text",
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(col("text"),
+          lit("\nfooter: (c) acme corp - all rights reserved")))
+        .otherwise(col("text")))
+    CorpusStats.boilerplateShare(corpus, maxDocFreq = 50)
+      .orderBy("doc_id")
+  }
+
+  /** q170: canonicalization dedup sweep
+    * ([[graft.ops.Dedup.canonDedupSweep]]). */
+  def canonDedupSweepQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.canonDedupSweep(docs(s, dir))
+
+  /** q171: Flesch readability report
+    * ([[graft.ops.TextAnalysis.readability]]). */
+  def readabilityQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(docs(s, dir)).orderBy("doc_id")
+
+  /** q172: prefix-duplicate clusters over an injected truncation
+    * stripe — every 9th doc re-enters at +10^12 truncated to 104
+    * chars, the same-page-different-byte-limit crawl artifact
+    * ([[graft.ops.Dedup.prefixDupReport]]). */
+  def prefixDupQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val inj = d.filter(pmod(col("doc_id"), lit(9)) === 0)
+      .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
+        substring(col("text"), 1, 104).as("text"))
+    Dedup.prefixDupReport(d.union(inj), prefixLen = 64)
+  }
+
+  /** q173: TwoNN intrinsic-dimension estimate
+    * ([[graft.ops.Similarity.twoNnDimension]]). */
+  def twoNnDimensionQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.twoNnDimension(embs(s, dir))
+
+  /** q174: license/copyright marker scan over q52's footer stripe
+    * plus a Creative-Commons stripe (every 7th doc)
+    * ([[graft.ops.TextAnalysis.licenseScan]]). */
+  def licenseScanQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text", "source")
+    val corpus = d
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"),
+            lit("\nfooter: (c) acme corp - all rights reserved")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"),
+            lit("\nlicensed under creative commons attribution")))
+          .otherwise(col("text")))
+    TextAnalysis.licenseScan(corpus)
+  }
+
   def quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")
 
@@ -1653,6 +1714,33 @@ object TrainingDataQueries {
     s"""WITH ${knnCtes(nPlanes, dim)}
        |SELECT src, dst, rank, cos_sim FROM r WHERE rank <= $k
        |ORDER BY src, rank""".stripMargin
+
+  /** q173 oracle: the q59 kNN chain at k=2, the TwoNN discard rule
+    * (d₁ = 0 or missing second neighbor), per-point ln μ rounded to
+    * 1e-6 and summed as exact integer micro-units — mirrors
+    * Similarity.twoNnDimension. */
+  private def twoNnOracle(nPlanes: Int, dim: Int): String =
+    s"""WITH ${knnCtes(nPlanes, dim)},
+       |two AS (SELECT src,
+       |    max(CASE WHEN rank = 1 THEN cos_sim END) AS cos1,
+       |    max(CASE WHEN rank = 2 THEN cos_sim END) AS cos2
+       |  FROM r WHERE rank <= 2 GROUP BY src),
+       |u AS (SELECT src,
+       |    CAST(round(round(ln((1.0 - cos2) / (1.0 - cos1)), 6)
+       |      * 1000000, 0) AS BIGINT) AS ln_ppm
+       |  FROM two
+       |  WHERE cos2 IS NOT NULL AND cos1 < 1.0),
+       |a AS (SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+       |      AS n_vectors,
+       |    CAST(count(*) AS BIGINT) AS n_used,
+       |    CAST(coalesce(sum(ln_ppm), 0) AS BIGINT) AS s FROM u)
+       |SELECT n_vectors, n_used,
+       |  round(CAST(s AS DOUBLE) / 1000000.0, 6) AS sum_ln_mu,
+       |  CASE WHEN s > 0
+       |    THEN round(CAST(n_used AS DOUBLE) * 1000000.0 / s, 6)
+       |    ELSE 0.0 END AS intrinsic_dim
+       |FROM a""".stripMargin
 
   /** q77 oracle: the q59 kNN edge chain, then fixed-point PageRank
     * unrolled (3 rounds, damping 85/100) — all rank mass in integer
@@ -3659,6 +3747,140 @@ object TrainingDataQueries {
         |  round(1.0 - CAST(cum_distinct AS DOUBLE) / cum_docs, 6)
         |    AS cum_dup_rate
         |FROM c ORDER BY decile""".stripMargin,
+    // q169: q52's injected-footer corpus and hot-line derivation, but
+    // MEASURED per doc instead of stripped; flag on the ROUNDED ratio
+    "q169_boilerplate_share" ->
+      """WITH c AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || chr(10) ||
+        |      'footer: (c) acme corp - all rights reserved'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, md5(ln[i]) AS lh
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ln
+        |      FROM c),
+        |    UNNEST(generate_series(1, len(ln))) AS t(i)),
+        |hot AS (SELECT lh FROM l GROUP BY 1
+        |  HAVING count(DISTINCT doc_id) > 50),
+        |g AS (SELECT doc_id, count(*) AS n_lines,
+        |    CAST(sum(CASE WHEN lh IN (SELECT lh FROM hot)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        |  FROM l GROUP BY 1),
+        |r AS (SELECT doc_id, n_lines, n_boiler,
+        |    round(CAST(n_boiler AS DOUBLE) / n_lines, 6) AS boiler_ratio
+        |  FROM g)
+        |SELECT doc_id, n_lines, n_boiler, boiler_ratio,
+        |  boiler_ratio >= 0.3 AS boiler_heavy
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // q170: the four nested canonical md5s in one scan, four
+    // COUNT(DISTINCT)s in one agg, unpivoted over a 4-row VALUES table
+    "q170_canon_dedup_sweep" ->
+      """WITH h AS (SELECT md5(text) AS h0,
+        |    md5(lower(text)) AS h1,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |      AS h2,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS h3
+        |  FROM documents),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT h0) AS BIGINT) AS d0,
+        |    CAST(count(DISTINCT h1) AS BIGINT) AS d1,
+        |    CAST(count(DISTINCT h2) AS BIGINT) AS d2,
+        |    CAST(count(DISTINCT h3) AS BIGINT) AS d3
+        |  FROM h),
+        |lv AS (SELECT * FROM (VALUES (0, 'raw'), (1, 'lower'),
+        |    (2, 'lower_ws'), (3, 'lower_ws_alnum'))
+        |    AS v(level_idx, level)),
+        |u AS (SELECT level_idx, level, n,
+        |    CASE level_idx WHEN 0 THEN d0 WHEN 1 THEN d1
+        |      WHEN 2 THEN d2 ELSE d3 END AS d
+        |  FROM lv, a)
+        |SELECT level_idx, level, n AS n_docs, d AS n_distinct,
+        |  n - d AS n_dup,
+        |  round(CAST(n - d AS DOUBLE) / n, 6) AS dup_rate
+        |FROM u ORDER BY level_idx""".stripMargin,
+    // q171: words/sentence-groups/vowel-group syllables as row-local
+    // list folds; band thresholds compare the ROUNDED score
+    // q172: the +10^12 truncation stripe (q157's injection convention);
+    // both hashes from one scan, one prefix-keyed agg, pure-exact-dup
+    // clusters excluded
+    "q172_prefix_dups" ->
+      """WITH inj AS (SELECT doc_id + 1000000000000 AS doc_id,
+        |    substr(text, 1, 104) AS text
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM inj),
+        |k AS (SELECT md5(substr(text, 1, 64)) AS prefix_hash,
+        |    md5(text) AS fh, doc_id FROM d),
+        |g AS (SELECT prefix_hash, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT fh) AS BIGINT) AS n_full_distinct,
+        |    min(doc_id) AS rep_doc_id
+        |  FROM k GROUP BY 1)
+        |SELECT prefix_hash, n_docs, n_full_distinct, rep_doc_id
+        |FROM g WHERE n_docs > 1 AND n_full_distinct > 1
+        |ORDER BY n_docs DESC, prefix_hash""".stripMargin,
+    // q173: q59's kNN CTEs at k=2; per-point ln(d2/d1) rounds to 1e-6
+    // and sums as exact integer micro-units (q77's fixed-point
+    // discipline) before the single MLE division
+    "q173_twonn_dim" -> twoNnOracle(nPlanes = 4, dim = 64),
+    // q174: q52's footer stripe + the %7 CC stripe; three substring
+    // gates per row, ONE bounded source rollup
+    "q174_license_scan" ->
+      """WITH c AS (SELECT source,
+        |    lower(CASE WHEN doc_id % 5 = 0 THEN text || chr(10) ||
+        |        'footer: (c) acme corp - all rights reserved'
+        |      ELSE text END ||
+        |      CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+        |        'licensed under creative commons attribution'
+        |      ELSE '' END) AS p
+        |  FROM documents),
+        |m AS (SELECT source,
+        |    CASE WHEN position('all rights reserved' IN p) > 0
+        |      THEN 1 ELSE 0 END AS ar,
+        |    CASE WHEN position('(c) ' IN p) > 0
+        |        OR position('copyright' IN p) > 0
+        |      THEN 1 ELSE 0 END AS cm,
+        |    CASE WHEN position('creative commons' IN p) > 0
+        |      THEN 1 ELSE 0 END AS cc
+        |  FROM c),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(ar) AS BIGINT) AS n_all_rights,
+        |    CAST(sum(cm) AS BIGINT) AS n_copyright,
+        |    CAST(sum(cc) AS BIGINT) AS n_creative_commons,
+        |    CAST(sum(CASE WHEN ar + cm + cc > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_any_marker
+        |  FROM m GROUP BY source)
+        |SELECT source, n_docs, n_all_rights, n_copyright,
+        |  n_creative_commons, n_any_marker,
+        |  round(CAST(n_any_marker AS DOUBLE) / n_docs, 6)
+        |    AS marker_share
+        |FROM g ORDER BY source""".stripMargin,
+    "q171_readability" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS ws, text
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    greatest(CAST(len(ws) AS BIGINT), 1) AS n_words,
+        |    greatest(CAST(len(string_split_regex(text, '[.!?]+')) - 1
+        |      AS BIGINT), 1) AS n_sentences,
+        |    CAST(list_sum(list_transform(ws, x ->
+        |      greatest(len(string_split_regex(lower(x),
+        |        '[aeiouy]+')) - 1, 1))) AS BIGINT) AS n_syllables
+        |  FROM w),
+        |r AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+        |    round(206.835
+        |      - 1.015 * CAST(n_words AS DOUBLE) / n_sentences
+        |      - 84.6 * CAST(n_syllables AS DOUBLE) / n_words, 6)
+        |      AS fre,
+        |    round(0.39 * CAST(n_words AS DOUBLE) / n_sentences
+        |      + 11.8 * CAST(n_syllables AS DOUBLE) / n_words
+        |      - 15.59, 6) AS fk_grade
+        |  FROM s)
+        |SELECT doc_id, n_words, n_sentences, n_syllables, fre,
+        |  fk_grade,
+        |  CASE WHEN fre >= 60.0 THEN 'easy'
+        |       WHEN fre >= 30.0 THEN 'medium'
+        |       ELSE 'hard' END AS band
+        |FROM r ORDER BY doc_id""".stripMargin,
     // q159: the q151 decile key; DISTINCT (decile, tok) once,
     // first-seen = min(decile) per type, cumulative via window over
     // the bounded rollup

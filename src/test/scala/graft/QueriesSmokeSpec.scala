@@ -522,7 +522,24 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q167_filter_agreement" -> 1,
       // hash-keyed first-seen agg + two bounded ≤10-row re-aggs run
       // EAGERLY (q151 posture); returned local table sorts only
-      "q168_dup_growth" -> 1)
+      "q168_dup_growth" -> 1,
+      // hot-line countDistinct (2-phase) + AQE-broadcast mark join +
+      // ONE doc-keyed rollup + output sort; text never shuffles
+      "q169_boilerplate_share" -> 5,
+      // four canonical md5s in ONE scan share a single Expand agg, run
+      // EAGERLY; returned ≤4-row local table sorts only
+      "q170_canon_dedup_sweep" -> 1,
+      // pure narrow row-local regexp/array folds; output sort only
+      "q171_readability" -> 1,
+      // two md5s per doc in the scan + ONE prefix-keyed countDistinct
+      // (2-phase) agg + output sort; text never shuffles
+      "q172_prefix_dups" -> 3,
+      // the k=2 kNN derivation and the micro-unit MLE agg run EAGERLY
+      // (q68 posture); returned single literal row plans NO exchange
+      "q173_twonn_dim" -> 0,
+      // three substring gates in ONE narrow pass + bounded source
+      // rollup + output sort
+      "q174_license_scan" -> 2)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
