@@ -629,6 +629,31 @@ object CorpusStats {
       .select("doc_id", "n_lines", "n_kept", "clean_md5")
   }
 
+  /** q176: intra-document consecutive-duplicate-line collapse — the
+    * cleaning transform for stutter artifacts: scraped terminal logs,
+    * progress bars, retry loops and copy-paste accidents repeat the
+    * SAME line back to back, and n-gram repetition metrics (q24)
+    * punish the whole doc for what one `uniq` pass fixes. Collapses
+    * each RUN of identical adjacent lines to its first occurrence —
+    * the document counterpart of q121's conversation loop collapse,
+    * and deliberately run-local: cross-document boilerplate is q52's
+    * job, non-adjacent repetition is q24's signal.
+    *
+    * Scale: the entire collapse is one `filter` array HOF inside the
+    * per-doc array — zero explode, zero shuffle; the only exchange is
+    * the output sort. The cleaned text leaves the operator as an md5
+    * (16 bytes), never as text. */
+  def lineRunCollapse(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), "\n").as("ls"))
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        expr("filter(ls, (s, i) -> i = 0 OR s != ls[i-1])").as("kept"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(concat_ws("\n", col("kept")).cast("binary"))
+          .as("clean_md5"))
+
   /** q169: per-document boilerplate-line share — the fraction of each
     * doc's lines that are corpus-common (line appears in more than
     * `maxDocFreq` distinct docs: navigation, footers, cookie banners).

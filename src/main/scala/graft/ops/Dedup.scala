@@ -1356,6 +1356,42 @@ object Dedup {
     * full) + min-id representative) is the only corpus shuffle, and
     * text itself never moves. Same plan class as q30 at one extra
     * hash column. */
+  /** q177: near-dup cluster-SIZE histogram — the distribution view of
+    * q36's components: how many clusters of size 2, 3, …, plus the
+    * singleton mass (docs in no near-dup pair at all). Dedup capacity
+    * planning reads this, not the raw pair list: a corpus whose dup
+    * mass sits in two mega-clusters needs rep-selection (q47) and
+    * hot-key handling; ten thousand pairs need nothing special. The
+    * doc_share column prices what each size class would reclaim.
+    *
+    * Scale: re-derives q31's pairs + q36's components (their
+    * documented floors), then the histogram is two bounded re-aggs —
+    * distinct cluster sizes are O(√edges), so the collect is bounded
+    * (the q68 posture); the singleton row is arithmetic on two
+    * scalars. Returned ≤sizes-row local table sorts only. */
+  def clusterSizeHistogram(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val total = docs.count()
+    val comps = connectedComponents(
+      ngramJaccardPairs(docs, k = 3, minJaccard = 0.1)
+        .select("doc_a", "doc_b"))
+    val hist = comps.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val inComps = hist.map { case (s, n) => s * n }.sum
+    val rows = (hist.toSeq :+ (1L -> (total - inComps))).sortBy(_._1)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    rows.map { case (s, n) =>
+      (s, n, s * n, r6((s * n).toDouble / total))
+    }.toDF("csize", "n_clusters", "n_docs", "doc_share")
+      .orderBy("csize")
+  }
+
   def prefixDupReport(docs: DataFrame, prefixLen: Int = 64)
       : DataFrame =
     docs

@@ -1052,6 +1052,58 @@ object SftPrep {
     * Scale: ONE conv-keyed agg (struct-min first-user turn + max
     * refusal flag, both semilattice, map-side combined) feeding a
     * bounded per-intent rollup. No window, no join. */
+  /** The correction-marker gate for q175 — user turns that OPEN with a
+    * complaint/retry marker. Single definition, same contract
+    * discipline as [[isRefusalExpr]]; `startsWith` (not contains)
+    * because a correction is an opening speech act, and substring
+    * matches would fire on every turn that merely mentions an error. */
+  def isCorrectionExpr(text: Column): Column = {
+    val markers = Seq(
+      "error", "retry", "wrong", "incorrect", "try again", "actually",
+      "no, ")
+    val p = lower(text)
+    markers.map(m => p.startsWith(lit(m))).reduce(_ || _)
+  }
+
+  /** q175: correction rate by opening intent — the user-dissatisfaction
+    * complement of q154: per intent, how many conversations contain a
+    * USER turn that immediately follows an assistant turn and opens
+    * with a correction marker ("error …", "wrong …", "try again …")?
+    * Refusals (q154) measure what the ASSISTANT declined; corrections
+    * measure what the USER rejected — the free preference signal
+    * RLHF-style pipelines mine before paying for human labels, and
+    * the conversation slice SFT curation down-weights (the assistant
+    * turn BEFORE a correction is a known-bad completion).
+    *
+    * Scale: the follows-assistant condition is one lag over the
+    * conv_id window (billions of SMALL partitions, the q102/q148
+    * posture), then ONE conv-keyed semilattice agg feeding a bounded
+    * per-intent rollup — no join, text never shuffles beyond the
+    * conv-keyed exchange. */
+  def correctionByIntent(
+      t: DataFrame,
+      rules: Seq[(String, String)] = DefaultIntentRules): DataFrame = {
+    val marked = t
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"))
+      .withColumn("prev_role", lag(col("role"), 1).over(convWindow))
+    val conv = marked.groupBy(col("conv_id")).agg(
+      min(when(col("role") === "user",
+        struct(col("turn_idx"), col("text")))).as("fu"),
+      max(when(col("role") === "user" &&
+        col("prev_role") === "assistant" &&
+        isCorrectionExpr(col("text")), 1L).otherwise(0L))
+        .as("corrected"))
+    conv.select(intentOf(col("fu"), rules).as("intent"),
+        col("corrected"))
+      .groupBy(col("intent"))
+      .agg(
+        count(lit(1)).as("n_convs"),
+        sum(col("corrected")).as("n_correcting"),
+        round(sum(col("corrected")).cast("double") / count(lit(1)), 6)
+          .as("correction_conv_rate"))
+      .orderBy(col("intent"))
+  }
+
   def refusalByIntent(
       t: DataFrame,
       rules: Seq[(String, String)] = DefaultIntentRules): DataFrame = {

@@ -457,6 +457,11 @@ object PipelineQueries {
   def refusalByIntent(s: SparkSession, dir: String): DataFrame =
     graft.ops.SftPrep.refusalByIntent(transcripts(s, dir))
 
+  /** q175: correction rate by opening intent
+    * ([[graft.ops.SftPrep.correctionByIntent]]). */
+  def correctionByIntent(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.correctionByIntent(transcripts(s, dir))
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -1643,5 +1648,43 @@ object Oracles {
          |  CAST(sum(refused) AS BIGINT) AS n_refusing,
          |  round(CAST(sum(refused) AS DOUBLE) / count(*), 6)
          |    AS refusal_conv_rate
+         |FROM i GROUP BY intent ORDER BY intent""".stripMargin,
+    // q175: q154's conv skeleton + the follows-assistant lag; the
+    // correction gate is startsWith (opening speech act), mirrored
+    // marker for marker
+    "q175_correction_by_intent" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id,
+         |    CAST(row_number() OVER (PARTITION BY conv_id
+         |      ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         |    role, text FROM t),
+         |m AS (SELECT *, lag(role) OVER (PARTITION BY conv_id
+         |    ORDER BY turn_idx) AS prev_role FROM o),
+         |c AS (SELECT conv_id,
+         |    arg_min(text, turn_idx) FILTER (WHERE role = 'user')
+         |      AS fu,
+         |    max(CASE WHEN role = 'user' AND prev_role = 'assistant'
+         |      AND (starts_with(lower(text), 'error')
+         |        OR starts_with(lower(text), 'retry')
+         |        OR starts_with(lower(text), 'wrong')
+         |        OR starts_with(lower(text), 'incorrect')
+         |        OR starts_with(lower(text), 'try again')
+         |        OR starts_with(lower(text), 'actually')
+         |        OR starts_with(lower(text), 'no, '))
+         |      THEN 1 ELSE 0 END) AS corrected
+         |  FROM m GROUP BY conv_id),
+         |i AS (SELECT CASE
+         |    WHEN fu IS NULL THEN 'no_user'
+         |    WHEN starts_with(fu, 'error') THEN 'troubleshooting'
+         |    WHEN starts_with(fu, 'purchase')
+         |      OR starts_with(fu, 'signup') THEN 'transactional'
+         |    WHEN starts_with(fu, 'click')
+         |      OR starts_with(fu, 'view') THEN 'navigational'
+         |    ELSE 'other' END AS intent,
+         |    corrected FROM c)
+         |SELECT intent, count(*) AS n_convs,
+         |  CAST(sum(corrected) AS BIGINT) AS n_correcting,
+         |  round(CAST(sum(corrected) AS DOUBLE) / count(*), 6)
+         |    AS correction_conv_rate
          |FROM i GROUP BY intent ORDER BY intent""".stripMargin)
 }

@@ -232,6 +232,25 @@ object TrainingDataQueries {
   def twoNnDimensionQ(s: SparkSession, dir: String): DataFrame =
     Similarity.twoNnDimension(embs(s, dir))
 
+  /** q176: consecutive-duplicate-line collapse over an injected
+    * stutter stripe — every 4th doc gains a line repeated 3× back to
+    * back, the scraped-progress-bar artifact
+    * ([[graft.ops.CorpusStats.lineRunCollapse]]). */
+  def lineRunCollapseQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val corpus = d.withColumn("text",
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(col("text"),
+          lit("\nprogress: 42%\nprogress: 42%\nprogress: 42%")))
+        .otherwise(col("text")))
+    CorpusStats.lineRunCollapse(corpus).orderBy("doc_id")
+  }
+
+  /** q177: near-dup cluster-size histogram over q36's components
+    * ([[graft.ops.Dedup.clusterSizeHistogram]]). */
+  def clusterSizeHistQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterSizeHistogram(docs(s, dir))
+
   /** q174: license/copyright marker scan over q52's footer stripe
     * plus a Creative-Commons stripe (every 7th doc)
     * ([[graft.ops.TextAnalysis.licenseScan]]). */
@@ -3800,6 +3819,53 @@ object TrainingDataQueries {
         |FROM u ORDER BY level_idx""".stripMargin,
     // q171: words/sentence-groups/vowel-group syllables as row-local
     // list folds; band thresholds compare the ROUNDED score
+    // q176: the %4 stutter stripe; the run collapse is the q52 line
+    // derivation + a per-doc lag filter, cleaned text leaves as md5
+    "q176_line_run_collapse" ->
+      """WITH c AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text || chr(10) ||
+        |      'progress: 42%' || chr(10) || 'progress: 42%' ||
+        |      chr(10) || 'progress: 42%'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, len(ln) AS n_lines, i AS idx, ln[i] AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ln
+        |      FROM c),
+        |    UNNEST(generate_series(1, len(ln))) AS t(i)),
+        |k AS (SELECT doc_id, n_lines, idx, line,
+        |    lag(line) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
+        |  FROM l),
+        |f AS (SELECT * FROM k WHERE prev IS NULL OR line <> prev)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  md5(string_agg(line, chr(10) ORDER BY idx)) AS clean_md5
+        |FROM f GROUP BY doc_id, n_lines ORDER BY doc_id""".stripMargin,
+    // q177: q36's recursive-CTE components → size histogram + the
+    // singleton mass row (total − docs-in-components)
+    "q177_cluster_size_hist" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT doc_a, doc_b FROM ($ngramJaccardOracle) t),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(node, lab) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, r.lab FROM edges e JOIN reach r ON e.d = r.node),
+         |cc AS (SELECT node, min(lab) AS cid FROM reach GROUP BY node),
+         |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS csize
+         |  FROM cc GROUP BY cid),
+         |h AS (SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters
+         |  FROM sz GROUP BY csize),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |ins AS (SELECT CAST(coalesce(sum(csize * n_clusters), 0)
+         |    AS BIGINT) AS m FROM h),
+         |u AS (SELECT csize, n_clusters FROM h
+         |  UNION ALL SELECT CAST(1 AS BIGINT),
+         |    (SELECT n FROM tot) - (SELECT m FROM ins))
+         |SELECT csize, n_clusters, csize * n_clusters AS n_docs,
+         |  round(CAST(csize * n_clusters AS DOUBLE) /
+         |    (SELECT n FROM tot), 6) AS doc_share
+         |FROM u ORDER BY csize""".stripMargin,
     // q172: the +10^12 truncation stripe (q157's injection convention);
     // both hashes from one scan, one prefix-keyed agg, pure-exact-dup
     // clusters excluded

@@ -539,7 +539,17 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q173_twonn_dim" -> 0,
       // three substring gates in ONE narrow pass + bounded source
       // rollup + output sort
-      "q174_license_scan" -> 2)
+      "q174_license_scan" -> 2,
+      // parse derivation + conv-keyed lag window + conv semilattice
+      // agg + bounded intent rollup + output sort (q154's shape + the
+      // one lag exchange)
+      "q175_correction_by_intent" -> 5,
+      // the collapse is a per-doc array HOF — zero explode, zero
+      // shuffle; only exchange is the output sort
+      "q176_line_run_collapse" -> 1,
+      // q31+q36 floors run EAGERLY into the bounded size histogram
+      // (q68 posture); returned local table sorts only
+      "q177_cluster_size_hist" -> 1)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
