@@ -629,6 +629,42 @@ object CorpusStats {
       .select("doc_id", "n_lines", "n_kept", "clean_md5")
   }
 
+  /** q179: document template-skeleton mining — q115's prompt-template
+    * normalizer (digits → #, whitespace collapsed, lowercased) run
+    * over the DOCUMENT corpus: machine-generated pages (build logs,
+    * listings, status dashboards) collapse to one skeleton, and the
+    * per-skeleton source spread says whether a template is one site's
+    * chrome or an ecosystem-wide generator. Curation drops or caps
+    * the winners — templated mass teaches a model formatting, not
+    * language.
+    *
+    * Scale: the skeleton reduces to its md5 in the scan (text never
+    * shuffles); ONE skeleton-keyed agg, TakeOrdered-style top-N via
+    * the bounded winner table, then the winners broadcast back for
+    * one representative-template pass (q115's exact posture, plus
+    * the source COUNT(DISTINCT)). */
+  def docTemplates(docs: DataFrame, minUses: Long = 3,
+      topN: Int = 20): DataFrame = {
+    val skel = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[0-9]+", "#"),
+      "[ \\t\\n\\r]+", " "))
+    val u = docs
+      .select(col("source"), skel.as("template"))
+      .withColumn("template_md5", md5(col("template").cast("binary")))
+    val winners = u.groupBy(col("template_md5"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_docs") >= minUses)
+      .orderBy(col("n_docs").desc, col("template_md5"))
+      .limit(topN)
+    u.join(broadcast(winners), "template_md5")
+      .groupBy(col("template_md5"), col("n_docs"), col("n_sources"))
+      .agg(min(col("template")).as("template"))
+      .select(col("template_md5"), col("template"), col("n_docs"),
+        col("n_sources"))
+      .orderBy(col("n_docs").desc, col("template_md5"))
+  }
+
   /** q176: intra-document consecutive-duplicate-line collapse — the
     * cleaning transform for stutter artifacts: scraped terminal logs,
     * progress bars, retry loops and copy-paste accidents repeat the

@@ -1104,6 +1104,48 @@ object SftPrep {
       .orderBy(col("intent"))
   }
 
+  /** q178: assistant response-latency percentiles by opening intent —
+    * q81's user→assistant gap distribution, attributed: a p99 spike
+    * confined to one intent is a routing/tool problem on that path
+    * (the latency twin of q154's refusal attribution), spread evenly
+    * it's capacity. Exact `percentile` is the pinned engine-parity
+    * contract (the q13/q81 discipline), with approx_percentile as the
+    * documented 100-TB swap.
+    *
+    * Scale: gap extraction and the conversation's first-user turn are
+    * BOTH window functions over the same conv_id window spec (one
+    * exchange, billions of small partitions); the percentile agg keys
+    * on the bounded intent set. No join anywhere. */
+  def latencyByIntent(
+      t: DataFrame,
+      rules: Seq[(String, String)] = DefaultIntentRules): DataFrame = {
+    val w = convWindow
+    val whole = Window.partitionBy(col("conv_id"))
+    val gaps = t
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        col("text"), col("ts_ms"))
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(w))
+      .withColumn("fu", min(when(col("role") === "user",
+        struct(col("turn_idx"), col("text")))).over(whole))
+      .filter(col("role") === "assistant" &&
+        col("prev_role") === "user")
+      .select(intentOf(col("fu"), rules).as("intent"),
+        (col("ts_ms") - col("prev_ts")).as("gap_ms"))
+    gaps.groupBy(col("intent"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        expr("percentile(CAST(gap_ms AS DOUBLE), " +
+          "array(0.5D, 0.9D, 0.99D))").as("p"),
+        round(avg(col("gap_ms")), 4).as("mean_ms"))
+      .select(col("intent"), col("n_gaps"),
+        round(element_at(col("p"), 1), 4).as("p50_ms"),
+        round(element_at(col("p"), 2), 4).as("p90_ms"),
+        round(element_at(col("p"), 3), 4).as("p99_ms"),
+        col("mean_ms"))
+      .orderBy(col("intent"))
+  }
+
   def refusalByIntent(
       t: DataFrame,
       rules: Seq[(String, String)] = DefaultIntentRules): DataFrame = {

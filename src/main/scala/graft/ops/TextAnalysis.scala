@@ -939,6 +939,63 @@ object TextAnalysis {
           .otherwise("hard"))
   }
 
+  /** The function-word vocabulary for q180's stylometry profile — a
+    * fixed 16-word list (content-free English function words), wider
+    * than [[stopwordHits]]'s 6-word density gate because a similarity
+    * PROFILE needs enough dimensions to separate registers. Single
+    * definition shared with the oracle. */
+  val FunctionWords: Seq[String] = Seq(
+    "the", "a", "and", "of", "to", "is", "in", "that", "it", "for",
+    "was", "on", "with", "as", "be", "at")
+
+  /** q180: source stylometry similarity matrix — pairwise cosine
+    * between per-source FUNCTION-WORD frequency vectors. Function-word
+    * profiles are the classic authorship/register fingerprint
+    * (content-independent, hard to fake): two "different" sources
+    * with near-1.0 profiles are likely the same generator or mirror
+    * (the stylometric complement of q166's content MinHash matrix),
+    * and a source whose profile sits far from every other is a
+    * register outlier worth a manual look before mixing.
+    *
+    * Scale: each doc contributes 16 integer occurrence counts
+    * computed row-locally (the [[stopwordHits]] replace-length trick,
+    * codegen'd — no tokenize, no explode); ONE bounded source-keyed
+    * agg reduces them, and the ≤|sources|² cosine matrix is driver
+    * arithmetic over exact integer vectors (engine-exact: integer
+    * dot/norms, one IEEE division). */
+  def stopwordProfileSim(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val counts = FunctionWords.map { w =>
+      val pw = s" $w "
+      sum(((length(padded) -
+        length(replace(padded, lit(pw), lit("")))) /
+        pw.length).cast("long")).as(s"c_$w")
+    }
+    val prof = docs.groupBy(col("source")).agg(counts.head,
+        counts.tail: _*)
+      .collect()
+      .map(r => r.getString(0) ->
+        FunctionWords.indices.map(i => r.getLong(i + 1)))
+      .sortBy(_._1)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    (for {
+      i <- prof.indices; j <- (i + 1) until prof.length
+    } yield {
+      val (sa, va) = prof(i)
+      val (sb, vb) = prof(j)
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(va.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(vb.map(x => x * x).sum.toDouble)
+      (sa, sb,
+        if (na == 0.0 || nb == 0.0) 0.0
+        else r6(dot.toDouble / (na * nb)))
+    }).toDF("source_a", "source_b", "profile_cos")
+      .orderBy("source_a", "source_b")
+  }
+
   /** q174: license / copyright marker scan per source — incidence of
     * rights-reserved, (c)-mark and Creative-Commons markers, the
     * governance screen run before a crawl source is cleared for

@@ -462,6 +462,11 @@ object PipelineQueries {
   def correctionByIntent(s: SparkSession, dir: String): DataFrame =
     graft.ops.SftPrep.correctionByIntent(transcripts(s, dir))
 
+  /** q178: assistant response-latency percentiles by opening intent
+    * ([[graft.ops.SftPrep.latencyByIntent]]). */
+  def latencyByIntent(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.latencyByIntent(transcripts(s, dir))
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -1686,5 +1691,41 @@ object Oracles {
          |  CAST(sum(corrected) AS BIGINT) AS n_correcting,
          |  round(CAST(sum(corrected) AS DOUBLE) / count(*), 6)
          |    AS correction_conv_rate
+         |FROM i GROUP BY intent ORDER BY intent""".stripMargin,
+    // q178: q81's gap derivation + q154's arg_min intent key, joined
+    // on conv_id; quantile_cont is the established exact-percentile
+    // parity (q13/q81)
+    "q178_latency_by_intent" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id, role, text, epoch_ms(ts) AS ts_ms,
+         |    CAST(row_number() OVER w - 1 AS INTEGER) AS turn_idx,
+         |    lag(role) OVER w AS prev_role,
+         |    lag(epoch_ms(ts)) OVER w AS prev_ts
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)),
+         |f AS (SELECT conv_id,
+         |    arg_min(text, turn_idx) FILTER (WHERE role = 'user')
+         |      AS fu
+         |  FROM o GROUP BY conv_id),
+         |g AS (SELECT ts_ms - prev_ts AS gap_ms, fu
+         |  FROM o JOIN f USING (conv_id)
+         |  WHERE role = 'assistant' AND prev_role = 'user'),
+         |i AS (SELECT CASE
+         |    WHEN fu IS NULL THEN 'no_user'
+         |    WHEN starts_with(fu, 'error') THEN 'troubleshooting'
+         |    WHEN starts_with(fu, 'purchase')
+         |      OR starts_with(fu, 'signup') THEN 'transactional'
+         |    WHEN starts_with(fu, 'click')
+         |      OR starts_with(fu, 'view') THEN 'navigational'
+         |    ELSE 'other' END AS intent,
+         |    gap_ms FROM g)
+         |SELECT intent, CAST(count(*) AS BIGINT) AS n_gaps,
+         |  round(quantile_cont(CAST(gap_ms AS DOUBLE), 0.5), 4)
+         |    AS p50_ms,
+         |  round(quantile_cont(CAST(gap_ms AS DOUBLE), 0.9), 4)
+         |    AS p90_ms,
+         |  round(quantile_cont(CAST(gap_ms AS DOUBLE), 0.99), 4)
+         |    AS p99_ms,
+         |  round(avg(gap_ms), 4) AS mean_ms
          |FROM i GROUP BY intent ORDER BY intent""".stripMargin)
 }

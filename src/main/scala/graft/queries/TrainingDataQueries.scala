@@ -232,6 +232,27 @@ object TrainingDataQueries {
   def twoNnDimensionQ(s: SparkSession, dir: String): DataFrame =
     Similarity.twoNnDimension(embs(s, dir))
 
+  /** q179: document template-skeleton mining over an injected
+    * generator stripe — every 6th doc is REPLACED by a build-log line
+    * whose digits vary per doc (one skeleton after normalization;
+    * [[graft.ops.CorpusStats.docTemplates]]). */
+  def docTemplatesQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text", "source")
+    val corpus = d.withColumn("text",
+      when(pmod(col("doc_id"), lit(6)) === 0,
+        concat(lit("build "), col("doc_id").cast("string"),
+          lit(" completed in "),
+          pmod(col("doc_id"), lit(97)).cast("string"),
+          lit(" seconds")))
+        .otherwise(col("text")))
+    CorpusStats.docTemplates(corpus, minUses = 3, topN = 20)
+  }
+
+  /** q180: source stylometry similarity matrix
+    * ([[graft.ops.TextAnalysis.stopwordProfileSim]]). */
+  def stopwordProfileSimQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stopwordProfileSim(docs(s, dir))
+
   /** q176: consecutive-duplicate-line collapse over an injected
     * stutter stripe — every 4th doc gains a line repeated 3× back to
     * back, the scraped-progress-bar artifact
@@ -1733,6 +1754,39 @@ object TrainingDataQueries {
     s"""WITH ${knnCtes(nPlanes, dim)}
        |SELECT src, dst, rank, cos_sim FROM r WHERE rank <= $k
        |ORDER BY src, rank""".stripMargin
+
+  /** q180 oracle: per-source function-word counts via the replace-
+    * length trick (exact integers), pairwise cosine with the same
+    * na·nb association as the driver arithmetic — mirrors
+    * TextAnalysis.stopwordProfileSim, generated from the SAME
+    * FunctionWords list. */
+  private lazy val stopwordProfileOracle: String = {
+    val ws = graft.ops.TextAnalysis.FunctionWords
+    val cols = ws.zipWithIndex.map { case (w, i) =>
+      val pw = s" $w "
+      s"CAST(sum(CAST((length(p) - length(replace(p, '$pw', ''))) " +
+        s"/ ${pw.length} AS BIGINT)) AS BIGINT) AS c$i"
+    }.mkString(",\n    ")
+    val dot = ws.indices.map(i => s"a.c$i * b.c$i").mkString(" + ")
+    val na = ws.indices.map(i => s"a.c$i * a.c$i").mkString(" + ")
+    val nb = ws.indices.map(i => s"b.c$i * b.c$i").mkString(" + ")
+    s"""WITH p0 AS (SELECT source, ' ' || lower(text) || ' ' AS p
+       |  FROM documents),
+       |prof AS (SELECT source,
+       |    $cols
+       |  FROM p0 GROUP BY source),
+       |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST($dot AS BIGINT) AS dot,
+       |    CAST($na AS BIGINT) AS na2,
+       |    CAST($nb AS BIGINT) AS nb2
+       |  FROM prof a JOIN prof b ON a.source < b.source)
+       |SELECT source_a, source_b,
+       |  CASE WHEN na2 = 0 OR nb2 = 0 THEN 0.0
+       |    ELSE round(CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))),
+       |      6) END AS profile_cos
+       |FROM pairs ORDER BY source_a, source_b""".stripMargin
+  }
 
   /** q173 oracle: the q59 kNN chain at k=2, the TwoNN discard rule
     * (d₁ = 0 or missing second neighbor), per-point ln μ rounded to
@@ -3819,6 +3873,31 @@ object TrainingDataQueries {
         |FROM u ORDER BY level_idx""".stripMargin,
     // q171: words/sentence-groups/vowel-group syllables as row-local
     // list folds; band thresholds compare the ROUNDED score
+    // q179: q115's skeleton normalizer over the %6 generator stripe;
+    // min(template) folds into the winner agg (the q115 oracle shape)
+    "q179_doc_templates" ->
+      """WITH c AS (SELECT source,
+        |    CASE WHEN doc_id % 6 = 0 THEN 'build ' ||
+        |      CAST(doc_id AS VARCHAR) || ' completed in ' ||
+        |      CAST(doc_id % 97 AS VARCHAR) || ' seconds'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |u AS (SELECT source, trim(regexp_replace(regexp_replace(
+        |    lower(text), '[0-9]+', '#', 'g'), '[ \t\n\r]+', ' ', 'g'))
+        |    AS template
+        |  FROM c),
+        |w AS (SELECT md5(template) AS template_md5,
+        |    count(*) AS n_docs,
+        |    count(DISTINCT source) AS n_sources,
+        |    min(template) AS template
+        |  FROM u GROUP BY 1 HAVING count(*) >= 3
+        |  ORDER BY n_docs DESC, template_md5 LIMIT 20)
+        |SELECT template_md5, template, n_docs, n_sources FROM w
+        |ORDER BY n_docs DESC, template_md5""".stripMargin,
+    // q180: the function-word replace-length counts per source,
+    // pairwise integer cosine — generated from the SAME FunctionWords
+    // list the operator ships
+    "q180_stopword_profile" -> stopwordProfileOracle,
     // q176: the %4 stutter stripe; the run collapse is the q52 line
     // derivation + a per-doc lag filter, cleaned text leaves as md5
     "q176_line_run_collapse" ->

@@ -549,7 +549,17 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q176_line_run_collapse" -> 1,
       // q31+q36 floors run EAGERLY into the bounded size histogram
       // (q68 posture); returned local table sorts only
-      "q177_cluster_size_hist" -> 1)
+      "q177_cluster_size_hist" -> 1,
+      // parse derivation + ONE conv window (lag + whole-partition fu
+      // share the spec) + bounded intent percentile agg + output sort
+      "q178_latency_by_intent" -> 5,
+      // skeleton md5 agg (2-phase countDistinct) + winner broadcast
+      // back + representative agg + output sort; text shuffles never
+      "q179_doc_templates" -> 5,
+      // 16 replace-length counts in ONE bounded source agg, run
+      // EAGERLY; pairwise cosines are driver arithmetic — returned
+      // local table sorts only
+      "q180_stopword_profile" -> 1)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
