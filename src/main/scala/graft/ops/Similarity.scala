@@ -830,6 +830,54 @@ object Similarity {
       .orderBy("batch")
   }
 
+  /** q181: PQ distortion sweep — mean squared reconstruction error at
+    * each sub-space count m (fixed per-space codebook size), the
+    * memory-vs-accuracy tuning table read BEFORE committing to a q75
+    * index layout: distortion falls as m grows (finer sub-spaces),
+    * memory grows as m·log₂(codeK) bits/vector, and the knee of this
+    * curve is the production setting. The same measured-not-assumed
+    * posture as q140/q163's sweeps, for the PQ family.
+    *
+    * Scale: each m trains its sub-space codebooks via the pinned
+    * eager [[lloydFit]] (bounded k×d aggs, centroids become driver
+    * literals), so the per-m distortion pass is ONE narrow scan —
+    * min-over-codewords of codegen'd fold distances, summed across
+    * sub-spaces row-locally. Per-vector distortion rounds to 1e-6
+    * and sums as exact integer micro-units (the q77/q173 fixed-point
+    * discipline), so the corpus mean is summation-order-immune.
+    * Returned ≤|ms|-row local table sorts only. */
+  def pqDistortionSweep(embeddings: DataFrame,
+      ms: Seq[Int] = Seq(1, 2, 4), codeK: Int = 8,
+      pqIters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    val base = lloydBase(embeddings)
+    val d = base.select(size(col("e"))).head.getInt(0)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = ms.map { m =>
+      require(d % m == 0, s"dim $d not divisible by m=$m")
+      val subDim = d / m
+      def sub(s: Int): Column = slice(col("e"), s * subDim + 1, subDim)
+      val books = (0 until m).map { s =>
+        lloydFit(base.select(col("vec_id"), sub(s).as("e")),
+          codeK, pqIters)
+      }
+      val dist = (0 until m).map { s =>
+        array_min(array(books(s).map(cw => sqDistFold(sub(s), cw)): _*))
+      }.reduce(_ + _)
+      val agg = base
+        .select(round(round(dist, 6) * 1e6, 0).cast("long").as("ppm"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("ppm")), lit(0L)).as("s"))
+        .head()
+      val n = agg.getLong(0)
+      val s = agg.getLong(1)
+      (m, codeK, n, r6(s.toDouble / 1e6 / n))
+    }
+    import spark.implicits._
+    rows.toDF("m", "code_k", "n_vectors", "mean_sq_dist").orderBy("m")
+  }
+
   /** q173: TwoNN intrinsic-dimension estimate (Facco et al. 2017) over
     * cosine distance — the MLE d = n / Σ ln(d₂/d₁) from each point's
     * two nearest neighbors. Embedding spaces with low intrinsic

@@ -939,6 +939,64 @@ object TextAnalysis {
           .otherwise("hard"))
   }
 
+  /** q182: numeric-token profile per source — share of pure-integer
+    * tokens and their mean digit width. Numeracy mix is a curation
+    * axis quality gates ignore: tables, logs and price lists are
+    * number-dense (high share, wide tokens), prose is number-sparse,
+    * and a source whose profile shifts is changing register. The
+    * mixture planner reads this next to q50's corpus card when the
+    * target is math/code-heavy training data.
+    *
+    * Scale: the numeric filter and digit widths are one row-local
+    * array pass (`filter` + `aggregate` HOFs over the token array —
+    * no explode); ONE bounded source rollup; mean width is a single
+    * exact-integer division. */
+  def numericProfile(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nums = filter(toks, t => t.rlike("^[0-9]+$"))
+    docs
+      .select(col("source"),
+        size(toks).cast("long").as("nt"),
+        size(nums).cast("long").as("nn"),
+        aggregate(nums, lit(0L),
+          (acc, t) => acc + length(t).cast("long")).as("nd"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("nt")).as("n_tokens"),
+        sum(col("nn")).as("n_numeric"),
+        sum(col("nd")).as("n_digits"))
+      .select(col("source"), col("n_tokens"), col("n_numeric"),
+        round(col("n_numeric").cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 6).as("numeric_share"),
+        round(col("n_digits").cast("double") /
+          greatest(col("n_numeric"), lit(1L)), 6).as("mean_digits"))
+      .orderBy("source")
+  }
+
+  /** q183: URL-domain scan — extract every http(s) host from the
+    * corpus and report the top domains by occurrence with their doc
+    * spread. The crawl-governance report behind robots/takedown
+    * compliance and domain-mix caps (a pretraining corpus where one
+    * CDN hosts 40% of the links is one outage away from a provenance
+    * problem); link density also separates link-farm pages from
+    * prose.
+    *
+    * Scale: extraction is one codegen'd regexp pass; only (domain,
+    * doc_id) pairs leave the scan — never text. ONE domain-keyed agg
+    * (count + COUNT(DISTINCT doc) in a single Expand), top-N via
+    * TakeOrderedAndProject semantics on the bounded output sort. */
+  def domainScan(docs: DataFrame, topN: Int = 20): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(expr(
+          "regexp_extract_all(text, 'https?://([a-z0-9.-]+)', 1)"))
+          .as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("domain"))
+      .limit(topN)
+
   /** The function-word vocabulary for q180's stylometry profile — a
     * fixed 16-word list (content-free English function words), wider
     * than [[stopwordHits]]'s 6-word density gate because a similarity

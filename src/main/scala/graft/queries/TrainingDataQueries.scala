@@ -253,6 +253,30 @@ object TrainingDataQueries {
   def stopwordProfileSimQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stopwordProfileSim(docs(s, dir))
 
+  /** q181: PQ distortion sweep at m ∈ {1,2,4}, codeK 8
+    * ([[graft.ops.Similarity.pqDistortionSweep]]). */
+  def pqDistortionQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqDistortionSweep(embs(s, dir))
+
+  /** q182: numeric-token profile per source
+    * ([[graft.ops.TextAnalysis.numericProfile]]). */
+  def numericProfileQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.numericProfile(docs(s, dir))
+
+  /** q183: URL-domain scan over an injected link stripe — every 8th
+    * doc gains a CDN link whose host rotates over 5 domains
+    * ([[graft.ops.TextAnalysis.domainScan]]). */
+  def domainScanQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val corpus = d.withColumn("text",
+      when(pmod(col("doc_id"), lit(8)) === 0,
+        concat(col("text"), lit(" see https://cdn"),
+          pmod(col("doc_id"), lit(5)).cast("string"),
+          lit(".example.com/page for details")))
+        .otherwise(col("text")))
+    TextAnalysis.domainScan(corpus, topN = 20)
+  }
+
   /** q176: consecutive-duplicate-line collapse over an injected
     * stutter stripe — every 4th doc gains a line repeated 3× back to
     * back, the scraped-progress-bar artifact
@@ -1754,6 +1778,50 @@ object TrainingDataQueries {
     s"""WITH ${knnCtes(nPlanes, dim)}
        |SELECT src, dst, rank, cos_sim FROM r WHERE rank <= $k
        |ORDER BY src, rank""".stripMargin
+
+  /** q181 oracle: per sub-space count m, the q71 kmeansCtes chains
+    * over the embedding slices, per-vector min squared distance per
+    * sub-space (the PQ reconstruction error), summed row-locally and
+    * rounded to 1e-6 micro-units before the corpus sum — mirrors
+    * Similarity.pqDistortionSweep fold-for-fold. */
+  private def pqDistortionOracle(ms: Seq[Int], codeK: Int,
+      pqIters: Int, dim: Int): String = {
+    def sliceExpr(subDim: Int, s: Int) =
+      s"list_transform(embedding[${s * subDim + 1}:${(s + 1) * subDim}]," +
+        " v -> CAST(v AS DOUBLE))"
+    val blocks = ms.map { m =>
+      val subDim = dim / m
+      val chains = (0 until m).map(s =>
+        kmeansCtes(codeK, pqIters, s"x${m}s$s", sliceExpr(subDim, s)))
+        .mkString(",\n")
+      val mins = (0 until m).map { s =>
+        s"""x${m}md$s AS MATERIALIZED (SELECT v.vec_id,
+           |    min(list_reduce(list_transform(list_zip(v.e, cc.cent),
+           |        x -> (x[1] - x[2]) * (x[1] - x[2])),
+           |      (acc, t2) -> acc + t2)) AS md
+           |  FROM x${m}s${s}e v CROSS JOIN x${m}s${s}c$pqIters cc
+           |  GROUP BY v.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val joins = (1 until m)
+        .map(s => s"JOIN x${m}md$s j$s USING (vec_id)").mkString(" ")
+      val sumMd = (0 until m).map(s => s"j$s.md").mkString(" + ")
+      val tail =
+        s"""x${m}dist AS MATERIALIZED (SELECT
+           |    CAST(round(round($sumMd, 6) * 1000000, 0) AS BIGINT)
+           |      AS ppm
+           |  FROM x${m}md0 j0 $joins),
+           |x${m}agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(coalesce(sum(ppm), 0) AS BIGINT) AS s
+           |  FROM x${m}dist)""".stripMargin
+      s"$chains,\n$mins,\n$tail"
+    }.mkString(",\n")
+    val rows = ms.map(m =>
+      s"""SELECT $m AS m, $codeK AS code_k, n AS n_vectors,
+         |  round(CAST(s AS DOUBLE) / 1000000.0 / n, 6)
+         |    AS mean_sq_dist
+         |FROM x${m}agg""".stripMargin).mkString("\nUNION ALL\n")
+    s"WITH $blocks\n$rows\nORDER BY m"
+  }
 
   /** q180 oracle: per-source function-word counts via the replace-
     * length trick (exact integers), pairwise cosine with the same
@@ -3898,6 +3966,53 @@ object TrainingDataQueries {
     // pairwise integer cosine — generated from the SAME FunctionWords
     // list the operator ships
     "q180_stopword_profile" -> stopwordProfileOracle,
+    // q181: the q75-family unrolled Lloyd chains per (m, sub-space);
+    // per-vector min-dist sums row-locally, micro-unit corpus sum
+    "q181_pq_distortion" ->
+      pqDistortionOracle(ms = Seq(1, 2, 4), codeK = 8, pqIters = 2,
+        dim = 64),
+    // q182: row-local numeric filter + digit-width fold, ONE bounded
+    // source rollup; empty-list sum coalesces to 0 (Spark's fold init)
+    "q182_numeric_profile" ->
+      """WITH w AS (SELECT source,
+        |    string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |t AS (SELECT source,
+        |    CAST(len(ws) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(ws,
+        |      x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT) AS nn,
+        |    CAST(coalesce(list_sum(list_transform(list_filter(ws,
+        |      x -> regexp_matches(x, '^[0-9]+$')),
+        |      x -> length(x))), 0) AS BIGINT) AS nd
+        |  FROM w),
+        |g AS (SELECT source,
+        |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |    CAST(sum(nn) AS BIGINT) AS n_numeric,
+        |    CAST(sum(nd) AS BIGINT) AS n_digits
+        |  FROM t GROUP BY source)
+        |SELECT source, n_tokens, n_numeric,
+        |  round(CAST(n_numeric AS DOUBLE) / greatest(n_tokens, 1), 6)
+        |    AS numeric_share,
+        |  round(CAST(n_digits AS DOUBLE) / greatest(n_numeric, 1), 6)
+        |    AS mean_digits
+        |FROM g ORDER BY source""".stripMargin,
+    // q183: the %8 rotating-CDN link stripe; host extraction is one
+    // regexp pass, (domain, doc) pairs only on the wire
+    "q183_domain_scan" ->
+      """WITH c AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 8 = 0 THEN text || ' see https://cdn'
+        |      || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.example.com/page for details'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, unnest(regexp_extract_all(text,
+        |    'https?://([a-z0-9.-]+)', 1)) AS domain FROM c),
+        |g AS (SELECT domain,
+        |    CAST(count(*) AS BIGINT) AS n_occurrences,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM d GROUP BY 1)
+        |SELECT domain, n_occurrences, n_docs FROM g
+        |ORDER BY n_occurrences DESC, domain LIMIT 20""".stripMargin,
     // q176: the %4 stutter stripe; the run collapse is the q52 line
     // derivation + a per-doc lag filter, cleaned text leaves as md5
     "q176_line_run_collapse" ->

@@ -559,7 +559,17 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // 16 replace-length counts in ONE bounded source agg, run
       // EAGERLY; pairwise cosines are driver arithmetic — returned
       // local table sorts only
-      "q180_stopword_profile" -> 1)
+      "q180_stopword_profile" -> 1,
+      // 7 bounded Lloyd chains + per-m micro-unit distortion aggs all
+      // run EAGERLY (lloydFit posture); returned ≤3-row local table
+      // sorts only
+      "q181_pq_distortion" -> 1,
+      // numeric filter + digit fold are per-doc array HOFs; ONE
+      // bounded source rollup + output sort
+      "q182_numeric_profile" -> 2,
+      // one regexp-extract pass, (domain, doc) pairs on the wire; ONE
+      // domain-keyed Expand agg + bounded top-N sort
+      "q183_domain_scan" -> 2)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
