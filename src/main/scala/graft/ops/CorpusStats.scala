@@ -629,6 +629,34 @@ object CorpusStats {
       .select("doc_id", "n_lines", "n_kept", "clean_md5")
   }
 
+  /** q186: per-source document-length percentile profile — the corpus
+    * card's distribution row: exact p10/p50/p90 whitespace-token
+    * counts plus mean per source. q50 reports totals and means; the
+    * percentile spread is what actually drives packing (q29's seq_len
+    * choice), truncation loss (q112's budget) and the suspicion that
+    * a source is two populations glued together (p10 ≪ p50 ≪ p90).
+    * Exact `percentile` per the q13 parity contract, with
+    * approx_percentile as the documented 100-TB swap.
+    *
+    * Scale: token counts are one narrow pass; the percentile agg keys
+    * on the bounded source set — no window, no join. */
+  def sourceLengthProfile(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(CAST(nt AS DOUBLE), " +
+          "array(0.1D, 0.5D, 0.9D))").as("p"),
+        round(avg(col("nt")), 4).as("mean_tokens"))
+      .select(col("source"), col("n_docs"),
+        round(element_at(col("p"), 1), 4).as("p10_tokens"),
+        round(element_at(col("p"), 2), 4).as("p50_tokens"),
+        round(element_at(col("p"), 3), 4).as("p90_tokens"),
+        col("mean_tokens"))
+      .orderBy("source")
+
   /** q179: document template-skeleton mining — q115's prompt-template
     * normalizer (digits → #, whitespace collapsed, lowercased) run
     * over the DOCUMENT corpus: machine-generated pages (build logs,

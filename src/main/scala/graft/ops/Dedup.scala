@@ -1356,6 +1356,41 @@ object Dedup {
     * full) + min-id representative) is the only corpus shuffle, and
     * text itself never moves. Same plan class as q30 at one extra
     * hash column. */
+  /** q187: dedup-family pair-agreement Venn — the three shipped
+    * candidate generators (q31 shingle-Jaccard, q32 MinHash-LSH, q33
+    * SimHash) run at their registry configurations over the SAME
+    * corpus, and every candidate pair lands in one of the 7 Venn
+    * cells. The q167 filter-agreement audit, for dedup: LSH pairs
+    * missing from the exact-Jaccard set price the banding's false
+    * positives, Jaccard-only pairs price its false negatives, and a
+    * SimHash-only lobe says the hamming radius is tuned to a
+    * different notion of "near" than the shingle families.
+    *
+    * Scale: each family's pair derivation is its own already-audited
+    * plan (banded/bucketed, never all-pairs); agreement is a
+    * full-outer join family on the 16-byte-keyed (doc_a, doc_b) pair
+    * space — pairs, never corpora — followed by ONE ≤7-cell rollup. */
+  def dedupFamilyVenn(docs: DataFrame): DataFrame = {
+    val d = persistOnce(docs)
+    def pairsOf(df: DataFrame, flag: String): DataFrame =
+      df.select(col("doc_a"), col("doc_b"), lit(1L).as(flag))
+    val j = pairsOf(
+      ngramJaccardPairs(d, k = 3, minJaccard = 0.1), "in_jaccard")
+    val m = pairsOf(
+      minhashLshCandidates(d, numHashes = 8, minEstSim = 0.25),
+      "in_minhash")
+    val s = pairsOf(simhashPairs(d, maxHamming = 7), "in_simhash")
+    j.join(m, Seq("doc_a", "doc_b"), "full_outer")
+      .join(s, Seq("doc_a", "doc_b"), "full_outer")
+      .select(
+        (coalesce(col("in_jaccard"), lit(0L)) === 1L).as("in_jaccard"),
+        (coalesce(col("in_minhash"), lit(0L)) === 1L).as("in_minhash"),
+        (coalesce(col("in_simhash"), lit(0L)) === 1L).as("in_simhash"))
+      .groupBy("in_jaccard", "in_minhash", "in_simhash")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("in_jaccard", "in_minhash", "in_simhash")
+  }
+
   /** q177: near-dup cluster-SIZE histogram — the distribution view of
     * q36's components: how many clusters of size 2, 3, …, plus the
     * singleton mass (docs in no near-dup pair at all). Dedup capacity

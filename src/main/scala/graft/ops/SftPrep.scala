@@ -1146,6 +1146,73 @@ object SftPrep {
       .orderBy(col("intent"))
   }
 
+  /** q184: conversation survival/hazard curve by turn depth — for each
+    * depth d, how many conversations END there (n_ending), how many
+    * reached it (n_at_risk), the hazard n_ending/n_at_risk and the
+    * survival share still alive after d. The engagement curve behind
+    * q125's window sizing and q119's trim budget: a hazard spike at
+    * depth 2 says most sessions are one-exchange lookups (pack short
+    * windows), a flat hazard says depth is exponential (cap context
+    * instead).
+    *
+    * Scale: ONE conv-keyed count agg, then a length histogram bounded
+    * by the maximum conversation depth (tens, not billions) collected
+    * and swept top-down on the driver (the q68/q168 posture).
+    * Returned bounded local table sorts only. */
+  def convHazard(t: DataFrame): DataFrame = {
+    val spark = t.sparkSession
+    val hist = t.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("len"))
+      .agg(count(lit(1)).as("n_ending"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val total = hist.map(_._2).sum
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var atRisk = total
+    import spark.implicits._
+    hist.map { case (depth, ending) =>
+      val row = (depth, ending, atRisk,
+        r6(ending.toDouble / atRisk),
+        r6((atRisk - ending).toDouble / total))
+      atRisk -= ending
+      row
+    }.toSeq
+      .toDF("depth", "n_ending", "n_at_risk", "hazard", "survival")
+      .orderBy("depth")
+  }
+
+  /** q185: tool-execution latency percentiles per tool — the gap
+    * between a tool turn and the turn that invoked it, keyed by the
+    * tool. The operational twin of q120's reliability report: q120
+    * says WHETHER a tool's calls complete, this says how long they
+    * take, and a p99 blow-up on one tool is an integration
+    * regression, not a model change. Exact `percentile` per the
+    * q13/q81/q178 parity contract.
+    *
+    * Scale: one lag over the conv window (small partitions), then the
+    * percentile agg keys on the bounded tool vocabulary. No join. */
+  def toolLatency(t: DataFrame): DataFrame =
+    t.select(col("conv_id"), col("turn_idx"), col("role"),
+        col("tool"), col("ts_ms"))
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(convWindow))
+      .filter(col("role") === "tool" && col("prev_ts").isNotNull)
+      .select(col("tool"), (col("ts_ms") - col("prev_ts")).as("gap_ms"))
+      .groupBy(col("tool"))
+      .agg(
+        count(lit(1)).as("n_calls"),
+        expr("percentile(CAST(gap_ms AS DOUBLE), " +
+          "array(0.5D, 0.9D, 0.99D))").as("p"),
+        round(avg(col("gap_ms")), 4).as("mean_ms"))
+      .select(col("tool"), col("n_calls"),
+        round(element_at(col("p"), 1), 4).as("p50_ms"),
+        round(element_at(col("p"), 2), 4).as("p90_ms"),
+        round(element_at(col("p"), 3), 4).as("p99_ms"),
+        col("mean_ms"))
+      .orderBy(col("tool"))
+
   def refusalByIntent(
       t: DataFrame,
       rules: Seq[(String, String)] = DefaultIntentRules): DataFrame = {

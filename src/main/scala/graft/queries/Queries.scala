@@ -467,6 +467,16 @@ object PipelineQueries {
   def latencyByIntent(s: SparkSession, dir: String): DataFrame =
     graft.ops.SftPrep.latencyByIntent(transcripts(s, dir))
 
+  /** q184: conversation survival/hazard curve by depth
+    * ([[graft.ops.SftPrep.convHazard]]). */
+  def convHazard(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.convHazard(transcripts(s, dir))
+
+  /** q185: tool-execution latency percentiles per tool
+    * ([[graft.ops.SftPrep.toolLatency]]). */
+  def toolLatency(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.toolLatency(transcripts(s, dir))
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -1727,5 +1737,43 @@ object Oracles {
          |  round(quantile_cont(CAST(gap_ms AS DOUBLE), 0.99), 4)
          |    AS p99_ms,
          |  round(avg(gap_ms), 4) AS mean_ms
-         |FROM i GROUP BY intent ORDER BY intent""".stripMargin)
+         |FROM i GROUP BY intent ORDER BY intent""".stripMargin,
+    // q184: length histogram (bounded by max conv depth); at-risk =
+    // descending cumulative, survival against the grand total
+    "q184_conv_hazard" ->
+      s"""WITH t AS ($T),
+         |l AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS len
+         |  FROM t GROUP BY 1),
+         |h AS (SELECT len AS depth, CAST(count(*) AS BIGINT)
+         |    AS n_ending
+         |  FROM l GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_ending) AS BIGINT) AS n FROM h),
+         |a AS (SELECT depth, n_ending,
+         |    CAST(sum(n_ending) OVER (ORDER BY depth DESC)
+         |      AS BIGINT) AS n_at_risk
+         |  FROM h)
+         |SELECT depth, n_ending, n_at_risk,
+         |  round(CAST(n_ending AS DOUBLE) / n_at_risk, 6) AS hazard,
+         |  round(CAST(n_at_risk - n_ending AS DOUBLE) /
+         |    (SELECT n FROM tot), 6) AS survival
+         |FROM a ORDER BY depth""".stripMargin,
+    // q185: q81's gap derivation filtered to tool turns, keyed by the
+    // bounded tool vocabulary
+    "q185_tool_latency" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id, role, tool, epoch_ms(ts) AS ts_ms,
+         |    lag(epoch_ms(ts)) OVER w AS prev_ts
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)),
+         |g AS (SELECT tool, ts_ms - prev_ts AS gap_ms FROM o
+         |  WHERE role = 'tool' AND prev_ts IS NOT NULL)
+         |SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
+         |  round(quantile_cont(CAST(gap_ms AS DOUBLE), 0.5), 4)
+         |    AS p50_ms,
+         |  round(quantile_cont(CAST(gap_ms AS DOUBLE), 0.9), 4)
+         |    AS p90_ms,
+         |  round(quantile_cont(CAST(gap_ms AS DOUBLE), 0.99), 4)
+         |    AS p99_ms,
+         |  round(avg(gap_ms), 4) AS mean_ms
+         |FROM g GROUP BY tool ORDER BY tool""".stripMargin)
 }

@@ -263,6 +263,11 @@ object TrainingDataQueries {
   def numericProfileQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.numericProfile(docs(s, dir))
 
+  /** q186: per-source document-length percentile profile
+    * ([[graft.ops.CorpusStats.sourceLengthProfile]]). */
+  def sourceLengthProfileQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.sourceLengthProfile(docs(s, dir))
+
   /** q183: URL-domain scan over an injected link stripe — every 8th
     * doc gains a CDN link whose host rotates over 5 domains
     * ([[graft.ops.TextAnalysis.domainScan]]). */
@@ -712,6 +717,11 @@ object TrainingDataQueries {
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), maxHamming = 7)
       .orderBy("doc_a", "doc_b")
+
+  /** q187: dedup-family pair-agreement Venn at the q31/q32/q33
+    * registry configurations ([[graft.ops.Dedup.dedupFamilyVenn]]). */
+  def dedupFamilyVennQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupFamilyVenn(docs(s, dir))
 
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(embs(s, dir), minCosine = 0.4)
@@ -4013,6 +4023,44 @@ object TrainingDataQueries {
         |  FROM d GROUP BY 1)
         |SELECT domain, n_occurrences, n_docs FROM g
         |ORDER BY n_occurrences DESC, domain LIMIT 20""".stripMargin,
+    // q186: exact per-source length percentiles; quantile_cont is the
+    // q13-established R-7 parity with Spark's exact percentile
+    "q186_source_length_profile" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(string_split_regex(trim(text), '\s+'))
+        |      AS BIGINT) AS nt
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(quantile_cont(CAST(nt AS DOUBLE), 0.1), 4)
+        |    AS p10_tokens,
+        |  round(quantile_cont(CAST(nt AS DOUBLE), 0.5), 4)
+        |    AS p50_tokens,
+        |  round(quantile_cont(CAST(nt AS DOUBLE), 0.9), 4)
+        |    AS p90_tokens,
+        |  round(avg(nt), 4) AS mean_tokens
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    // q187: the three family oracles (q31/q32/q33, verbatim at their
+    // registry configs) composed — pair union, membership flags per
+    // family, ≤7-cell rollup
+    "q187_dedup_venn" ->
+      s"""WITH j AS ($ngramJaccardOracle),
+         |m AS ($minhashLshOracle),
+         |sh3 AS ($simhashOracle),
+         |u AS (SELECT doc_a, doc_b FROM j
+         |  UNION SELECT doc_a, doc_b FROM m
+         |  UNION SELECT doc_a, doc_b FROM sh3),
+         |f AS (SELECT
+         |    (j.doc_a IS NOT NULL) AS in_jaccard,
+         |    (m.doc_a IS NOT NULL) AS in_minhash,
+         |    (sh3.doc_a IS NOT NULL) AS in_simhash
+         |  FROM u
+         |  LEFT JOIN j ON j.doc_a = u.doc_a AND j.doc_b = u.doc_b
+         |  LEFT JOIN m ON m.doc_a = u.doc_a AND m.doc_b = u.doc_b
+         |  LEFT JOIN sh3 ON sh3.doc_a = u.doc_a
+         |    AND sh3.doc_b = u.doc_b)
+         |SELECT in_jaccard, in_minhash, in_simhash,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // q176: the %4 stutter stripe; the run collapse is the q52 line
     // derivation + a per-doc lag filter, cleaned text leaves as md5
     "q176_line_run_collapse" ->

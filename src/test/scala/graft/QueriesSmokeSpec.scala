@@ -569,7 +569,17 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q182_numeric_profile" -> 2,
       // one regexp-extract pass, (domain, doc) pairs on the wire; ONE
       // domain-keyed Expand agg + bounded top-N sort
-      "q183_domain_scan" -> 2)
+      "q183_domain_scan" -> 2,
+      // conv-keyed count + max-depth-bounded length histogram run
+      // EAGERLY, hazard sweep on the driver; returned local table
+      // sorts only
+      "q184_conv_hazard" -> 1,
+      // parse derivation + conv lag window + bounded tool percentile
+      // agg + output sort (q178's shape without the intent struct)
+      "q185_tool_latency" -> 5,
+      // narrow token-count pass + bounded source percentile agg +
+      // output sort — no window, no join
+      "q186_source_length_profile" -> 2)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
