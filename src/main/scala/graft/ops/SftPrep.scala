@@ -1213,6 +1213,49 @@ object SftPrep {
         col("mean_ms"))
       .orderBy(col("tool"))
 
+  /** q188: hour-of-week load profile — turns, conversation starts and
+    * tool turns per (day-of-week, UTC hour) cell, with each cell's
+    * share of all turns. The capacity-planning heatmap q107's daily
+    * totals can't show: a weekday-business-hours ridge says the corpus
+    * is workplace traffic (schedule ingestion around the peak), a flat
+    * profile says global consumer use, and a tool-turn share that
+    * spikes off-peak usually means batch agents, not humans.
+    *
+    * Day-of-week comes from pure epoch-ms integer arithmetic
+    * (epoch day 0 = Thursday, so dow = (day + 4) mod 7 with 0 =
+    * Sunday) — no calendar/timezone library on either engine, so the
+    * derivation is engine-exact by construction.
+    *
+    * Scale: ONE agg onto the fixed ≤168-cell (dow, hour) key run
+    * eagerly; shares are swept on the driver (the q184 posture) and
+    * the returned bounded local table only sorts. */
+  def hourOfWeekLoad(t: DataFrame): DataFrame = {
+    val spark = t.sparkSession
+    val cells = t.select(
+        pmod(expr("ts_ms DIV 86400000") + lit(4L), lit(7L)).as("dow"),
+        pmod(expr("ts_ms DIV 3600000"), lit(24L)).as("hour"),
+        col("turn_idx"), col("role"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("turn_idx") === 0, 1L).otherwise(0L))
+          .as("n_conv_starts"),
+        sum(when(col("role") === "tool", 1L).otherwise(0L))
+          .as("n_tool_turns"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val total = cells.map(_._3).sum
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    cells.toSeq.map { case (dow, hour, nt, ncs, ntt) =>
+      (dow, hour, nt, ncs, ntt, r6(nt.toDouble / total))
+    }.toDF("dow", "hour", "n_turns", "n_conv_starts", "n_tool_turns",
+      "turn_share")
+      .orderBy("dow", "hour")
+  }
+
   def refusalByIntent(
       t: DataFrame,
       rules: Seq[(String, String)] = DefaultIntentRules): DataFrame = {

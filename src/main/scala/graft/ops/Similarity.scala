@@ -922,4 +922,105 @@ object Similarity {
       if (sPpm > 0) r6(nUsed.toDouble * 1e6 / sPpm) else 0.0))
       .toDF("n_vectors", "n_used", "sum_ln_mu", "intrinsic_dim")
   }
+
+  /** Bounded per-label centroids (label → d-vector of 1e-6-rounded
+    * means), collected to the driver in label order — the shared input
+    * of [[labelCentroidMatrix]] and [[labelSilhouette]]. ONE
+    * (label, dim)-keyed agg whose output is labels×d rows (hundreds),
+    * the q67/q71 centroid discipline. */
+  private def labelCentroids(embs: DataFrame)
+      : IndexedSeq[(Int, IndexedSeq[Double])] =
+    embs
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toIndexedSeq
+      .map { case (lab, rows) =>
+        lab -> rows.sortBy(_._2).map(_._3).toIndexedSeq }
+      .sortBy(_._1)
+
+  /** q189: label-centroid cosine-similarity matrix — the semantic
+    * counterpart of q166 (content MinHash overlap) and q180 (function-
+    * word stylometry): per-label mean embedding, then pairwise cosine
+    * between centroids. A pair near 1 says two labels occupy the same
+    * region (merge candidates, or a labeling fault); the matrix floor
+    * calibrates how separable the space is before IVF cells (q41) or
+    * cluster-balanced sampling (q72) lean on the label key.
+    *
+    * Scale: centroids are ONE bounded (label, dim) agg — labels×d rows
+    * collected; the k² cosine matrix is driver arithmetic over k·d
+    * doubles (the q180 posture). The corpus never joins and never
+    * shuffles beyond the bounded agg; the returned ≤k² local table
+    * only sorts. */
+  def labelCentroidMatrix(embs: DataFrame): DataFrame = {
+    val spark = embs.sparkSession
+    val cents = labelCentroids(embs)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def norm(c: IndexedSeq[Double]): Double =
+      math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))
+    import spark.implicits._
+    (for {
+      (la, ca) <- cents; (lb, cb) <- cents if la < lb
+    } yield {
+      val dot = ca.zip(cb).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+      (la, lb, r6(dot / (norm(ca) * norm(cb))))
+    }).toDF("label_a", "label_b", "cosine")
+      .orderBy("label_a", "label_b")
+  }
+
+  /** q190: label-separability audit (silhouette-lite) — every vector's
+    * cosine to its OWN label centroid vs its best OTHER centroid,
+    * rolled up per label: mean own-cosine, mean best-other-cosine and
+    * the mean margin. A label whose margin ≈ 0 is not a real cluster
+    * in embedding space — its q41 IVF cell leaks neighbors, its q72
+    * strata are arbitrary, and a classifier trained on it inherits
+    * noise. The per-vector twin of q189's centroid-level view.
+    *
+    * Scale: the lloydFit posture — centroids enter as k×d inline
+    * literals, so scoring is a narrow zero-shuffle codegen'd pass over
+    * the corpus (k fold-cosines per row, nulling the own cell for the
+    * best-other max); the rollup keys on the bounded label set. No
+    * join anywhere. */
+  def labelSilhouette(embs: DataFrame): DataFrame = {
+    val cents = labelCentroids(embs)
+    val labels = cents.map(_._1)
+    def cnorm(c: IndexedSeq[Double]): Double =
+      math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))
+    val normE = sqrt(graft.functions.vec_norm2(col("embedding")))
+    def cosTo(c: IndexedSeq[Double]): Column =
+      round(
+        aggregate(
+          zip_with(col("embedding"), typedLit(c),
+            (a, b) => a.cast("double") * b),
+          lit(0.0), (acc, x) => acc + x) / (normE * lit(cnorm(c))), 6)
+    val scored = embs
+      .withColumn("cos", array(cents.map { case (_, c) => cosTo(c) }: _*))
+      .withColumn("own", element_at(col("cos"),
+        array_position(typedLit(labels), col("label")).cast("int")))
+      .withColumn("other", array_max(
+        zip_with(typedLit(labels), col("cos"),
+          (l, cv) => when(l === col("label"),
+            lit(null).cast("double")).otherwise(cv))))
+    // micro-unit integer sums (the q77 fixed-point discipline): the
+    // 1e-6-rounded cosines become exact longs, so the per-label means
+    // are single divisions of exact integers — summation-order-immune
+    scored
+      .select(col("label"),
+        round(col("own") * 1e6, 0).cast("long").as("own_u"),
+        round(col("other") * 1e6, 0).cast("long").as("other_u"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("own_u")).as("so"), sum(col("other_u")).as("st"))
+      .select(col("label"), col("n_vecs"),
+        round(col("so").cast("double") /
+          (col("n_vecs") * lit(1e6)), 6).as("mean_cos_own"),
+        round(col("st").cast("double") /
+          (col("n_vecs") * lit(1e6)), 6).as("mean_cos_other"),
+        round((col("so") - col("st")).cast("double") /
+          (col("n_vecs") * lit(1e6)), 6).as("mean_margin"))
+      .orderBy("label")
+  }
 }

@@ -477,6 +477,11 @@ object PipelineQueries {
   def toolLatency(s: SparkSession, dir: String): DataFrame =
     graft.ops.SftPrep.toolLatency(transcripts(s, dir))
 
+  /** q188: hour-of-week load profile
+    * ([[graft.ops.SftPrep.hourOfWeekLoad]]). */
+  def hourOfWeekLoad(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.hourOfWeekLoad(transcripts(s, dir))
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -1775,5 +1780,27 @@ object Oracles {
          |  round(quantile_cont(CAST(gap_ms AS DOUBLE), 0.99), 4)
          |    AS p99_ms,
          |  round(avg(gap_ms), 4) AS mean_ms
-         |FROM g GROUP BY tool ORDER BY tool""".stripMargin)
+         |FROM g GROUP BY tool ORDER BY tool""".stripMargin,
+    // q188: epoch-ms integer dow/hour (epoch day 0 = Thursday → +4
+    // mod 7 = Sunday-based); conv start = rn 1 under the turn_idx
+    // window; share against the grand turn total
+    "q188_hour_of_week" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id, role, epoch_ms(ts) AS ts_ms,
+         |    row_number() OVER (PARTITION BY conv_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM t),
+         |c AS (SELECT (ts_ms // 86400000 + 4) % 7 AS dow,
+         |    (ts_ms // 3600000) % 24 AS hour,
+         |    CAST(count(*) AS BIGINT) AS n_turns,
+         |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_conv_starts,
+         |    CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_tool_turns
+         |  FROM o GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(n_turns) AS BIGINT) AS n FROM c)
+         |SELECT dow, hour, n_turns, n_conv_starts, n_tool_turns,
+         |  round(CAST(n_turns AS DOUBLE) / (SELECT n FROM tot), 6)
+         |    AS turn_share
+         |FROM c ORDER BY dow, hour""".stripMargin)
 }

@@ -864,6 +864,16 @@ object TrainingDataQueries {
   def centroidOutliersQ(s: SparkSession, dir: String): DataFrame =
     Similarity.centroidOutliers(embs(s, dir)).orderBy("vec_id")
 
+  /** q189: label-centroid cosine-similarity matrix
+    * ([[graft.ops.Similarity.labelCentroidMatrix]]). */
+  def labelCentroidMatrixQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroidMatrix(embs(s, dir))
+
+  /** q190: label-separability audit (silhouette-lite)
+    * ([[graft.ops.Similarity.labelSilhouette]]). */
+  def labelSilhouetteQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelSilhouette(embs(s, dir))
+
   /** q68: ROC-AUC of the q58 quality classifier against the corpus
     * language label (score separates en from non-en?). */
   def qualityAucQ(s: SparkSession, dir: String): DataFrame =
@@ -2199,6 +2209,66 @@ object TrainingDataQueries {
       |FROM s JOIN t ON s.label = t.label
       |ORDER BY s.vec_id""".stripMargin
 
+  /** q189: mirrors Similarity.labelCentroidMatrix — q67's 1e-6-rounded
+    * centroid CTE, then pairwise centroid cosine for label_a < label_b
+    * (dim-ordered list_sum ≡ the driver's index-order fold). */
+  private val labelCentroidMatrixOracle: String =
+    """WITH d AS (SELECT label, i AS dim,
+      |    CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings, UNNEST(generate_series(1, len(embedding)))
+      |    AS t(i)),
+      |c AS (SELECT label, dim, round(avg(v), 6) AS cv
+      |  FROM d GROUP BY 1, 2),
+      |cent AS (SELECT label, list(cv ORDER BY dim) AS centroid
+      |  FROM c GROUP BY label)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  round(
+      |    list_sum(list_transform(list_zip(a.centroid, b.centroid),
+      |      x -> x[1] * x[2])) /
+      |    (sqrt(list_sum(list_transform(a.centroid, v -> v * v))) *
+      |     sqrt(list_sum(list_transform(b.centroid, v -> v * v)))),
+      |    6) AS cosine
+      |FROM cent a JOIN cent b ON a.label < b.label
+      |ORDER BY label_a, label_b""".stripMargin
+
+  /** q190: mirrors Similarity.labelSilhouette — per-vector cosine to
+    * every centroid (k rows per vector against the bounded centroid
+    * table), own/best-other split, per-label rollup. */
+  private val labelSilhouetteOracle: String =
+    """WITH d AS (SELECT label, i AS dim,
+      |    CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings, UNNEST(generate_series(1, len(embedding)))
+      |    AS t(i)),
+      |c AS (SELECT label, dim, round(avg(v), 6) AS cv
+      |  FROM d GROUP BY 1, 2),
+      |cent AS (SELECT label, list(cv ORDER BY dim) AS centroid
+      |  FROM c GROUP BY label),
+      |s AS (SELECT e.vec_id, e.label AS vlabel, cent.label AS clabel,
+      |    round(
+      |      list_sum(list_transform(list_zip(e.embedding, cent.centroid),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(e.embedding,
+      |         a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(cent.centroid, a -> a * a)))),
+      |      6) AS cos
+      |  FROM embeddings e CROSS JOIN cent),
+      |p AS (SELECT vec_id, vlabel,
+      |    CAST(round(max(CASE WHEN clabel = vlabel THEN cos END)
+      |      * 1e6) AS BIGINT) AS own_u,
+      |    CAST(round(max(CASE WHEN clabel <> vlabel THEN cos END)
+      |      * 1e6) AS BIGINT) AS other_u
+      |  FROM s GROUP BY 1, 2),
+      |g AS (SELECT vlabel, CAST(count(*) AS BIGINT) AS n_vecs,
+      |    sum(own_u) AS so, sum(other_u) AS st
+      |  FROM p GROUP BY 1)
+      |SELECT vlabel AS label, n_vecs,
+      |  round(CAST(so AS DOUBLE) / (n_vecs * 1e6), 6) AS mean_cos_own,
+      |  round(CAST(st AS DOUBLE) / (n_vecs * 1e6), 6)
+      |    AS mean_cos_other,
+      |  round(CAST(so - st AS DOUBLE) / (n_vecs * 1e6), 6)
+      |    AS mean_margin
+      |FROM g ORDER BY 1""".stripMargin
+
   /** q68: mirrors TextAnalysis.rocAuc ∘ clfScoreExpr — the q58 score
     * formula inlined, decimal-exact floor(d·1000) bucketing (never a
     * double round at 1e-3 — q65 boundary lesson), tie-aware
@@ -2895,6 +2965,8 @@ object TrainingDataQueries {
     "q69_bpe_train" -> bpeTrainOracle(6),
     "q68_quality_auc" -> qualityAucOracle,
     "q67_centroid_outliers" -> centroidOutliersOracle,
+    "q189_label_centroid_matrix" -> labelCentroidMatrixOracle,
+    "q190_label_silhouette" -> labelSilhouetteOracle,
     "q66_code_blocks" -> codeBlocksOracle,
     "q65_dsir_weights" -> dsirOracle,
     "q64_gopher_filter" -> gopherFilterOracle,

@@ -579,7 +579,17 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q185_tool_latency" -> 5,
       // narrow token-count pass + bounded source percentile agg +
       // output sort — no window, no join
-      "q186_source_length_profile" -> 2)
+      "q186_source_length_profile" -> 2,
+      // ≤168-cell (dow, hour) agg run EAGERLY (epoch-ms integer
+      // arithmetic only), shares swept on the driver; returned local
+      // table sorts only
+      "q188_hour_of_week" -> 1,
+      // bounded (label, dim) centroid agg run EAGERLY, k² cosine
+      // matrix is driver arithmetic; returned local table sorts only
+      "q189_label_centroid_matrix" -> 1,
+      // centroids as k×d inline literals → zero-shuffle scoring pass;
+      // ONE bounded label agg + output sort, no join
+      "q190_label_silhouette" -> 2)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
