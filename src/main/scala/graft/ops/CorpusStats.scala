@@ -68,7 +68,19 @@ object CorpusStats {
     */
   def packSequences(
       docs: DataFrame, budgetTokens: Long = 2048,
-      bucketSize: Long = 0L): DataFrame = {
+      bucketSize: Long = 0L): DataFrame =
+    withTokensBefore(docs, bucketSize)
+      .select(col("doc_id"), col("source"), col("est_tokens"),
+        floor(col("tokens_before") / budgetTokens.toDouble).cast("long")
+          .as("seq_id"))
+
+  /** The budget-independent core of [[packSequences]]: per-doc running
+    * token offset within its source stratum via the bucketed two-pass
+    * distributed prefix sum (see the q29 scaladoc above). Shared by
+    * the q191 packing-efficiency sweep, which evaluates several
+    * budgets over ONE offset derivation. */
+  private[ops] def withTokensBefore(
+      docs: DataFrame, bucketSize: Long = 0L): DataFrame = {
     val bs =
       if (bucketSize > 0) bucketSize
       else {
@@ -104,8 +116,55 @@ object CorpusStats {
         col("bucket_offset") +
           coalesce(sum(col("est_tokens")).over(wD), lit(0L)))
       .select(col("doc_id"), col("source"), col("est_tokens"),
-        floor(col("tokens_before") / budgetTokens.toDouble).cast("long")
-          .as("seq_id"))
+        col("tokens_before"))
+  }
+
+  /** q191: packing-efficiency frontier — the q29 contiguous packer
+    * evaluated at several sequence budgets over ONE offset derivation:
+    * per budget, how many training sequences come out, how full they
+    * are, and how many documents straddle a sequence boundary (split
+    * docs lose coherence — the packing-quality cost that shrinking
+    * the budget inflates). The table that picks seq_len: fill_ratio
+    * rises and split_share falls as the budget grows, and the knee is
+    * the right configuration; q186's length percentiles say why.
+    *
+    * Scale: tokens_before is budget-INDEPENDENT, so the sweep is the
+    * single q29-class two-pass prefix sum plus one narrow explode of
+    * the ≤|budgets| literal array and a (budget, source)-keyed bounded
+    * agg rolled up to |budgets| rows. Adding a budget costs one more
+    * row per (budget, source) cell, not another corpus pass. */
+  def packingSweep(
+      docs: DataFrame,
+      budgets: Seq[Long] = Seq(256L, 1024L, 4096L)): DataFrame = {
+    val tb = withTokensBefore(docs)
+    val b = col("budget")
+    // last token index of the doc (empty docs occupy one slot so the
+    // boundary test stays well-defined)
+    val endTok = col("tokens_before") +
+      greatest(col("est_tokens"), lit(1L)) - lit(1L)
+    val startSeq = floor(col("tokens_before") / b.cast("double"))
+    val endSeq = floor(endTok / b.cast("double"))
+    tb.select(col("source"), col("est_tokens"), col("tokens_before"),
+        explode(typedLit(budgets)).as("budget"))
+      .groupBy(b, col("source"))
+      .agg(
+        count(lit(1)).as("nd"),
+        sum(col("est_tokens")).as("tt"),
+        (max(endSeq) + lit(1L)).cast("long").as("n_seqs_src"),
+        sum(when(startSeq =!= endSeq, 1L).otherwise(0L)).as("nsplit"))
+      .groupBy(b)
+      .agg(
+        sum(col("nd")).as("n_docs"),
+        sum(col("tt")).as("total_tokens"),
+        sum(col("n_seqs_src")).as("n_seqs"),
+        sum(col("nsplit")).as("n_split_docs"))
+      .select(b, col("n_docs"), col("total_tokens"), col("n_seqs"),
+        round(col("total_tokens").cast("double") /
+          (col("n_seqs") * b).cast("double"), 6).as("fill_ratio"),
+        col("n_split_docs"),
+        round(col("n_split_docs").cast("double") /
+          col("n_docs").cast("double"), 6).as("split_share"))
+      .orderBy("budget")
   }
 
   /** Column-level data profiling — the pre-training sanity pass every

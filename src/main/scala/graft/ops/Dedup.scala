@@ -1391,6 +1391,30 @@ object Dedup {
       .orderBy("in_jaccard", "in_minhash", "in_simhash")
   }
 
+  /** q192: cross-source exact-duplicate flow matrix — for every source
+    * pair, how many distinct texts appear verbatim in BOTH. The exact
+    * complement of q166's MinHash estimate: q166 prices NEAR overlap
+    * from signatures, this counts literal mirroring (wire-service
+    * syndication, mirrored crawls, re-uploads), which is what decides
+    * whether two sources should even be ingested separately.
+    *
+    * Scale: everything is keyed on the 16-byte md5 — text never
+    * shuffles. The (hash, source) distinct is one corpus agg; the
+    * self-join fans out only within a hash's ≤|sources| distinct rows
+    * (bounded per key by the source vocabulary, not by dup-cluster
+    * size); the rollup key is ≤|sources|² cells. */
+  def crossSourceDupFlow(docs: DataFrame): DataFrame = {
+    val d = persistOnce(docs
+      .select(md5(col("text").cast("binary")).as("h"), col("source"))
+      .distinct())
+    d.as("a").join(d.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_texts"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** q177: near-dup cluster-SIZE histogram — the distribution view of
     * q36's components: how many clusters of size 2, 3, …, plus the
     * singleton mass (docs in no near-dup pair at all). Dedup capacity

@@ -1256,6 +1256,67 @@ object SftPrep {
       .orderBy("dow", "hour")
   }
 
+  /** q193: conversation-volume concentration — exact Gini coefficient
+    * and top-1%/top-10% turn shares over the conversation-length
+    * distribution. The skew report behind every conv-partitioned
+    * window in the registry (q81/q102/q185): a Gini near 0 says conv
+    * partitions are uniform and per-conv windows parallelize cleanly;
+    * a high Gini with a fat top-1% share names the mega-conversation
+    * problem (q100's hot keys) as a corpus property, not an incident.
+    *
+    * Exact arithmetic: ranks over the bounded length histogram are
+    * arithmetic series (BigInt), so the Gini numerator is an exact
+    * integer and the only doubles are the final single divisions —
+    * engine-reproducible by construction. Top-k counts use integer
+    * ceil ((n+99) div 100); tied lengths make the top-k turn sum
+    * order-independent.
+    *
+    * Scale: the q184 posture — ONE conv-keyed count agg, a
+    * max-depth-bounded histogram collected, the Lorenz sweep on the
+    * driver; the returned single-row literal plans zero exchanges. */
+  def convConcentration(t: DataFrame): DataFrame = {
+    val spark = t.sparkSession
+    val hist = t.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("len"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val total = hist.map { case (l, c) => l * c }.sum
+    // S1 = Σ rank·len over ascending ranks; a length block spanning
+    // ranks r+1..r+c contributes len · c·(2r+c+1)/2 (exact BigInt)
+    var rank = 0L
+    var s1 = BigInt(0)
+    hist.foreach { case (len, c) =>
+      s1 += BigInt(len) * (BigInt(c) * (2 * rank + c + 1) / 2)
+      rank += c
+    }
+    // top-k turn sums swept from the longest block down
+    def topSum(k: Long): Long = {
+      var remaining = k
+      var s = 0L
+      hist.reverse.foreach { case (len, c) =>
+        val take = math.min(remaining, c)
+        s += take * len
+        remaining -= take
+      }
+      s
+    }
+    val k1 = (n + 99) / 100
+    val k10 = (n + 9) / 10
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gini = r6(2.0 * s1.toDouble / (n * total) - (n + 1.0) / n)
+    import spark.implicits._
+    Seq((n, total, gini,
+      r6(topSum(k1).toDouble / total),
+      r6(topSum(k10).toDouble / total)))
+      .toDF("n_convs", "n_turns", "gini", "top1pct_share",
+        "top10pct_share")
+  }
+
   def refusalByIntent(
       t: DataFrame,
       rules: Seq[(String, String)] = DefaultIntentRules): DataFrame = {

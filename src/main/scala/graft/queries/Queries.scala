@@ -482,6 +482,11 @@ object PipelineQueries {
   def hourOfWeekLoad(s: SparkSession, dir: String): DataFrame =
     graft.ops.SftPrep.hourOfWeekLoad(transcripts(s, dir))
 
+  /** q193: conversation-volume concentration (Gini + top shares)
+    * ([[graft.ops.SftPrep.convConcentration]]). */
+  def convConcentration(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.convConcentration(transcripts(s, dir))
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -1802,5 +1807,28 @@ object Oracles {
          |SELECT dow, hour, n_turns, n_conv_starts, n_tool_turns,
          |  round(CAST(n_turns AS DOUBLE) / (SELECT n FROM tot), 6)
          |    AS turn_share
-         |FROM c ORDER BY dow, hour""".stripMargin)
+         |FROM c ORDER BY dow, hour""".stripMargin,
+    // q193: Gini from exact integer rank sums (ascending row_number ×
+    // length), top-k shares from the descending ranks with integer
+    // ceil; final divisions are the only doubles
+    "q193_conv_concentration" ->
+      s"""WITH t AS ($T),
+         |l AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS len
+         |  FROM t GROUP BY 1),
+         |r AS (SELECT len,
+         |    row_number() OVER (ORDER BY len ASC) AS i,
+         |    row_number() OVER (ORDER BY len DESC) AS j
+         |  FROM l),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(len) AS BIGINT) AS total,
+         |    CAST(sum(i * len) AS BIGINT) AS s1 FROM r)
+         |SELECT n AS n_convs, total AS n_turns,
+         |  round(2.0 * s1 / (n * total) - (n + 1.0) / n, 6) AS gini,
+         |  round(CAST((SELECT sum(len) FROM r
+         |      WHERE j <= (SELECT (n + 99) // 100 FROM s)) AS DOUBLE)
+         |    / total, 6) AS top1pct_share,
+         |  round(CAST((SELECT sum(len) FROM r
+         |      WHERE j <= (SELECT (n + 9) // 10 FROM s)) AS DOUBLE)
+         |    / total, 6) AS top10pct_share
+         |FROM s""".stripMargin)
 }

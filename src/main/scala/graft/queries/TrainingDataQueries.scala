@@ -531,6 +531,25 @@ object TrainingDataQueries {
   def mixturePlanApplyQ(s: SparkSession, dir: String): DataFrame =
     CorpusStats.mixturePlanApply(docs(s, dir), budgetTokens = 30010L)
 
+  /** q191: packing-efficiency frontier at budgets {256, 1024, 4096}
+    * ([[graft.ops.CorpusStats.packingSweep]]). */
+  def packingSweepQ(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.packingSweep(docs(s, dir))
+
+  /** q192: cross-source exact-duplicate flow matrix over a corpus with
+    * a synthetic syndication stripe — every 7th doc is republished
+    * verbatim under doc_id+500007 in the source named by the new id
+    * mod 20 ([[graft.ops.Dedup.crossSourceDupFlow]]). */
+  def crossSourceDupFlowQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text", "source")
+    val corpus = d.unionByName(
+      d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("doc_id", col("doc_id") + 500007L)
+        .withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20)))))
+    Dedup.crossSourceDupFlow(corpus)
+  }
+
   /** Exact dedup demo over a corpus with a synthetic duplicate stripe
     * (every 10th doc duplicated under doc_id+100000). */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
@@ -2967,6 +2986,59 @@ object TrainingDataQueries {
     "q67_centroid_outliers" -> centroidOutliersOracle,
     "q189_label_centroid_matrix" -> labelCentroidMatrixOracle,
     "q190_label_silhouette" -> labelSilhouetteOracle,
+    // q191: q29's cumsum CTE (budget-independent) × unnested budgets;
+    // n_seqs per source = last end-seq + 1; a doc splits when its
+    // [tb, tb+max(est,1)-1] token span crosses a budget multiple
+    "q191_packing_sweep" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+        |  FROM documents),
+        |c AS (SELECT source, est_tokens,
+        |    coalesce(sum(est_tokens) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS tb
+        |  FROM d),
+        |e AS (SELECT source, est_tokens, tb,
+        |    tb + greatest(est_tokens, 1) - 1 AS endtok FROM c),
+        |x AS (SELECT b.budget, e.source,
+        |    CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(est_tokens) AS BIGINT) AS tt,
+        |    CAST(max(floor(endtok / CAST(budget AS DOUBLE))) + 1
+        |      AS BIGINT) AS n_seqs_src,
+        |    CAST(sum(CASE WHEN floor(tb / CAST(budget AS DOUBLE)) <>
+        |        floor(endtok / CAST(budget AS DOUBLE))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nsplit
+        |  FROM e CROSS JOIN (SELECT CAST(unnest([256, 1024, 4096])
+        |    AS BIGINT) AS budget) b
+        |  GROUP BY 1, 2),
+        |g AS (SELECT budget,
+        |    CAST(sum(nd) AS BIGINT) AS n_docs,
+        |    CAST(sum(tt) AS BIGINT) AS total_tokens,
+        |    CAST(sum(n_seqs_src) AS BIGINT) AS n_seqs,
+        |    CAST(sum(nsplit) AS BIGINT) AS n_split_docs
+        |  FROM x GROUP BY 1)
+        |SELECT budget, n_docs, total_tokens, n_seqs,
+        |  round(CAST(total_tokens AS DOUBLE) / (n_seqs * budget), 6)
+        |    AS fill_ratio,
+        |  n_split_docs,
+        |  round(CAST(n_split_docs AS DOUBLE) / n_docs, 6)
+        |    AS split_share
+        |FROM g ORDER BY budget""".stripMargin,
+    // q192: the syndication-stripe corpus; distinct (md5, source) then
+    // hash-keyed self-join with source_a < source_b
+    "q192_cross_source_dups" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500007, text,
+        |    'src' || CAST((doc_id + 500007) % 20 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |d AS (SELECT DISTINCT md5(text) AS h, source FROM corpus)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_texts
+        |FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q66_code_blocks" -> codeBlocksOracle,
     "q65_dsir_weights" -> dsirOracle,
     "q64_gopher_filter" -> gopherFilterOracle,

@@ -589,7 +589,19 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q189_label_centroid_matrix" -> 1,
       // centroids as k×d inline literals → zero-shuffle scoring pass;
       // ONE bounded label agg + output sort, no join
-      "q190_label_silhouette" -> 2)
+      "q190_label_silhouette" -> 2,
+      // ONE q29-class prefix-sum derivation ((source,bucket) agg +
+      // bounded-window exchange + broadcast-back) shared by ALL
+      // budgets; then explode → (budget,source) agg → budget rollup →
+      // sort. Adding budgets must NOT add exchanges
+      "q191_packing_sweep" -> 7,
+      // (md5,source) distinct + hash-keyed self-join (both sides
+      // re-key on h) + ≤|sources|² rollup + output sort; text never
+      // shuffles
+      "q192_cross_source_dups" -> 5,
+      // conv-keyed count + bounded length histogram run EAGERLY,
+      // Lorenz/Gini sweep on the driver; returned single-row literal
+      "q193_conv_concentration" -> 0)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
