@@ -1317,6 +1317,92 @@ object SftPrep {
         "top10pct_share")
   }
 
+  /** q194: exact duplicate-CONVERSATION clusters — whole sessions that
+    * repeat verbatim (replayed clients, batch re-submissions, mirror
+    * ingests). The q30 exact-dedup idea lifted from documents to the
+    * conversation grain: the unit of SFT training is the conversation,
+    * so a duplicated session double-weights every turn it contains
+    * even when no single turn is notable.
+    *
+    * Scale: ONE conv-keyed agg builds the ordered-turn digest (the
+    * concat is conv-bounded and immediately collapses to 16 bytes —
+    * only (hash, conv_id) ever shuffles again); the cluster rollup is
+    * keyed on the hash. Same plan class as q30 at the coarser grain. */
+  def duplicateConversations(t: DataFrame): DataFrame =
+    t.groupBy(col("conv_id"))
+      .agg(md5(array_join(transform(
+          sort_array(collect_list(struct(col("turn_idx"), col("text")))),
+          s => s.getField("text")), "\u0001").cast("binary"))
+        .as("conv_hash"))
+      .groupBy(col("conv_hash"))
+      .agg(count(lit(1)).as("n_convs"), min(col("conv_id")).as("canonical"))
+      .filter(col("n_convs") > 1)
+      .orderBy("conv_hash")
+
+  /** q195: conversation language-mix rollup — each turn gets the q21
+    * heuristic language, each conversation its majority language
+    * (ties break toward the lexicographically larger code, the
+    * max-struct semilattice) and a mixed flag (≥2 distinct turn
+    * languages = code-switching). The conversation-grain complement
+    * of q98's script mix: multilingual sessions need their own
+    * tokenizer/eval treatment, and a rising mixed share under one
+    * majority language is an ingestion-routing bug.
+    *
+    * Scale: (conv, lang) partial-agg → conv-keyed semilattice argmax
+    * → bounded ≤|langs|×2 rollup; text never leaves the first narrow
+    * pass. */
+  def convLangMix(t: DataFrame): DataFrame =
+    t.select(col("conv_id"),
+        graft.ops.TextAnalysis.langGuess(col("text")).as("lang"))
+      .groupBy(col("conv_id"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("conv_id"))
+      .agg(
+        max(struct(col("cnt"), col("lang"))).getField("lang")
+          .as("majority_lang"),
+        (count(lit(1)) > 1).as("is_mixed"))
+      .groupBy(col("majority_lang"), col("is_mixed"))
+      .agg(count(lit(1)).as("n_convs"))
+      .orderBy("majority_lang", "is_mixed")
+
+  /** q196: user/assistant token-balance histogram — per conversation,
+    * the user share of (user + assistant) whitespace tokens, bucketed
+    * to deciles with pure integer arithmetic ((10·u) div (u+a), so
+    * bucket 10 is user-monologue and 0 assistant-monologue). The
+    * corpus-shape complement of q108's position curve: SFT mixtures
+    * want to KNOW whether they are training on terse-question/long-
+    * answer traffic (buckets 0–2) or transcription-style dumps.
+    *
+    * Scale: one narrow token-count pass + conv-keyed agg; the 11-cell
+    * histogram runs EAGERLY and shares sweep on the driver (q184
+    * posture), so the returned local table only sorts. */
+  def roleBalanceHistogram(t: DataFrame): DataFrame = {
+    val spark = t.sparkSession
+    val nt = size(split(trim(col("text")), "\\s+")).cast("long")
+    val hist = t.filter(col("role").isin("user", "assistant"))
+      .select(col("conv_id"), col("role"), nt.as("nt"))
+      .groupBy(col("conv_id"))
+      .agg(
+        sum(when(col("role") === "user", col("nt")).otherwise(0L))
+          .as("u"),
+        sum(when(col("role") === "assistant", col("nt")).otherwise(0L))
+          .as("a"))
+      .filter(col("u") + col("a") > 0)
+      .select(expr("(10 * u) DIV (u + a)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_convs"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val total = hist.map(_._2).sum
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    hist.toSeq.map { case (b, n) => (b, n, r6(n.toDouble / total)) }
+      .toDF("bucket", "n_convs", "share")
+      .orderBy("bucket")
+  }
+
   def refusalByIntent(
       t: DataFrame,
       rules: Seq[(String, String)] = DefaultIntentRules): DataFrame = {

@@ -487,6 +487,29 @@ object PipelineQueries {
   def convConcentration(s: SparkSession, dir: String): DataFrame =
     graft.ops.SftPrep.convConcentration(transcripts(s, dir))
 
+  /** q194: duplicate-conversation clusters over a corpus with a
+    * synthetic replay stripe — every conversation whose numeric
+    * suffix is divisible by 9 is re-submitted verbatim under a
+    * "dup-" prefixed id ([[graft.ops.SftPrep.duplicateConversations]]). */
+  def duplicateConvs(s: SparkSession, dir: String): DataFrame = {
+    val t = transcripts(s, dir)
+    val stripe = t
+      .filter(pmod(substring(col("conv_id"), 6, 9).cast("long"),
+        lit(9L)) === 0)
+      .withColumn("conv_id", concat(lit("dup-"), col("conv_id")))
+    graft.ops.SftPrep.duplicateConversations(t.unionByName(stripe))
+  }
+
+  /** q195: conversation language-mix rollup
+    * ([[graft.ops.SftPrep.convLangMix]]). */
+  def convLangMix(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.convLangMix(transcripts(s, dir))
+
+  /** q196: user/assistant token-balance decile histogram
+    * ([[graft.ops.SftPrep.roleBalanceHistogram]]). */
+  def roleBalance(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.roleBalanceHistogram(transcripts(s, dir))
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -1830,5 +1853,73 @@ object Oracles {
          |  round(CAST((SELECT sum(len) FROM r
          |      WHERE j <= (SELECT (n + 9) // 10 FROM s)) AS DOUBLE)
          |    / total, 6) AS top10pct_share
-         |FROM s""".stripMargin)
+         |FROM s""".stripMargin,
+    // q194: ordered-turn digest per conv (chr(1)-joined, the Spark
+    //  separator), replay stripe, hash-keyed clusters >1;
+    // 'conv-…' < 'dup-…' keeps the original as canonical
+    "q194_dup_conversations" ->
+      s"""WITH t AS ($T),
+         |c AS (SELECT conv_id,
+         |    string_agg(text, chr(1) ORDER BY ts, event_id) AS body
+         |  FROM t GROUP BY 1),
+         |u AS (SELECT conv_id, body FROM c
+         |  UNION ALL
+         |  SELECT 'dup-' || conv_id, body FROM c
+         |  WHERE CAST(substr(conv_id, 6) AS BIGINT) % 9 = 0)
+         |SELECT md5(body) AS conv_hash,
+         |  CAST(count(*) AS BIGINT) AS n_convs,
+         |  min(conv_id) AS canonical
+         |FROM u GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY conv_hash""".stripMargin,
+    // q195: the q21 language CASE per turn, (conv, lang) counts,
+    // majority = ORDER BY cnt DESC, lang DESC first row (the Spark
+    // max-struct semilattice), mixed = ≥2 distinct turn languages
+    "q195_conv_lang_mix" ->
+      s"""WITH t AS ($T),
+         |f AS (SELECT conv_id, text,
+         |    ' ' || lower(text) || ' ' AS p,
+         |    greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+         |      AS nt
+         |  FROM t),
+         |l AS (SELECT conv_id, CASE
+         |    WHEN regexp_matches(text,
+         |      '[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]') THEN 'cjk'
+         |    WHEN (${TrainingDataQueries.stopHitsSql("p")}) / nt >= 0.03
+         |      THEN 'en'
+         |    WHEN length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+         |        / CAST(greatest(length(text), 1) AS DOUBLE) >= 0.9
+         |      THEN 'latin_other'
+         |    ELSE 'other' END AS lang
+         |  FROM f),
+         |g AS (SELECT conv_id, lang, count(*) AS cnt
+         |  FROM l GROUP BY 1, 2),
+         |m AS (SELECT conv_id, lang,
+         |    row_number() OVER (PARTITION BY conv_id
+         |      ORDER BY cnt DESC, lang DESC) AS rn,
+         |    count(*) OVER (PARTITION BY conv_id) AS nl
+         |  FROM g)
+         |SELECT lang AS majority_lang, (nl > 1) AS is_mixed,
+         |  CAST(count(*) AS BIGINT) AS n_convs
+         |FROM m WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q196: integer-exact decile bucket (10·u div (u+a)) over per-conv
+    // user/assistant token sums; shares against the conv total
+    "q196_role_balance" ->
+      s"""WITH t AS ($T),
+         |p AS (SELECT conv_id,
+         |    CAST(sum(CASE WHEN role = 'user' THEN
+         |      len(string_split_regex(trim(text), '\\s+'))
+         |      ELSE 0 END) AS BIGINT) AS u,
+         |    CAST(sum(CASE WHEN role = 'assistant' THEN
+         |      len(string_split_regex(trim(text), '\\s+'))
+         |      ELSE 0 END) AS BIGINT) AS a
+         |  FROM t WHERE role IN ('user', 'assistant') GROUP BY 1),
+         |b AS (SELECT (10 * u) // (u + a) AS bucket FROM p
+         |  WHERE u + a > 0),
+         |h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_convs
+         |  FROM b GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_convs) AS BIGINT) AS n FROM h)
+         |SELECT bucket, n_convs,
+         |  round(CAST(n_convs AS DOUBLE) / (SELECT n FROM tot), 6)
+         |    AS share
+         |FROM h ORDER BY bucket""".stripMargin)
 }

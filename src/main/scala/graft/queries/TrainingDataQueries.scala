@@ -1006,7 +1006,7 @@ object TrainingDataQueries {
   private val STOPS =
     Seq(" the ", " a ", " and ", " of ", " to ", " is ")
 
-  private def stopHitsSql(padded: String): String =
+  private[queries] def stopHitsSql(padded: String): String =
     STOPS.map(w =>
       s"(length($padded) - length(replace($padded, '$w', ''))) / ${w.length}")
       .mkString(" + ")

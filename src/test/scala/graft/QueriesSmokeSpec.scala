@@ -601,7 +601,17 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q192_cross_source_dups" -> 5,
       // conv-keyed count + bounded length histogram run EAGERLY,
       // Lorenz/Gini sweep on the driver; returned single-row literal
-      "q193_conv_concentration" -> 0)
+      "q193_conv_concentration" -> 0,
+      // two parse+window branches (corpus + replay stripe union) →
+      // conv digest agg → 16-byte hash cluster agg + sort; turn text
+      // collapses to the digest before any further shuffle
+      "q194_dup_conversations" -> 7,
+      // parse window + (conv,lang) partial agg + conv argmax +
+      // bounded ≤|langs|×2 rollup/sort
+      "q195_conv_lang_mix" -> 4,
+      // conv token sums + 11-cell histogram run EAGERLY, share sweep
+      // on the driver; returned local table sorts only
+      "q196_role_balance" -> 1)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
