@@ -1343,10 +1343,10 @@ object SftPrep {
     * heuristic language, each conversation its majority language
     * (ties break toward the lexicographically larger code, the
     * max-struct semilattice) and a mixed flag (≥2 distinct turn
-    * languages = code-switching). The conversation-grain complement
-    * of q98's script mix: multilingual sessions need their own
-    * tokenizer/eval treatment, and a rising mixed share under one
-    * majority language is an ingestion-routing bug.
+    * languages = code-switching). The bounded corpus-report grain
+    * over q113's per-conversation language report — and unlike q113's
+    * ranked window, the argmax here is a window-FREE max-struct
+    * semilattice, so no per-conv sort exists to skew.
     *
     * Scale: (conv, lang) partial-agg → conv-keyed semilattice argmax
     * → bounded ≤|langs|×2 rollup; text never leaves the first narrow
