@@ -1403,6 +1403,67 @@ object SftPrep {
       .orderBy("bucket")
   }
 
+  /** q197: PII incidence by role — email/phone pattern counts (the
+    * q26 regexes, unchanged) attributed to WHO said them. The privacy
+    * audit a transcript pipeline needs before the q26-style scrub:
+    * user-side PII is expected and gets redacted; ASSISTANT-side PII
+    * is a leak (the model echoing or inventing contact data) and is a
+    * drop/escalate signal, not a scrub.
+    *
+    * Scale: one narrow codegen'd regexp pass, ONE bounded role
+    * rollup. No window, no join. */
+  def piiByRole(t: DataFrame): DataFrame =
+    t.select(col("role"),
+        regexp_count(col("text"), lit(TextAnalysis.EmailRe)).cast("long")
+          .as("ne"),
+        regexp_count(col("text"), lit(TextAnalysis.PhoneRe)).cast("long")
+          .as("np"))
+      .groupBy(col("role"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(col("ne")).as("n_emails"),
+        sum(col("np")).as("n_phones"),
+        sum(when(col("ne") + col("np") > 0, 1L).otherwise(0L))
+          .as("n_turns_with_pii"))
+      .select(col("role"), col("n_turns"), col("n_emails"),
+        col("n_phones"), col("n_turns_with_pii"),
+        round(col("n_turns_with_pii").cast("double") /
+          col("n_turns").cast("double"), 6).as("pii_turn_share"))
+      .orderBy("role")
+
+  /** q199: response-latency percentiles per hour-of-week cell — q81's
+    * user→assistant gap derivation keyed by q188's epoch-ms (dow,
+    * hour) arithmetic. The operational latency heatmap: q81 says what
+    * the corpus-wide p90 is, this says WHEN it degrades (a nightly
+    * batch window inflating p90 at 03:00 is capacity, the same p90
+    * all week is the serving stack).
+    *
+    * Scale: the q81 conv-window walk (billions of small partitions),
+    * then exact percentiles on the fixed ≤168-cell key — bounded
+    * final agg, no join. */
+  def latencyByHour(t: DataFrame): DataFrame = {
+    val w = convWindow
+    t.select(col("conv_id"), col("turn_idx"), col("role"), col("ts_ms"))
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(w))
+      .filter(col("role") === "assistant" && col("prev_role") === "user")
+      .select(
+        pmod(expr("ts_ms DIV 86400000") + lit(4L), lit(7L)).as("dow"),
+        pmod(expr("ts_ms DIV 3600000"), lit(24L)).as("hour"),
+        (col("ts_ms") - col("prev_ts")).as("gap_ms"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        expr("percentile(CAST(gap_ms AS DOUBLE), array(0.5D, 0.9D))")
+          .as("p"),
+        round(avg(col("gap_ms")), 4).as("mean_ms"))
+      .select(col("dow"), col("hour"), col("n_gaps"),
+        round(element_at(col("p"), 1), 4).as("p50_ms"),
+        round(element_at(col("p"), 2), 4).as("p90_ms"),
+        col("mean_ms"))
+      .orderBy("dow", "hour")
+  }
+
   def refusalByIntent(
       t: DataFrame,
       rules: Seq[(String, String)] = DefaultIntentRules): DataFrame = {

@@ -923,6 +923,42 @@ object Similarity {
       .toDF("n_vectors", "n_used", "sum_ln_mu", "intrinsic_dim")
   }
 
+  /** q198: per-dimension mean/variance profile — the dead-dimension
+    * audit q158's top-PC view can't give: a dimension whose variance
+    * is ~0 contributes nothing to any cosine (wasted index memory,
+    * wasted ANN distance work), and a handful of huge-variance dims
+    * is the anisotropy q158 measures, now named dim by dim. The table
+    * that decides dimension pruning before IVF-PQ (q75) sub-space
+    * splits.
+    *
+    * Exact arithmetic: components quantize to micro-units (exact
+    * longs, the q77/q190 fixed-point discipline), so the per-dim
+    * sums are summation-order-immune integers; mean and variance are
+    * then a FIXED sequence of double ops on exact inputs (mirrored
+    * token-for-token in the oracle), engine-identical by
+    * construction. u² ≤ 1e12 per row keeps the squared sum within
+    * long range to ~10⁶ vectors per dim; beyond that the same plan
+    * swaps the sums to DECIMAL(38,0).
+    *
+    * Scale: one posexplode pass, ONE d-cell bounded agg. */
+  def dimVariance(embs: DataFrame): DataFrame =
+    embs.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"),
+        round(col("v").cast("double") * 1e6, 0).cast("long").as("u"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("u")).as("su"),
+        sum(col("u") * col("u")).as("ss"))
+      .select(col("dim"), col("n"),
+        round(col("su").cast("double") /
+          (col("n").cast("double") * lit(1e6)), 6).as("mean"),
+        round(
+          col("ss").cast("double") / col("n").cast("double") / lit(1e12) -
+            (col("su").cast("double") /
+              (col("n").cast("double") * lit(1e6))) *
+            (col("su").cast("double") /
+              (col("n").cast("double") * lit(1e6))), 6).as("variance"))
+      .orderBy("dim")
+
   /** Bounded per-label centroids (label → d-vector of 1e-6-rounded
     * means), collected to the driver in label order — the shared input
     * of [[labelCentroidMatrix]] and [[labelSilhouette]]. ONE

@@ -510,6 +510,23 @@ object PipelineQueries {
   def roleBalance(s: SparkSession, dir: String): DataFrame =
     graft.ops.SftPrep.roleBalanceHistogram(transcripts(s, dir))
 
+  /** q197: PII incidence by role over a corpus with injected contact
+    * stripes — every turn_idx ≡ 3 (mod 11) gains an email, every
+    * turn_idx ≡ 5 (mod 13) a phone ([[graft.ops.SftPrep.piiByRole]]). */
+  def piiByRole(s: SparkSession, dir: String): DataFrame = {
+    val t = transcripts(s, dir).withColumn("text", concat(col("text"),
+      when(pmod(col("turn_idx"), lit(11)) === 3,
+        lit(" contact support@example.com")).otherwise(lit("")),
+      when(pmod(col("turn_idx"), lit(13)) === 5,
+        lit(" call 555-0199")).otherwise(lit(""))))
+    graft.ops.SftPrep.piiByRole(t)
+  }
+
+  /** q199: response-latency percentiles per (dow, hour) cell
+    * ([[graft.ops.SftPrep.latencyByHour]]). */
+  def latencyByHour(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SftPrep.latencyByHour(transcripts(s, dir))
+
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */
   def textChecksum(s: SparkSession, dir: String): DataFrame =
@@ -1921,5 +1938,56 @@ object Oracles {
          |SELECT bucket, n_convs,
          |  round(CAST(n_convs AS DOUBLE) / (SELECT n FROM tot), 6)
          |    AS share
-         |FROM h ORDER BY bucket""".stripMargin)
+         |FROM h ORDER BY bucket""".stripMargin,
+    // q197: the q26 regexes over the stripe-injected text, attributed
+    // to role; turn_idx mirrors the transcripts row_number derivation
+    "q197_pii_by_role" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT role, text,
+         |    row_number() OVER (PARTITION BY conv_id
+         |      ORDER BY ts, event_id) - 1 AS turn_idx
+         |  FROM t),
+         |i AS (SELECT role, text ||
+         |    CASE WHEN turn_idx % 11 = 3
+         |      THEN ' contact support@example.com' ELSE '' END ||
+         |    CASE WHEN turn_idx % 13 = 5
+         |      THEN ' call 555-0199' ELSE '' END AS text
+         |  FROM o),
+         |c AS (SELECT role,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |      AS BIGINT) AS ne,
+         |    CAST(len(regexp_extract_all(text,
+         |      '\\b[0-9]{3}-[0-9]{4}\\b')) AS BIGINT) AS np
+         |  FROM i),
+         |g AS (SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
+         |    CAST(sum(ne) AS BIGINT) AS n_emails,
+         |    CAST(sum(np) AS BIGINT) AS n_phones,
+         |    CAST(sum(CASE WHEN ne + np > 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_turns_with_pii
+         |  FROM c GROUP BY 1)
+         |SELECT role, n_turns, n_emails, n_phones, n_turns_with_pii,
+         |  round(CAST(n_turns_with_pii AS DOUBLE) /
+         |    CAST(n_turns AS DOUBLE), 6) AS pii_turn_share
+         |FROM g ORDER BY role""".stripMargin,
+    // q199: q81's gap walk keyed by q188's epoch-ms (dow, hour)
+    // arithmetic; quantile_cont parity on the bounded cell set
+    "q199_latency_by_hour" ->
+      s"""WITH t AS ($T),
+         |o AS (SELECT conv_id, role, epoch_ms(ts) AS ts_ms,
+         |    lag(role) OVER w AS prev_role,
+         |    lag(epoch_ms(ts)) OVER w AS prev_ts
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)),
+         |g AS (SELECT (ts_ms // 86400000 + 4) % 7 AS dow,
+         |    (ts_ms // 3600000) % 24 AS hour,
+         |    ts_ms - prev_ts AS gap_ms
+         |  FROM o WHERE role = 'assistant' AND prev_role = 'user')
+         |SELECT dow, hour, CAST(count(*) AS BIGINT) AS n_gaps,
+         |  round(quantile_cont(CAST(gap_ms AS DOUBLE), 0.5), 4)
+         |    AS p50_ms,
+         |  round(quantile_cont(CAST(gap_ms AS DOUBLE), 0.9), 4)
+         |    AS p90_ms,
+         |  round(avg(gap_ms), 4) AS mean_ms
+         |FROM g GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin)
 }

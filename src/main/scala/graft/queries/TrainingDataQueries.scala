@@ -893,6 +893,11 @@ object TrainingDataQueries {
   def labelSilhouetteQ(s: SparkSession, dir: String): DataFrame =
     Similarity.labelSilhouette(embs(s, dir))
 
+  /** q198: per-dimension mean/variance (dead-dimension audit)
+    * ([[graft.ops.Similarity.dimVariance]]). */
+  def dimVarianceQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.dimVariance(embs(s, dir))
+
   /** q68: ROC-AUC of the q58 quality classifier against the corpus
     * language label (score separates en from non-en?). */
   def qualityAucQ(s: SparkSession, dir: String): DataFrame =
@@ -2986,6 +2991,27 @@ object TrainingDataQueries {
     "q67_centroid_outliers" -> centroidOutliersOracle,
     "q189_label_centroid_matrix" -> labelCentroidMatrixOracle,
     "q190_label_silhouette" -> labelSilhouetteOracle,
+    // q198: micro-unit quantized per-dim sums (exact integers), then
+    // a FIXED double-op sequence for mean/variance mirrored
+    // token-for-token against the Spark select
+    "q198_dim_variance" ->
+      """WITH d AS (SELECT i - 1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS u
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding)))
+        |    AS t(i)),
+        |g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(u) AS BIGINT) AS su,
+        |    CAST(sum(u * u) AS BIGINT) AS ss
+        |  FROM d GROUP BY 1)
+        |SELECT dim, n,
+        |  round(CAST(su AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6)
+        |    AS mean,
+        |  round(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1e12 -
+        |    (CAST(su AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)) *
+        |    (CAST(su AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)), 6)
+        |    AS variance
+        |FROM g ORDER BY dim""".stripMargin,
     // q191: q29's cumsum CTE (budget-independent) × unnested budgets;
     // n_seqs per source = last end-seq + 1; a doc splits when its
     // [tb, tb+max(est,1)-1] token span crosses a budget multiple

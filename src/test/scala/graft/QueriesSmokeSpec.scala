@@ -611,7 +611,15 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q195_conv_lang_mix" -> 4,
       // conv token sums + 11-cell histogram run EAGERLY, share sweep
       // on the driver; returned local table sorts only
-      "q196_role_balance" -> 1)
+      "q196_role_balance" -> 1,
+      // parse derivation + ONE narrow regexp pass + bounded role
+      // rollup + output sort — no window beyond the parse, no join
+      "q197_pii_by_role" -> 3,
+      // one posexplode pass + d-cell bounded agg + output sort
+      "q198_dim_variance" -> 2,
+      // parse + conv lag window + bounded ≤168-cell percentile agg +
+      // output sort (q81's walk at the q188 key)
+      "q199_latency_by_hour" -> 5)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
