@@ -898,6 +898,32 @@ object TrainingDataQueries {
   def dimVarianceQ(s: SparkSession, dir: String): DataFrame =
     Similarity.dimVariance(embs(s, dir))
 
+  /** q200: one-row corpus card across all three modalities — the
+    * headline numbers every downstream query parameterizes against:
+    * document count / source vocabulary / estimated BPE token budget,
+    * embedding count / label vocabulary / dimensionality, and
+    * conversation / turn totals. Three bounded scalar aggs run
+    * EAGERLY (each a partial+final reduce over its own table — never
+    * a 1-row×1-row join, which would plan BNLJ); the returned
+    * single-row literal plans zero exchanges. */
+  def corpusCardQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("source")).as("ns"),
+      sum(TextAnalysis.estBpeTokens(col("text"))).as("bt")).head()
+    val e = embs(s, dir).agg(
+      count(lit(1)), countDistinct(col("label")),
+      max(size(col("embedding")))).head()
+    val t = graft.queries.PipelineQueries.transcripts(s, dir).agg(
+      countDistinct(col("conv_id")), count(lit(1))).head()
+    import s.implicits._
+    Seq((d.getLong(0), d.getLong(1), d.getLong(2),
+      e.getLong(0), e.getLong(1), e.getInt(2),
+      t.getLong(0), t.getLong(1)))
+      .toDF("n_docs", "n_sources", "est_bpe_tokens", "n_vectors",
+        "n_labels", "dim", "n_convs", "n_turns")
+  }
+
   /** q68: ROC-AUC of the q58 quality classifier against the corpus
     * language label (score separates en from non-en?). */
   def qualityAucQ(s: SparkSession, dir: String): DataFrame =
@@ -2991,6 +3017,24 @@ object TrainingDataQueries {
     "q67_centroid_outliers" -> centroidOutliersOracle,
     "q189_label_centroid_matrix" -> labelCentroidMatrixOracle,
     "q190_label_silhouette" -> labelSilhouetteOracle,
+    // q200: three scalar-agg subqueries composed in one literal row;
+    // the transcripts CTE is the shared q01 derivation
+    "q200_corpus_card" ->
+      s"""WITH t AS (${graft.gen.TranscriptGen.fromEventsOracleSql})
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         |  (SELECT CAST(count(DISTINCT source) AS BIGINT)
+         |    FROM documents) AS n_sources,
+         |  (SELECT CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT))
+         |    AS BIGINT) FROM documents) AS est_bpe_tokens,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+         |    AS n_vectors,
+         |  (SELECT CAST(count(DISTINCT label) AS BIGINT)
+         |    FROM embeddings) AS n_labels,
+         |  (SELECT max(len(embedding)) FROM embeddings) AS dim,
+         |  (SELECT CAST(count(DISTINCT conv_id) AS BIGINT) FROM t)
+         |    AS n_convs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_turns""".stripMargin,
     // q198: micro-unit quantized per-dim sums (exact integers), then
     // a FIXED double-op sequence for mean/variance mirrored
     // token-for-token against the Spark select

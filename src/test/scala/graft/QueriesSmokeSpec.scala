@@ -619,7 +619,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q198_dim_variance" -> 2,
       // parse + conv lag window + bounded ≤168-cell percentile agg +
       // output sort (q81's walk at the q188 key)
-      "q199_latency_by_hour" -> 5)
+      "q199_latency_by_hour" -> 5,
+      // three scalar aggs run EAGERLY (never a 1-row×1-row join);
+      // returned single-row literal
+      "q200_corpus_card" -> 0)
     spark.catalog.clearCache() // pristine plans (see join-shape guard)
     val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
