@@ -793,10 +793,12 @@ object CorpusStats {
     * corpus-keyed agg; text itself never shuffles. */
   def boilerplateShare(docs: DataFrame, maxDocFreq: Long = 50,
       flagAt: Double = 0.3): DataFrame = {
-    def lines = docs
+    // persisted (ADVICE r5): the hot-line agg and the mark join both
+    // read this — as a def the corpus was split/exploded/hashed twice
+    val lines = Dedup.persistOnce(docs
       .select(col("doc_id"),
         explode(split(col("text"), "\n")).as("line"))
-      .select(col("doc_id"), md5(col("line").cast("binary")).as("lh"))
+      .select(col("doc_id"), md5(col("line").cast("binary")).as("lh")))
     val hot = lines
       .groupBy("lh")
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -962,18 +964,28 @@ object CorpusStats {
       (Int, String, String, Long)]()
     var it = 0
     var exhausted = false
+    // round-parent lifetime: each round's best-pair job is what
+    // materializes the fresh vocab persist, so the PREVIOUS round's
+    // cache can only be dropped after that job returns — deferring the
+    // unpersist one round removes the former per-round count()
+    // materialization job (one fewer action per merge).
+    var parent: DataFrame = null
     while (it < nMerges && !exhausted) {
+      // `syms` pre-splits BELOW the explode: the former expr re-ran
+      // the regex split ~2× per symbol inside the transform lambdas
       val best = vocab
+        .select(col("n_w"), split(col("syms"), " ").as("sy"))
         .select(col("n_w"), explode(expr(
-          """IF(size(split(syms, ' ')) >= 2,
-            |  transform(sequence(1, size(split(syms, ' ')) - 1),
-            |    i -> struct(element_at(split(syms, ' '), i) AS l,
-            |                element_at(split(syms, ' '), i + 1) AS r)),
+          """IF(size(sy) >= 2,
+            |  transform(sequence(1, size(sy) - 1),
+            |    i -> struct(element_at(sy, i) AS l,
+            |                element_at(sy, i + 1) AS r)),
             |  array())""".stripMargin)).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("n_w")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect()
+      if (parent != null) { parent.unpersist(); parent = null }
       if (best.isEmpty) exhausted = true
       else {
         val (l, r, c) =
@@ -985,13 +997,13 @@ object CorpusStats {
                   |  ' $l  $r ', ' $l$r '), '  ', ' '))""".stripMargin)
             .as("syms"),
           col("n_w")))
-        next.count() // materialize before dropping the parent
-        vocab.unpersist()
+        parent = vocab
         vocab = next
       }
       it += 1
     }
     vocab.unpersist()
+    if (parent != null) parent.unpersist()
     merges.toSeq.toDF("iter", "lhs", "rhs", "pair_count")
   }
 
@@ -1167,13 +1179,26 @@ object CorpusStats {
     */
   def winnowOverlapPairs(docs: DataFrame, k: Int = 4, w: Int = 5,
       maxDf: Long = 100, minShared: Long = 2): DataFrame = {
+    // ONE groupBy(fp) posting-list agg replaces the former
+    // hot-set anti-join + fp-keyed self equi-join (guide §2.4): the
+    // collect_list is bounded at maxDf ids by the SAME df cap that
+    // always bounded the self-join fan-out, pairs explode row-locally
+    // (≤ C(maxDf, 2) structs per fingerprint), and the fingerprint
+    // expression runs over the corpus once instead of twice. A
+    // boilerplate fingerprint's posting row is dropped by the size
+    // filter before any pair exists — the skew risk is structural,
+    // not AQE-mitigated.
     val fps = winnowFingerprints(docs, k, w)
-    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("fp")
-    val filtered = Dedup.persistOnce(fps.join(hot, Seq("fp"), "left_anti"))
-    val a = filtered.select(col("fp"), col("doc_id").as("doc_a"))
-    val b = filtered.select(col("fp"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+    val posts = fps.groupBy("fp")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
+      .select(col("ds"))
+    posts
+      .select(explode(filter(
+        flatten(transform(col("ds"), x =>
+          transform(col("ds"), y => struct(x.as("a"), y.as("b"))))),
+        p => p.getField("a") < p.getField("b"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

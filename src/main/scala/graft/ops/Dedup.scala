@@ -164,42 +164,50 @@ object Dedup {
 
   /** Shared candidate machinery of [[ngramJaccardPairs]] and
     * [[containmentPairs]]: (doc_a, doc_b, n_inter, n_a, n_b) over
-    * df-capped k-shingles. */
+    * df-capped k-shingles.
+    *
+    * Plan shape (reworked in the optimization round — guide §2.4):
+    * ONE corpus explode reduces each (doc, shingle) to a 16-byte md5
+    * (the q157 posture: text/shingle strings never shuffle), ONE
+    * groupBy(hash) builds the df-capped posting list per shingle —
+    * `collect_list` is bounded at maxDocFreq ids by the same df cap
+    * that always bounded the self-join's fan-out, so no task buffers
+    * an unbounded group — and candidate pairs EXPLODE row-locally from
+    * each posting list (≤ C(maxDocFreq, 2) structs per shingle)
+    * instead of a shingle-keyed self equi-join. That removes the hot
+    * anti-join pass, the second corpus explode it forced, and both
+    * self-join exchanges of the shingle table; what remains is the
+    * postings agg (1 exchange), the pair-count agg (1), and the two
+    * doc-keyed size joins. The former hot-shingle skew risk
+    * disappears structurally: a stop-shingle's posting row is simply
+    * dropped by the size filter before any pair is emitted.
+    * Hash substitution: pair/size counts are over md5(shingle)
+    * identity — exact up to md5 collisions (2^-128-scale; the
+    * established q157/q32 contract, pinned by the oracle). */
   private def shingleIntersections(
       docs: DataFrame, k: Int, maxDocFreq: Int): DataFrame = {
-    // df-filter as partial-agg groupBy + ANTI-join against the HOT set
-    // (df > maxDocFreq) — not a count window over the shingle partition
-    // (a hot stop-shingle would form one window group a single task
-    // must buffer, and AQE cannot split a window partition), and not a
-    // join-back against the rare set: rare is nearly ALL distinct
-    // shingles, so that join shuffles the full shingle table a second
-    // time to keep ~everything. The hot side is bounded by
-    // total_shingle_rows / maxDocFreq distinct values and in real
-    // corpora is a handful of stop-phrases, so AQE plans a broadcast
-    // anti-join and the big table never exchanges for the filter; if an
-    // adversarial corpus makes it large, AQE falls back to a
-    // sort-merge anti — the old join-back's cost, never worse. The
-    // filtered table is persisted because the sizes agg and both
-    // self-join sides scan it (lifetime note: the cache backs the
-    // RETURNED lazy DataFrame, so it cannot be released here;
-    // MEMORY_AND_DISK lets Spark's LRU evict it under pressure).
-    val all = shingles(docs, k)
-    val hot = all.groupBy("shingle")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq)
-      .select("shingle")
-    val sh = persistOnce(all.join(hot, Seq("shingle"), "left_anti"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // explicit side aliases: both join inputs share one lineage (the
-    // persisted `sh`), and column-reference equality across two
-    // withColumnRenamed views of the same plan makes the resolver fall
-    // back to its "trivially true equals predicate" disambiguation
-    // heuristic — correct today, but one refactor away from a silent
-    // cross-join. Qualified names pin each side unambiguously.
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sh = docs
+      .select(col("doc_id"),
+        explode(graft.functions.word_shingles(col("text"), k))
+          .as("shingle"))
+      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("h"))
+    // persisted: the sizes agg and the pair explode both read it
+    // (lifetime note: the cache backs the RETURNED lazy DataFrame, so
+    // it cannot be released here; MEMORY_AND_DISK spills under
+    // pressure)
+    val posts = persistOnce(
+      sh.groupBy("h").agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) <= maxDocFreq)
+        .select(col("ds")))
+    val sizes = posts.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = posts
+      .select(explode(filter(
+        flatten(transform(col("ds"), x =>
+          transform(col("ds"), y => struct(x.as("a"), y.as("b"))))),
+        p => p.getField("a") < p.getField("b"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")

@@ -66,13 +66,25 @@ object GraphOps {
       alphaPct: Long = 85L, iters: Int = 3): DataFrame = {
     require(alphaPct > 0 && alphaPct < 100, s"alphaPct $alphaPct")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).persist(lvl)
+    // SCALE-ADAPTIVE partition count for the loop's cached tables
+    // (guide §2: derive from input size, never a constant): a cached
+    // table's partitioning is frozen at materialization — AQE cannot
+    // re-coalesce it per round — so sizing it off spark.sql.shuffle
+    // .partitions makes every one of the ~6 stages per round carry
+    // that many tasks regardless of graph size. Target ~500k edges
+    // per partition, capped at the default parallelism.
+    val eRaw = edges.select(col("src"), col("dst")).persist(lvl)
+    val nEdges = eRaw.count()
+    val spark = nodes.sparkSession
+    val nParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (nEdges + 499999L) / 500000L)).toInt
+    val e = eRaw.repartition(nParts, col("src")).persist(lvl)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nd = nodes.select(col("vec_id"))
       .join(deg, col("vec_id") === col("src"), "left")
       .select(col("vec_id"), col("outdeg"))
-      .repartition(col("vec_id")).persist(lvl)
+      .repartition(nParts, col("vec_id")).persist(lvl)
     val nN = nd.count() // one setup action; materializes nd AND e
     // rank parked on nodes with no out-edges; the ONE driver action
     // per round (materializes df as a side effect of scanning it)
@@ -105,7 +117,7 @@ object GraphOps {
     val out = r.select(col("vec_id"), col("pr").as("pagerank_pico"),
       (col("pr") / lit(1.0e12)).as("pagerank"))
       .localCheckpoint(true)
-    Dedup.freeRound(r); nd.unpersist(); e.unpersist()
+    Dedup.freeRound(r); nd.unpersist(); e.unpersist(); eRaw.unpersist()
     out
   }
 }

@@ -50,10 +50,14 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, nQueryTerms: Int = 10, k: Int = 5,
       minTermLen: Int = 5, k1: Double = 1.2, b: Double = 0.75)
       : DataFrame = {
-    val toks = docs.select(
-      col("doc_id"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("dl"),
-      explode(split(trim(col("text")), "\\s+")).as("term"))
+    // tokenize ONCE below the Generate: co-projecting size(split(..))
+    // with explode(split(..)) puts the size's regex split in the
+    // projection ABOVE the Generate, re-splitting the document once
+    // per emitted token (measured ~14× on this stage)
+    val toks = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
     val tf = Dedup.persistOnce(
       toks.groupBy("doc_id", "dl", "term")
         .agg(count(lit(1)).cast("long").as("tf")))

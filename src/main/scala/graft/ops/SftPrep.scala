@@ -1229,11 +1229,23 @@ object SftPrep {
     * Scale: ONE agg onto the fixed ≤168-cell (dow, hour) key run
     * eagerly; shares are swept on the driver (the q184 posture) and
     * the returned bounded local table only sorts. */
+  /** q188/q199 (dow, hour) keys, engine-exact for ALL epoch-ms
+    * values: the oracles use DuckDB `//` (floor division) and `%`
+    * (dividend-sign), while Spark DIV truncates toward zero and pmod
+    * is non-negative — which diverges for pre-1970 timestamps. The
+    * explicit floor-division correction + Spark's own sign-following
+    * `%` mirror the oracle token-for-token; for ts_ms ≥ 0 (all
+    * current fixtures) every value is unchanged. */
+  private def floorDivTs(n: Long): Column =
+    expr(s"ts_ms DIV ${n}L - (CASE WHEN ts_ms % ${n}L < 0 " +
+      "THEN 1 ELSE 0 END)")
+  private def hourOfWeekDow: Column = (floorDivTs(86400000L) + lit(4L)) % 7L
+  private def hourOfWeekHour: Column = floorDivTs(3600000L) % 24L
+
   def hourOfWeekLoad(t: DataFrame): DataFrame = {
     val spark = t.sparkSession
     val cells = t.select(
-        pmod(expr("ts_ms DIV 86400000") + lit(4L), lit(7L)).as("dow"),
-        pmod(expr("ts_ms DIV 3600000"), lit(24L)).as("hour"),
+        hourOfWeekDow.as("dow"), hourOfWeekHour.as("hour"),
         col("turn_idx"), col("role"))
       .groupBy(col("dow"), col("hour"))
       .agg(
@@ -1448,8 +1460,7 @@ object SftPrep {
       .withColumn("prev_ts", lag(col("ts_ms"), 1).over(w))
       .filter(col("role") === "assistant" && col("prev_role") === "user")
       .select(
-        pmod(expr("ts_ms DIV 86400000") + lit(4L), lit(7L)).as("dow"),
-        pmod(expr("ts_ms DIV 3600000"), lit(24L)).as("hour"),
+        hourOfWeekDow.as("dow"), hourOfWeekHour.as("hour"),
         (col("ts_ms") - col("prev_ts")).as("gap_ms"))
       .groupBy(col("dow"), col("hour"))
       .agg(

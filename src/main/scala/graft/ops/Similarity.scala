@@ -358,25 +358,74 @@ object Similarity {
 
   /** Run the Lloyd rounds; returns the final centroids (k×d doubles on
     * the driver). Init = the k lowest vec_ids' vectors; means round to
-    * 1e-6; empty clusters retain their previous centroid. */
+    * 1e-6; empty clusters retain their previous centroid. Implemented
+    * as the one-slice case of [[lloydFitMulti]]. */
   private def lloydFit(base: DataFrame, k: Int, iters: Int)
-      : IndexedSeq[Seq[Double]] = {
-    var cents: IndexedSeq[Seq[Double]] = base.orderBy("vec_id")
-      .limit(k).collect().map(_.getSeq[Double](1)).toIndexedSeq
+      : IndexedSeq[Seq[Double]] =
+    lloydFitMulti(base, None, k, iters).headOption
+      .getOrElse(IndexedSeq.empty)
+
+  /** Train SEVERAL Lloyd codebooks — one per `(start, len)` sub-slice
+    * of the `e` column — sharing ONE corpus pass per iteration (guide
+    * §1.2: remove passes). The per-book math is bit-identical to the
+    * former per-book lloydFit: init = the k lowest vec_ids' vectors
+    * (sliced on the driver — same doubles Spark's `slice` would
+    * produce), every update mean is keyed (slice, cluster, dim) so no
+    * cross-book mixing exists, means round 1e-6 (absorbing partial-agg
+    * order, the established contract), empty clusters retain their
+    * previous codeword. What changes is purely the plan: the
+    * per-iteration corpus scans drop from |slices| to 1 and the two
+    * chained aggs per book become ONE bounded (slice, cluster, dim)
+    * agg whose output is Σ_s k·len_s rows, assembled on the driver.
+    * At 100 TB this is m× fewer corpus scans per PQ training round;
+    * at bench scale it removes m×iters scheduler round-trips.
+    * `slices = None` trains one book over the full vector. */
+  private def lloydFitMulti(base: DataFrame,
+      slicesOpt: Option[Seq[(Int, Int)]], k: Int, iters: Int)
+      : IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val init = base.orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Double](1)).toIndexedSeq
+    val slices = slicesOpt.getOrElse(
+      Seq((0, init.headOption.map(_.size).getOrElse(0))))
+    var books: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      slices.toIndexedSeq.map { case (st, len) =>
+        init.map(v => v.slice(st, st + len)) }
+    if (init.isEmpty) return books
+    def subCol(st: Int, len: Int): Column =
+      if (slicesOpt.isEmpty) col("e") else slice(col("e"), st + 1, len)
     for (_ <- 1 to iters) {
-      val next = lloydAssign(base, cents)
-        .select(col("cluster"), posexplode(col("e")).as(Seq("dim", "v")))
-        .groupBy("cluster", "dim")
+      // pass 1 projection: per-slice cluster assignments (computed ONCE
+      // per row, below the Generate — co-projecting them WITH the
+      // explode would re-evaluate every fold per exploded element)
+      val assigned = base.select(col("e") +:
+        slices.zipWithIndex.map { case ((st, len), s) =>
+          val ds = array(books(s).map(cw =>
+            sqDistFold(subCol(st, len), cw)): _*)
+          (array_position(ds, array_min(ds)) - 1).cast("int").as(s"c$s")
+        }: _*)
+      val flat = flatten(array(slices.zipWithIndex.map {
+        case ((st, len), s) =>
+          zip_with(subCol(st, len), sequence(lit(0), lit(len - 1)),
+            (v, i) => struct(lit(s).as("s"), col(s"c$s").as("cl"),
+              i.as("dim"), v.as("v")))
+      }: _*))
+      val rows = assigned.select(explode(flat).as("x"))
+        .select(col("x.s").as("s"), col("x.cl").as("cl"),
+          col("x.dim").as("dim"), col("x.v").as("v"))
+        .groupBy("s", "cl", "dim")
         .agg(round(avg("v"), 6).as("cv"))
-        .groupBy("cluster")
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("cv")))),
-          s => s.getField("cv")).as("cent"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      cents = (0 until k).map(j => next.getOrElse(j, cents(j)))
+      val bySlice = rows.groupBy(_.getInt(0))
+      books = slices.indices.toIndexedSeq.map { s =>
+        val byCl = bySlice.getOrElse(s,
+            Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getInt(1))
+          .map { case (cl, rs) =>
+            cl -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
+        (0 until k).map(j => byCl.getOrElse(j, books(s)(j)))
+      }
     }
-    cents
+    books
   }
 
   def kmeansLloyd(embeddings: DataFrame, k: Int = 4, iters: Int = 3)
@@ -419,8 +468,11 @@ object Similarity {
     for (_ <- 1 to iters) {
       val s = aggregate(zip_with(col("c"), typedLit(v), (a, b) => a * b),
         lit(0.0), (acc, x) => acc + x)
-      val w = cent.select(s.as("s"), posexplode(col("c"))
-          .as(Seq("dim", "cv")))
+      // s is pre-projected BELOW the posexplode: co-projecting the
+      // d-element dot-product fold with the Generate would re-evaluate
+      // it once per exploded dimension (d× the work per row)
+      val w = cent.select(s.as("s"), col("c"))
+        .select(col("s"), posexplode(col("c")).as(Seq("dim", "cv")))
         .groupBy("dim").agg(round(sum(col("cv") * col("s")), 6)
           .as("wv"))
         .collect().map(r => (r.getInt(0), r.getDouble(1)))
@@ -600,15 +652,35 @@ object Similarity {
       col("query_id") =!= col("neighbor_id")))
     def r6(x: Double): Double = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // ALL nProbe levels in ONE job: a candidate reached via the
+    // query's rank-pr cell (0-based) participates in every level
+    // np ≥ pr+1, so exploding np = pr+1..nCells and ranking the window
+    // partitioned by (np, query) reproduces each level's former
+    // separate top-k bit-for-bit (same cosine expr, same ties) while
+    // collapsing nCells probe joins + collects into one (§1.2: don't
+    // re-run the candidate join per sweep point).
+    val rankedCells = transform(array_sort(
+      zip_with(col("ds"), sequence(lit(0), lit(nCells - 1)),
+        (d, i) => struct(d.as("d"), i.as("c")))),
+      s => s.getField("c"))
+    val probes = q.select(col("vec_id").as("query_id"),
+      col("e").as("qe"), posexplode(rankedCells).as(Seq("pr", "cell")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("np"), col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val top = cand.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("pr"), col("neighbor_id"),
+        cos.as("cos_sim"))
+      .withColumn("np", explode(sequence(col("pr") + 1, lit(nCells))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("np"), col("query_id"), col("neighbor_id"))
+      .collect()
+    val byNp = top.groupBy(_.getInt(0))
     val rows = (1 to nCells).map { np =>
-      val probeCells = slice(transform(array_sort(
-        zip_with(col("ds"), sequence(lit(0), lit(nCells - 1)),
-          (d, i) => struct(d.as("d"), i.as("c")))),
-        s => s.getField("c")), 1, np)
-      val probes = q.select(col("vec_id").as("query_id"),
-        col("e").as("qe"), explode(probeCells).as("cell"))
-      val got = topkSet(cand.join(broadcast(probes), Seq("cell"))
-        .filter(col("query_id") =!= col("neighbor_id")))
+      val got = byNp.getOrElse(np, Array.empty[org.apache.spark.sql.Row])
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
       val hits = got.count(truth.contains)
       (np, hits.toLong, r6(hits.toDouble / truth.size))
     }
@@ -694,12 +766,11 @@ object Similarity {
       if (byResidual) Dedup.persistOnce(
         assigned.withColumn("e", residOf(col("e"), col("cell"))))
       else assigned
-    // per-sub-space codebooks, each trained by the same pinned Lloyd
+    // per-sub-space codebooks, all m trained by the same pinned Lloyd
+    // in ONE fused pass per iteration (m× fewer corpus scans)
     val books: IndexedSeq[IndexedSeq[Seq[Double]]] =
-      (0 until m).map { s =>
-        lloydFit(encBase.select(col("vec_id"), sub(s).as("e")),
-          codeK, pqIters)
-      }
+      lloydFitMulti(encBase.select(col("vec_id"), col("e")),
+        Some((0 until m).map(s => (s * subDim, subDim))), codeK, pqIters)
 
     // corpus encode: coarse cell + m PQ codes, one narrow pass
     val enc = (0 until m).foldLeft(encBase) { (df, s) =>
@@ -850,31 +921,45 @@ object Similarity {
       ms: Seq[Int] = Seq(1, 2, 4), codeK: Int = 8,
       pqIters: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
+    import spark.implicits._
     val base = lloydBase(embeddings)
-    val d = base.select(size(col("e"))).head.getInt(0)
+    // empty-corpus guard: head on an empty table would throw; the
+    // empty-schema result matches the other eager driver sweeps
+    val dRow = base.select(size(col("e"))).head(1)
+    if (dRow.isEmpty)
+      return Seq.empty[(Int, Int, Long, Double)]
+        .toDF("m", "code_k", "n_vectors", "mean_sq_dist")
+    val d = dRow.head.getInt(0)
+    ms.foreach(m => require(d % m == 0, s"dim $d not divisible by m=$m"))
     def r6(x: Double): Double = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val rows = ms.map { m =>
-      require(d % m == 0, s"dim $d not divisible by m=$m")
+    // ALL sub-space codebooks of ALL m values train in ONE fused Lloyd
+    // chain (Σms books share each iteration's corpus pass), and the
+    // per-m distortion means reduce in ONE corpus agg: per-book math
+    // and the 1e-6→micro-unit rounding ladder are unchanged.
+    val slices = ms.flatMap(m =>
+      (0 until m).map(s => (s * (d / m), d / m)))
+    val books = lloydFitMulti(base.select(col("vec_id"), col("e")),
+      Some(slices), codeK, pqIters)
+    val offsets = ms.scanLeft(0)(_ + _)
+    val ppmCols = ms.zipWithIndex.map { case (m, i) =>
       val subDim = d / m
-      def sub(s: Int): Column = slice(col("e"), s * subDim + 1, subDim)
-      val books = (0 until m).map { s =>
-        lloydFit(base.select(col("vec_id"), sub(s).as("e")),
-          codeK, pqIters)
-      }
       val dist = (0 until m).map { s =>
-        array_min(array(books(s).map(cw => sqDistFold(sub(s), cw)): _*))
+        val cws = books(offsets(i) + s)
+        array_min(array(cws.map(cw =>
+          sqDistFold(slice(col("e"), s * subDim + 1, subDim), cw)): _*))
       }.reduce(_ + _)
-      val agg = base
-        .select(round(round(dist, 6) * 1e6, 0).cast("long").as("ppm"))
-        .agg(count(lit(1)).as("n"),
-          coalesce(sum(col("ppm")), lit(0L)).as("s"))
-        .head()
-      val n = agg.getLong(0)
-      val s = agg.getLong(1)
-      (m, codeK, n, r6(s.toDouble / 1e6 / n))
+      round(round(dist, 6) * 1e6, 0).cast("long").as(s"ppm$i")
     }
-    import spark.implicits._
+    val agg = base.select(ppmCols: _*)
+      .agg(count(lit(1)).as("n"),
+        ms.indices.map(i =>
+          coalesce(sum(col(s"ppm$i")), lit(0L)).as(s"s$i")): _*)
+      .head()
+    val n = agg.getLong(0)
+    val rows = ms.zipWithIndex.map { case (m, i) =>
+      (m, codeK, n, r6(agg.getLong(i + 1).toDouble / 1e6 / n))
+    }
     rows.toDF("m", "code_k", "n_vectors", "mean_sq_dist").orderBy("m")
   }
 

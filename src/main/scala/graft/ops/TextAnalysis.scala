@@ -563,8 +563,11 @@ object TextAnalysis {
     * All ratios are divisions of exact longs. */
   def scorePercentiles(docs: DataFrame): DataFrame = {
     val score = clfScoreExpr(col("text"))
-    val scored = docs.select(col("doc_id"), col("source"),
-      score.as("clf_score"))
+    // persisted: both the histogram agg and the final scoring join
+    // read the scored table — without the cache the multi-regex
+    // classifier expression runs over the corpus twice
+    val scored = Dedup.persistOnce(docs.select(col("doc_id"),
+      col("source"), score.as("clf_score")))
     val bucket = floor(col("clf_score").cast("decimal(9,6)") * 1000)
       .cast("int").as("b")
     val hist = scored.groupBy(col("source"), bucket)

@@ -139,11 +139,18 @@ object ChatGptParser {
     * long), content_type, parts (array<string>), text.
     */
   def normalize(raw: DataFrame, provider: String = "openai"): DataFrame = {
+    // conversation_id is projected BELOW the explode: co-projected
+    // with the Generate it would re-run the id coalesce chain
+    // (regexp/sha1 branches included) once per MESSAGE instead of
+    // once per conversation
     val exploded = raw
       .filter(col("mapping").isNotNull)
       .select(
         lit(provider).as("provider_id"),
         conversationId.as("conversation_id"),
+        col("mapping"))
+      .select(
+        col("provider_id"), col("conversation_id"),
         explode(map_entries(col("mapping"))).as("entry"))
       .select(
         col("provider_id"), col("conversation_id"),

@@ -493,8 +493,10 @@ object PipelineQueries {
     * "dup-" prefixed id ([[graft.ops.SftPrep.duplicateConversations]]). */
   def duplicateConvs(s: SparkSession, dir: String): DataFrame = {
     val t = transcripts(s, dir)
+    // full suffix, no length cap — the oracle parses substr(conv_id, 6)
+    // whole, and a 9-char cap would diverge on ids past 9 digits
     val stripe = t
-      .filter(pmod(substring(col("conv_id"), 6, 9).cast("long"),
+      .filter(pmod(expr("substring(conv_id, 6)").cast("long"),
         lit(9L)) === 0)
       .withColumn("conv_id", concat(lit("dup-"), col("conv_id")))
     graft.ops.SftPrep.duplicateConversations(t.unionByName(stripe))
