@@ -22,8 +22,19 @@ import graft.gen.TranscriptGen
 object PipelineQueries {
 
   /** Derived transcript table with stable turn ordering — the north-rule
-    * parse→normalize slice over the events table. */
-  def transcripts(s: SparkSession, dir: String): DataFrame = {
+    * parse→normalize slice over the events table. The global sort is
+    * part of q01's DECLARED output; every other consumer re-windows or
+    * re-aggregates, so they read [[transcriptsUnordered]] — the sort
+    * survived into ~60 downstream physical plans (one range-partition
+    * sampling job + full sort each) while contributing nothing to
+    * their results (guide §2.4: an orderBy used only for presentation
+    * is an accidental Exchange). */
+  def transcripts(s: SparkSession, dir: String): DataFrame =
+    transcriptsUnordered(s, dir).orderBy(col("conv_id"), col("turn_idx"))
+
+  /** [[transcripts]] without the final presentation sort — same rows,
+    * same turn_idx assignment; the input of every internal consumer. */
+  def transcriptsUnordered(s: SparkSession, dir: String): DataFrame = {
     val t = TranscriptGen.fromEvents(s, dir)
     val w = Window.partitionBy(col("conv_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
@@ -31,7 +42,6 @@ object PipelineQueries {
       .select(
         col("conv_id"), col("turn_idx"), col("role"), col("text"),
         col("tool"), unix_millis(col("ts")).as("ts_ms"))
-      .orderBy(col("conv_id"), col("turn_idx"))
   }
 
   /** Grok text-log round trip (north-star: regex parse of role
@@ -159,7 +169,7 @@ object PipelineQueries {
     * (< 2^53), so no rounding hazard in any summation order. */
   def turnLatency(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
-    val gaps = transcripts(s, dir)
+    val gaps = transcriptsUnordered(s, dir)
       .select(col("conv_id"), col("turn_idx"), col("role"),
         col("ts_ms"))
       .withColumn("prev_role", lag(col("role"), 1).over(w))
@@ -203,7 +213,7 @@ object PipelineQueries {
   def convStructure(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
     val wAll = Window.partitionBy(col("conv_id"))
-    val t = transcripts(s, dir).select("conv_id", "turn_idx", "role")
+    val t = transcriptsUnordered(s, dir).select("conv_id", "turn_idx", "role")
       .withColumn("prev_role", lag(col("role"), 1).over(w))
       .withColumn("n", count(lit(1)).over(wAll))
     t.groupBy(col("conv_id"))
@@ -266,13 +276,13 @@ object PipelineQueries {
   /** q101: user→assistant SFT pair extraction with a full-prior-history
     * context digest ([[graft.ops.SftPrep.sftPairs]]). */
   def sftPairs(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.sftPairs(transcripts(s, dir))
+    graft.ops.SftPrep.sftPairs(transcriptsUnordered(s, dir))
       .orderBy(col("conv_id"), col("turn_idx"))
 
   /** q102: role-transition Markov matrix with per-from-role conditional
     * probabilities ([[graft.ops.SftPrep.roleTransitions]]). */
   def roleTransitions(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.roleTransitions(transcripts(s, dir))
+    graft.ops.SftPrep.roleTransitions(transcriptsUnordered(s, dir))
       .orderBy(col("from_role"), col("to_role"))
 
   /** q103: context-budget left-truncation report at 64 whitespace
@@ -280,128 +290,128 @@ object PipelineQueries {
     * turns at ~3 tokens/turn, so the budget splits every conversation
     * into a real kept suffix + dropped prefix. */
   def contextFit(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.contextFit(transcripts(s, dir), budgetTokens = 64L)
+    graft.ops.SftPrep.contextFit(transcriptsUnordered(s, dir), budgetTokens = 64L)
       .orderBy(col("conv_id"))
 
   /** q104: consecutive tool-call bigrams within conversations
     * ([[graft.ops.SftPrep.toolChains]]). */
   def toolChains(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.toolChains(transcripts(s, dir))
+    graft.ops.SftPrep.toolChains(transcriptsUnordered(s, dir))
       .orderBy(col("n_chains").desc, col("tool_a"), col("tool_b"))
 
   /** q105: canned assistant-response detection (exact-text repeats ≥ 2,
     * top-20 by uses — [[graft.ops.SftPrep.cannedResponses]]). */
   def cannedResponses(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.cannedResponses(transcripts(s, dir),
+    graft.ops.SftPrep.cannedResponses(transcriptsUnordered(s, dir),
       minUses = 2L, topN = 20)
 
   /** q106: per-conversation adjacent-repetition / uniqueness report
     * ([[graft.ops.SftPrep.repeatReport]]). */
   def repeatReport(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.repeatReport(transcripts(s, dir))
+    graft.ops.SftPrep.repeatReport(transcriptsUnordered(s, dir))
       .orderBy(col("conv_id"))
 
   /** q107: daily volume + cumulative corpus-growth curve
     * ([[graft.ops.CorpusStats.dailyVolume]]). */
   def dailyVolume(s: SparkSession, dir: String): DataFrame =
-    graft.ops.CorpusStats.dailyVolume(transcripts(s, dir))
+    graft.ops.CorpusStats.dailyVolume(transcriptsUnordered(s, dir))
       .orderBy(col("day_idx"))
 
   /** q108: turn-length position-decile curve
     * ([[graft.ops.SftPrep.positionCurve]]). */
   def positionCurve(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.positionCurve(transcripts(s, dir))
+    graft.ops.SftPrep.positionCurve(transcriptsUnordered(s, dir))
       .orderBy(col("pos_decile"), col("role"))
 
   /** q110: user↔assistant vocabulary overlap
     * ([[graft.ops.SftPrep.roleVocabOverlap]]). */
   def roleVocabOverlap(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.roleVocabOverlap(transcripts(s, dir),
+    graft.ops.SftPrep.roleVocabOverlap(transcriptsUnordered(s, dir),
       roleA = "user", roleB = "assistant")
 
   /** q111: conversation-level exact dedup via ordered turn digests
     * ([[graft.ops.SftPrep.convDigestDups]]). */
   def convDigestDups(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.convDigestDups(transcripts(s, dir))
+    graft.ops.SftPrep.convDigestDups(transcriptsUnordered(s, dir))
       .orderBy(col("conv_id"))
 
   /** q112: truncated/unterminated assistant responses
     * ([[graft.ops.SftPrep.truncationReport]]). */
   def truncationReport(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.truncationReport(transcripts(s, dir))
+    graft.ops.SftPrep.truncationReport(transcriptsUnordered(s, dir))
       .orderBy(col("conv_id"), col("turn_idx"))
 
   /** q113: per-conversation language-consistency report
     * ([[graft.ops.SftPrep.convLangReport]]). */
   def convLangReport(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.convLangReport(transcripts(s, dir))
+    graft.ops.SftPrep.convLangReport(transcriptsUnordered(s, dir))
       .orderBy(col("conv_id"))
 
   /** q114: assistant-echo (parroting) score per SFT pair
     * ([[graft.ops.SftPrep.echoReport]]). */
   def echoReport(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.echoReport(transcripts(s, dir))
+    graft.ops.SftPrep.echoReport(transcriptsUnordered(s, dir))
       .orderBy(col("conv_id"), col("turn_idx"))
 
   /** q115: user prompt-template mining
     * ([[graft.ops.SftPrep.promptTemplates]]). */
   def promptTemplates(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.promptTemplates(transcripts(s, dir),
+    graft.ops.SftPrep.promptTemplates(transcriptsUnordered(s, dir),
       minUses = 2L, topN = 20)
 
   /** q116: assistant refusal / failure-marker incidence per language
     * ([[graft.ops.SftPrep.refusalReport]]). */
   def refusalReport(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.refusalReport(transcripts(s, dir))
+    graft.ops.SftPrep.refusalReport(transcriptsUnordered(s, dir))
 
   /** q117: padding-efficiency length-bucket report
     * ([[graft.ops.SftPrep.paddingReport]]). */
   def paddingReport(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.paddingReport(transcripts(s, dir))
+    graft.ops.SftPrep.paddingReport(transcriptsUnordered(s, dir))
 
   /** q118: preference-pair mining from regeneration runs
     * ([[graft.ops.SftPrep.preferencePairs]]). */
   def preferencePairs(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.preferencePairs(transcripts(s, dir))
+    graft.ops.SftPrep.preferencePairs(transcriptsUnordered(s, dir))
 
   /** q119: context-window trim transform at a 96-token budget
     * ([[graft.ops.SftPrep.contextTrim]]). */
   def contextTrim(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.contextTrim(transcripts(s, dir), budget = 96L)
+    graft.ops.SftPrep.contextTrim(transcriptsUnordered(s, dir), budget = 96L)
 
   /** q120: tool-reliability attribution
     * ([[graft.ops.SftPrep.toolReliability]]). */
   def toolReliability(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.toolReliability(transcripts(s, dir))
+    graft.ops.SftPrep.toolReliability(transcriptsUnordered(s, dir))
 
   /** q121: degenerate-loop collapse transform
     * ([[graft.ops.SftPrep.loopCollapse]]). */
   def loopCollapse(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.loopCollapse(transcripts(s, dir))
+    graft.ops.SftPrep.loopCollapse(transcriptsUnordered(s, dir))
 
   /** q123: SFT chat-template render ([[graft.ops.SftPrep.sftRender]]). */
   def sftRender(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.sftRender(transcripts(s, dir))
+    graft.ops.SftPrep.sftRender(transcriptsUnordered(s, dir))
 
   /** q124: loss-mask span table ([[graft.ops.SftPrep.lossMask]]). */
   def lossMask(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.lossMask(transcripts(s, dir))
+    graft.ops.SftPrep.lossMask(transcriptsUnordered(s, dir))
 
   /** q125: sliding dialogue-window chunking at (8, 4)
     * ([[graft.ops.SftPrep.dialogueWindows]]). */
   def dialogueWindows(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.dialogueWindows(transcripts(s, dir),
+    graft.ops.SftPrep.dialogueWindows(transcriptsUnordered(s, dir),
       winTurns = 8, stride = 4)
 
   /** q127: tool-grounding score per tool→assistant adjacency
     * ([[graft.ops.SftPrep.toolGrounding]]). */
   def toolGrounding(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.toolGrounding(transcripts(s, dir))
+    graft.ops.SftPrep.toolGrounding(transcriptsUnordered(s, dir))
 
   /** q128: special-token leakage scan
     * ([[graft.ops.SftPrep.specialTokenScan]]). */
   def specialTokenScan(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.specialTokenScan(transcripts(s, dir))
+    graft.ops.SftPrep.specialTokenScan(transcriptsUnordered(s, dir))
 
   /** q129: ingestion-order timestamp anomaly audit over the RAW
     * arrival stream ([[graft.ops.SftPrep.tsAnomalyReport]]). */
@@ -414,85 +424,85 @@ object PipelineQueries {
   /** q130: KV-prefix-cache sharing report at a 24-char opener prefix
     * ([[graft.ops.SftPrep.prefixCacheReport]]). */
   def prefixCache(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.prefixCacheReport(transcripts(s, dir),
+    graft.ops.SftPrep.prefixCacheReport(transcriptsUnordered(s, dir),
       prefixChars = 24)
 
   /** q131: opening-intent mixture report under the default rules
     * table ([[graft.ops.SftPrep.intentMix]]). */
   def intentMix(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.intentMix(transcripts(s, dir))
+    graft.ops.SftPrep.intentMix(transcriptsUnordered(s, dir))
 
   /** q133: preference-margin calibration bands over q118's pairs at
     * the default ≥9-char gate ([[graft.ops.SftPrep.marginReport]]). */
   def marginReport(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.marginReport(transcripts(s, dir))
+    graft.ops.SftPrep.marginReport(transcriptsUnordered(s, dir))
 
   /** q135: ungrounded-numbers audit on the tool→assistant edge
     * ([[graft.ops.SftPrep.ungroundedNumbers]]). */
   def ungroundedNumbers(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.ungroundedNumbers(transcripts(s, dir))
+    graft.ops.SftPrep.ungroundedNumbers(transcriptsUnordered(s, dir))
 
   /** q145: conversation-outcome triage
     * ([[graft.ops.SftPrep.conversationOutcome]]). */
   def convOutcome(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.conversationOutcome(transcripts(s, dir))
+    graft.ops.SftPrep.conversationOutcome(transcriptsUnordered(s, dir))
 
   /** q146: first-vs-last user-turn topic drift
     * ([[graft.ops.SftPrep.topicDrift]]). */
   def topicDrift(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.topicDrift(transcripts(s, dir))
+    graft.ops.SftPrep.topicDrift(transcriptsUnordered(s, dir))
 
   /** q147: per-conversation assistant verbosity slope
     * ([[graft.ops.SftPrep.verbositySlope]]). */
   def verbositySlope(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.verbositySlope(transcripts(s, dir))
+    graft.ops.SftPrep.verbositySlope(transcriptsUnordered(s, dir))
 
   /** q148: answer-consistency audit over repeated user questions
     * ([[graft.ops.SftPrep.answerConsistency]]). */
   def answerConsistency(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.answerConsistency(transcripts(s, dir))
+    graft.ops.SftPrep.answerConsistency(transcriptsUnordered(s, dir))
 
   /** q154: refusal rate by opening intent
     * ([[graft.ops.SftPrep.refusalByIntent]]). */
   def refusalByIntent(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.refusalByIntent(transcripts(s, dir))
+    graft.ops.SftPrep.refusalByIntent(transcriptsUnordered(s, dir))
 
   /** q175: correction rate by opening intent
     * ([[graft.ops.SftPrep.correctionByIntent]]). */
   def correctionByIntent(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.correctionByIntent(transcripts(s, dir))
+    graft.ops.SftPrep.correctionByIntent(transcriptsUnordered(s, dir))
 
   /** q178: assistant response-latency percentiles by opening intent
     * ([[graft.ops.SftPrep.latencyByIntent]]). */
   def latencyByIntent(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.latencyByIntent(transcripts(s, dir))
+    graft.ops.SftPrep.latencyByIntent(transcriptsUnordered(s, dir))
 
   /** q184: conversation survival/hazard curve by depth
     * ([[graft.ops.SftPrep.convHazard]]). */
   def convHazard(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.convHazard(transcripts(s, dir))
+    graft.ops.SftPrep.convHazard(transcriptsUnordered(s, dir))
 
   /** q185: tool-execution latency percentiles per tool
     * ([[graft.ops.SftPrep.toolLatency]]). */
   def toolLatency(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.toolLatency(transcripts(s, dir))
+    graft.ops.SftPrep.toolLatency(transcriptsUnordered(s, dir))
 
   /** q188: hour-of-week load profile
     * ([[graft.ops.SftPrep.hourOfWeekLoad]]). */
   def hourOfWeekLoad(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.hourOfWeekLoad(transcripts(s, dir))
+    graft.ops.SftPrep.hourOfWeekLoad(transcriptsUnordered(s, dir))
 
   /** q193: conversation-volume concentration (Gini + top shares)
     * ([[graft.ops.SftPrep.convConcentration]]). */
   def convConcentration(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.convConcentration(transcripts(s, dir))
+    graft.ops.SftPrep.convConcentration(transcriptsUnordered(s, dir))
 
   /** q194: duplicate-conversation clusters over a corpus with a
     * synthetic replay stripe — every conversation whose numeric
     * suffix is divisible by 9 is re-submitted verbatim under a
     * "dup-" prefixed id ([[graft.ops.SftPrep.duplicateConversations]]). */
   def duplicateConvs(s: SparkSession, dir: String): DataFrame = {
-    val t = transcripts(s, dir)
+    val t = transcriptsUnordered(s, dir)
     // full suffix, no length cap — the oracle parses substr(conv_id, 6)
     // whole, and a 9-char cap would diverge on ids past 9 digits
     val stripe = t
@@ -505,18 +515,18 @@ object PipelineQueries {
   /** q195: conversation language-mix rollup
     * ([[graft.ops.SftPrep.convLangMix]]). */
   def convLangMix(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.convLangMix(transcripts(s, dir))
+    graft.ops.SftPrep.convLangMix(transcriptsUnordered(s, dir))
 
   /** q196: user/assistant token-balance decile histogram
     * ([[graft.ops.SftPrep.roleBalanceHistogram]]). */
   def roleBalance(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.roleBalanceHistogram(transcripts(s, dir))
+    graft.ops.SftPrep.roleBalanceHistogram(transcriptsUnordered(s, dir))
 
   /** q197: PII incidence by role over a corpus with injected contact
     * stripes — every turn_idx ≡ 3 (mod 11) gains an email, every
     * turn_idx ≡ 5 (mod 13) a phone ([[graft.ops.SftPrep.piiByRole]]). */
   def piiByRole(s: SparkSession, dir: String): DataFrame = {
-    val t = transcripts(s, dir).withColumn("text", concat(col("text"),
+    val t = transcriptsUnordered(s, dir).withColumn("text", concat(col("text"),
       when(pmod(col("turn_idx"), lit(11)) === 3,
         lit(" contact support@example.com")).otherwise(lit("")),
       when(pmod(col("turn_idx"), lit(13)) === 5,
@@ -527,7 +537,7 @@ object PipelineQueries {
   /** q199: response-latency percentiles per (dow, hour) cell
     * ([[graft.ops.SftPrep.latencyByHour]]). */
   def latencyByHour(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SftPrep.latencyByHour(transcripts(s, dir))
+    graft.ops.SftPrep.latencyByHour(transcriptsUnordered(s, dir))
 
   /** Per-role text checksum — the per-turn byte-equality invariant in
     * aggregate form (md5 over identical UTF-8 bytes on both engines). */

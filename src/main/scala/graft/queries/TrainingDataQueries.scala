@@ -120,7 +120,7 @@ object TrainingDataQueries {
     * the detector has real leaks to find
     * ([[graft.ops.Dedup.crossCorpusLeak]]). */
   def crossCorpusLeakQ(s: SparkSession, dir: String): DataFrame = {
-    val t = PipelineQueries.transcripts(s, dir)
+    val t = PipelineQueries.transcriptsUnordered(s, dir)
     val convNum = substring(col("conv_id"), 6, 10).cast("long")
     val leaked = t.groupBy(col("conv_id")).agg(
         array_join(transform(
@@ -914,7 +914,7 @@ object TrainingDataQueries {
     val e = embs(s, dir).agg(
       count(lit(1)), countDistinct(col("label")),
       max(size(col("embedding")))).head()
-    val t = graft.queries.PipelineQueries.transcripts(s, dir).agg(
+    val t = graft.queries.PipelineQueries.transcriptsUnordered(s, dir).agg(
       countDistinct(col("conv_id")), count(lit(1))).head()
     import s.implicits._
     Seq((d.getLong(0), d.getLong(1), d.getLong(2),
