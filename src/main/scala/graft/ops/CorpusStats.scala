@@ -1194,10 +1194,13 @@ object CorpusStats {
       .filter(size(col("ds")) <= maxDf)
       .select(col("ds"))
     posts
-      .select(explode(filter(
-        flatten(transform(col("ds"), x =>
-          transform(col("ds"), y => struct(x.as("a"), y.as("b"))))),
-        p => p.getField("a") < p.getField("b"))).as("p"))
+      .select(array_sort(col("ds")).as("ds"))
+      .select(explode(expr(
+        """IF(size(ds) >= 2,
+          |  flatten(transform(sequence(1, size(ds) - 1),
+          |    i -> transform(slice(ds, i + 1, size(ds) - i),
+          |      y -> struct(element_at(ds, i) AS a, y AS b)))),
+          |  array())""".stripMargin)).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -190,7 +190,8 @@ object Dedup {
       .select(col("doc_id"),
         explode(graft.functions.word_shingles(col("text"), k))
           .as("shingle"))
-      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("h"))
+      .select(col("doc_id"),
+        unhex(md5(col("shingle").cast("binary"))).as("h"))
     // persisted: the sizes agg and the pair explode both read it
     // (lifetime note: the cache backs the RETURNED lazy DataFrame, so
     // it cannot be released here; MEMORY_AND_DISK spills under
@@ -201,11 +202,16 @@ object Dedup {
         .select(col("ds")))
     val sizes = posts.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // sorted posting list → i<j pairs via slice: C(n,2) structs
+    // allocated (the naive nested transform built n² then filtered)
     val inter = posts
-      .select(explode(filter(
-        flatten(transform(col("ds"), x =>
-          transform(col("ds"), y => struct(x.as("a"), y.as("b"))))),
-        p => p.getField("a") < p.getField("b"))).as("p"))
+      .select(array_sort(col("ds")).as("ds"))
+      .select(explode(expr(
+        """IF(size(ds) >= 2,
+          |  flatten(transform(sequence(1, size(ds) - 1),
+          |    i -> transform(slice(ds, i + 1, size(ds) - i),
+          |      y -> struct(element_at(ds, i) AS a, y AS b)))),
+          |  array())""".stripMargin)).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))

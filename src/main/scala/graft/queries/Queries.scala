@@ -502,6 +502,10 @@ object PipelineQueries {
     * suffix is divisible by 9 is re-submitted verbatim under a
     * "dup-" prefixed id ([[graft.ops.SftPrep.duplicateConversations]]). */
   def duplicateConvs(s: SparkSession, dir: String): DataFrame = {
+    // NOT persisted although both branches read the derivation: a
+    // wrapper-level persist registers a session cache entry that every
+    // LATER query's plan silently embeds (InMemoryRelation), breaking
+    // the per-query exchange accounting the guard tests pin
     val t = transcriptsUnordered(s, dir)
     // full suffix, no length cap — the oracle parses substr(conv_id, 6)
     // whole, and a 9-char cap would diverge on ids past 9 digits

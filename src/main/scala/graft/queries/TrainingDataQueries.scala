@@ -120,6 +120,10 @@ object TrainingDataQueries {
     * the detector has real leaks to find
     * ([[graft.ops.Dedup.crossCorpusLeak]]). */
   def crossCorpusLeakQ(s: SparkSession, dir: String): DataFrame = {
+    // NOT persisted although three legs re-derive the transcripts (a
+    // wrapper persist would leak an InMemoryRelation into every later
+    // query's plan — see duplicateConvs); the heavy legs inside
+    // crossCorpusLeak persist their own shingle tables already
     val t = PipelineQueries.transcriptsUnordered(s, dir)
     val convNum = substring(col("conv_id"), 6, 10).cast("long")
     val leaked = t.groupBy(col("conv_id")).agg(
