@@ -403,18 +403,30 @@ object Similarity {
             sqDistFold(subCol(st, len), cw)): _*)
           (array_position(ds, array_min(ds)) - 1).cast("int").as(s"c$s")
         }: _*)
-      val flat = flatten(array(slices.zipWithIndex.map {
-        case ((st, len), s) =>
-          zip_with(subCol(st, len), sequence(lit(0), lit(len - 1)),
-            (v, i) => struct(lit(s).as("s"), col(s"c$s").as("cl"),
-              i.as("dim"), v.as("v")))
-      }: _*))
-      val rows = assigned.select(explode(flat).as("x"))
-        .select(col("x.s").as("s"), col("x.cl").as("cl"),
-          col("x.dim").as("dim"), col("x.v").as("v"))
-        .groupBy("s", "cl", "dim")
-        .agg(round(avg("v"), 6).as("cv"))
-        .collect()
+      // one-slice fast path: posexplode walks the array directly —
+      // the fused struct-array build only pays for itself when it is
+      // amortizing several books into the one pass
+      val rows =
+        if (slices.size == 1)
+          assigned.select(lit(0).as("s"), col("c0").as("cl"),
+              posexplode(col("e")).as(Seq("dim", "v")))
+            .groupBy("s", "cl", "dim")
+            .agg(round(avg("v"), 6).as("cv"))
+            .collect()
+        else {
+          val flat = flatten(array(slices.zipWithIndex.map {
+            case ((st, len), s) =>
+              zip_with(subCol(st, len), sequence(lit(0), lit(len - 1)),
+                (v, i) => struct(lit(s).as("s"), col(s"c$s").as("cl"),
+                  i.as("dim"), v.as("v")))
+          }: _*))
+          assigned.select(explode(flat).as("x"))
+            .select(col("x.s").as("s"), col("x.cl").as("cl"),
+              col("x.dim").as("dim"), col("x.v").as("v"))
+            .groupBy("s", "cl", "dim")
+            .agg(round(avg("v"), 6).as("cv"))
+            .collect()
+        }
       val bySlice = rows.groupBy(_.getInt(0))
       books = slices.indices.toIndexedSeq.map { s =>
         val byCl = bySlice.getOrElse(s,
